@@ -1,0 +1,78 @@
+"""Cross-engine deterministic expression helpers.
+
+The driver verifies every query against a DuckDB oracle with an
+order-insensitive *value hash* — so floating-point aggregates must be
+bit-identical between Spark and DuckDB. Plain ``SUM(double)`` is not:
+both engines sum in whatever order rows arrive, and FP addition is not
+associative. Two portable tricks fix this:
+
+* **Decimal-exact sums** — ``dsum``/``davg`` route the sum through
+  ``DECIMAL(18, s)``: decimal addition is exact and order-independent, so
+  Spark and DuckDB agree bit-for-bit; the final cast back to double is a
+  single deterministic conversion. At 100 TB this costs nothing extra — the
+  partial/final aggregation shape is unchanged, decimal sums still combine
+  map-side.
+
+* **Portable 32-bit hash** — Spark's ``hash()`` (murmur3) has no DuckDB
+  twin, so hash-dependent operators (MinHash, SimHash, fingerprints) use
+  the first 8 hex chars of md5, which both engines compute identically:
+  Spark ``conv(substr(md5(x),1,8),16,10)`` ≡ DuckDB
+  ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``. md5 here is a portable mix
+  function, not security.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for portable integer hashing: 2^31 - 1 (Mersenne prime). Keeping
+# hashes < 2^31 lets (a*h + b) stay within int64 for any a,b < 2^31 — no
+# overflow divergence between engines.
+HASH_PRIME = 2_147_483_647
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: Column | str, scale: int = 2, alias: str | None = None) -> Column:
+    """Order-independent SUM over doubles (exact decimal accumulate).
+
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``.
+    """
+    out = F.sum(_col(c).cast(f"decimal(18,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(c: Column | str, scale: int = 2, alias: str | None = None) -> Column:
+    """Order-independent AVG: exact decimal sum, then one double division.
+
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(x)``.
+    """
+    col = _col(c)
+    out = F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col)
+    return out.alias(alias) if alias else out
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`dsum` for embedding in oracle SQL."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg_sql(expr: str, scale: int = 2) -> str:
+    return f"{dsum_sql(expr, scale)} / COUNT({expr})"
+
+
+def portable_hash32(c: Column | str) -> Column:
+    """Deterministic 32-bit string hash computable identically in DuckDB.
+
+    Returns a BIGINT in [0, 2^32). Reduce mod :data:`HASH_PRIME` before
+    multiplying in permutation constants.
+    """
+    return F.conv(F.substring(F.md5(_col(c)), 1, 8), 16, 10).cast("bigint")
+
+
+def portable_hash32_sql(expr: str) -> str:
+    """DuckDB twin of :func:`portable_hash32`."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"

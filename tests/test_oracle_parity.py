@@ -1,0 +1,37 @@
+"""Every registered query with an oracle must match DuckDB exactly at the
+smoke SF — a local replica of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_weather_analysis_spark.plans.registry import REGISTRY, _import_plans
+
+from .conftest import SMOKE_SF
+from .oracle_harness import compare_query
+
+_import_plans()
+_SPECS = [s for s in REGISTRY.values() if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", _SPECS, ids=[s.name for s in _SPECS])
+def test_oracle_parity(spark, duck, spec):
+    compare_query(spark, duck, spec, SMOKE_SF)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["name", "year_month", "total_qty", "avg_price"]
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 3
