@@ -64,6 +64,42 @@ def davg_sql(expr: str, scale: int = 2) -> str:
     return f"{dsum_sql(expr, scale)} / COUNT({expr})"
 
 
+def psum(expr: Column, scale: int = 6, alias: str | None = None) -> Column:
+    """Order-independent SUM over a computed double expression (e.g. a
+    product like ``price * (1 - discount)``).
+
+    The per-row double product is identical in both engines (same operands,
+    one IEEE multiply); the hazard is only summation order. Routing the
+    product through its *shortest decimal string* (unique round-trip repr,
+    identical in both engines modulo exponent spelling, which decimal
+    parsing normalizes) then ``DECIMAL(18,s)`` (both engines round
+    half-away-from-zero on string→decimal) yields bit-identical exact sums.
+
+    Oracle twin: ``CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,s))) AS DOUBLE)``.
+    """
+    out = F.sum(expr.cast("string").cast(f"decimal(18,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def psum_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of :func:`psum`."""
+    return f"CAST(SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def dround(c: Column, scale: int = 3) -> Column:
+    """Portable ROUND(double) — Java and C disagree on which value `%.Nf`/
+    round() sees (shortest repr vs exact binary), so round the shortest
+    string repr in both engines and return double.
+
+    Oracle twin: ``CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,s)) AS DOUBLE)``.
+    """
+    return c.cast("string").cast(f"decimal(28,{scale})").cast("double")
+
+
+def dround_sql(expr: str, scale: int = 3) -> str:
+    return f"CAST(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(28,{scale})) AS DOUBLE)"
+
+
 def portable_hash32(c: Column | str) -> Column:
     """Deterministic 32-bit string hash computable identically in DuckDB.
 

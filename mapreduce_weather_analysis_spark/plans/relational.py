@@ -1,0 +1,472 @@
+"""Relational operator suite (SURVEY.md §2.2 generalization — slice 2).
+
+The reference's single join (O7), grouped aggs (O9/O12), and top-1 (O13)
+generalize here to the full checklist over the TPC-H-ish fixtures: inner/
+left/semi/anti joins, multi-agg groupBy, distinct aggs, rollup, pivot,
+windows (rank / running sum / lag), global top-k, and set operations.
+
+Every query carries its DuckDB oracle; all double aggregates go through the
+portable-determinism helpers (functions/compat.py) so the driver's value
+hash matches bit-for-bit.
+
+Scale posture: dimensions broadcast; fact-side shuffles are single-key
+hash aggs or AQE-coalesced joins. Window queries partition on high-
+cardinality keys (customer / supplier) so no single partition dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .registry import register, t
+
+# ---------------------------------------------------------------------------
+# Joins (O7 generalized). Reference has only the reduce-side inner equi-join
+# (Job1.java:66-80); the engine adds the outer/semi/anti family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-table star join (orders→customer→nation→region) + grouped agg.
+
+    All three dimensions broadcast (Job1's equivalent dimension was 27 rows;
+    here ≤ SF×150k customers — still far under the 10MB default threshold at
+    bench SFs; at true 100TB the customer join becomes a shuffle join on
+    o_custkey and AQE handles skew)."""
+    o = t(spark, sf_dir, "orders")
+    c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(coalesce(o.o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (the case the
+    reference's inner-join gate drops, quirk Q4 — Job1.java:80)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 big order (EXISTS). The probe side
+    never widens — at scale this shuffles only keys, not payloads."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (NOT EXISTS)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (O9/O12 generalized).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS VARCHAR)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount)
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 2-key groupBy, 8 aggregates.
+
+    The classic partial+final hash-agg benchmark — the reference ships every
+    raw row to reducers instead (no combiner, SURVEY.md §4.1); Spark's
+    map-side partial agg reduces the shuffle to |groups|×|aggs|."""
+    from ..functions.compat import davg, dsum, psum
+
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        dsum("l_quantity", alias="sum_qty"),
+        dsum("l_extendedprice", alias="sum_base_price"),
+        psum(disc_price, alias="sum_disc_price"),
+        psum(charge, alias="sum_charge"),
+        davg("l_quantity", alias="avg_qty"),
+        davg("l_extendedprice", alias="avg_price"),
+        davg("l_discount", alias="avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (absent from the reference — SURVEY.md §2.2):
+    two COUNT(DISTINCT) over different keys in one grouped agg (Spark
+    expands+re-aggregates under the hood)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.date_format("o_orderdate", "yyyy-MM")).alias("n_months"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotals + grand total) with GROUPING
+    indicators to disambiguate rolled-up NULLs from data NULLs."""
+    from ..functions.compat import dsum
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum("l_quantity", alias="sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        "g_flag",
+        "g_status",
+        "sum_qty",
+        "n",
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS "O",
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS "F"
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus values into columns. The value list is pinned so
+    Spark skips the extra distinct-values job — the scale-safe form."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.sum(
+                F.coalesce(F.col("l_quantity"), F.lit(0.0)).cast("decimal(18,2)")
+            ).cast("double")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (absent from the reference — SURVEY.md §2.2; Q-MAX-MONTH's windowed
+# formulation is the only brush, O13 alt).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT custkey, o_orderkey AS orderkey, o_totalprice AS totalprice, rn
+    FROM (
+      SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ROW_NUMBER (deterministic tie-break on
+    orderkey). The distributed top-k-per-group idiom: one shuffle on the
+    partition key, no global sort."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-supplier quantity in ship order. Decimal-routed window
+    sum: exact accumulation ⇒ engine-independent values even though window
+    implementations group additions differently."""
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "q_window_lag_delta",
+    oracle="""
+    SELECT year_month,
+           total_qty,
+           total_qty - lag(total_qty) OVER (ORDER BY year_month) AS qty_delta
+    FROM (
+      SELECT strftime(l_shipdate, '%Y-%m') AS year_month,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY 1
+    )
+    """,
+)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month change via LAG over the monthly rollup — the
+    windowed sibling of Q-MAX-MONTH's time bucketing (O8+O13 alt)."""
+    li = t(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("year_month"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+    w = W.orderBy("year_month")
+    return monthly.select(
+        "year_month",
+        "total_qty",
+        (F.col("total_qty") - F.lag("total_qty").over(w)).alias("qty_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k (O13 generalized) and set operations (O1/O4's union, plus the
+# intersect/except family the reference lacks).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk_global",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price (deterministic tie-break). Spark plans
+    TakeOrderedAndProject — per-partition heaps + tiny driver merge, the
+    distributed generalization of Job2's single-reducer streaming max
+    (Job2.java:53-69)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT c_name AS name, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS kind FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of heterogeneous relations — the declarative form of the
+    reference's multi-input-path single mapper (O1/O4, Job1.java:143-144)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y') = '1995'
+    INTERSECT
+    SELECT o_custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y') = '1996'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers active in both 1995 and 1996."""
+    o = t(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y96 = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y95.intersect(y96)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y') = '1995'
+    EXCEPT
+    SELECT o_custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y') = '1996'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers active in 1995 but not 1996."""
+    o = t(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y96 = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y95.subtract(y96)

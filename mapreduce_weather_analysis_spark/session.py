@@ -33,6 +33,10 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     runtime-mutable SQL confs are touched — never the master or memory.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark
+    # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as int64; the table loader
+    # rebuilds a microsecond timestamp (same truncation DuckDB applies).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 

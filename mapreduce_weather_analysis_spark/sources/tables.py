@@ -9,6 +9,10 @@ and (at 100 TB) partition pruning on a month/key directory layout.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import ensure_session_conf
 
 TABLE_NAMES = (
     "region",
@@ -25,7 +29,14 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as int64 nanos (see session.py): rebuild a
+        # µs timestamp — floor division matches DuckDB's ns→µs truncation.
+        # integer `div`, not `/`: ns values (~1.7e18) exceed double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

@@ -59,8 +59,12 @@ def compare_query(spark, duck, spec, sf_dir):
 
     snorm, cols = _normalize([tuple(r) for r in srows], scols)
     onorm, _ = _normalize(orows, ocols)
+    # repr-strict: int 900 must not silently equal float 900.0 — the driver
+    # hashes typed values, so type drift is a real mismatch.
     mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(snorm, onorm)) if a != b
+        (i, a, b)
+        for i, (a, b) in enumerate(zip(snorm, onorm))
+        if repr(a) != repr(b)
     ]
     assert not mismatches, (
         f"{spec.name}: {len(mismatches)} value mismatches (cols={cols}); "
