@@ -1,0 +1,75 @@
+"""Text primitives: tokenization, shingling, portable token hashing.
+
+Every builder has a DuckDB-twin SQL generator (``*_sql``) so the dedup/
+text-analysis operators can be oracle-verified value-for-value. The Spark
+side stays entirely in JVM expressions (higher-order array functions) —
+no Python UDFs anywhere on these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .compat import HASH_PRIME
+
+# ---------------------------------------------------------------------------
+# Tokenize: lowercase, trim, split on whitespace, drop empties.
+# ---------------------------------------------------------------------------
+
+
+def tokens(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return rf"list_filter(string_split_regex(lower(trim({expr})), '\s+'), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles (distinct), the unit set for Jaccard/MinHash dedup.
+# ---------------------------------------------------------------------------
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(toks_expr: str, n: int = 3) -> str:
+    # range() end is exclusive; list slice [a:b] is 1-based inclusive.
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks_expr}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks_expr}[i:i+{n - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable per-token hash list: md5-derived 32-bit value mod HASH_PRIME.
+# ---------------------------------------------------------------------------
+
+
+def hashed_list(arr: Column) -> Column:
+    return F.transform(
+        arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % HASH_PRIME,
+    )
+
+
+def hashed_list_sql(arr_expr: str) -> str:
+    return (
+        f"list_transform({arr_expr}, "
+        f"s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {HASH_PRIME})"
+    )

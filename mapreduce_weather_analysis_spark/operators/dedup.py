@@ -1,0 +1,314 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as compositions of built-in DataFrame ops
+(no Python on the hot path — md5/array/bitwise expressions are JVM-side,
+whole-stage-codegen'd):
+
+* exact           — hash groupBy on content (or any key list)
+* MinHash + LSH   — shingle → k-permutation minhash signature → banded
+                    bucket join → candidate pairs → exact-Jaccard verify
+* SimHash         — 32-bit sign-of-weighted-bits fingerprint + banded
+                    hamming-distance pairing
+* n-gram Jaccard  — exact set-overlap join (the verification primitive,
+                    also usable standalone at moderate scale)
+
+Every hash is the portable md5-based one (functions/compat.py), and every
+constant lives here once — the DuckDB oracle SQL is generated from the SAME
+constants, so the driver's value-hash comparison holds exactly.
+
+Scale posture (100 TB): the only shuffles are (a) the band-key self-join —
+bounded by bucket sizes, the whole point of LSH banding; and (b) the
+candidate-pair signature join. Signatures are ~16×8 bytes/doc; at 10^10 docs
+that's a 1.3 TB signature relation, shuffle-joinable on doc_id. The all-pairs
+fallbacks (exact Jaccard over everything) are deliberately NOT the scale
+path and say so.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.compat import HASH_PRIME
+from ..functions.text import (
+    hashed_list,
+    hashed_list_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+# --- MinHash constants (shared with oracle SQL) ------------------------------
+# k=16 permutations h_i(x) = (a_i*x + b_i) mod P over P = 2^31-1; products
+# stay < 2^62 so int64 arithmetic is overflow-identical in both engines.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+_A = [(1103515245 * (i + 1) + 12345) % HASH_PRIME for i in range(MINHASH_K)]
+_B = [(69069 * (i + 1) + 1234567) % HASH_PRIME for i in range(MINHASH_K)]
+MINHASH_PERMS = list(zip(_A, _B))
+
+# --- SimHash constants -------------------------------------------------------
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bands for hamming-neighbour blocking
+SHINGLE_N = 3
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Group identical content; keep the minimum id as the canonical row.
+
+    One hash-aggregate shuffle on the content hash. (For wide content at
+    scale, pre-hash to sha2 and group on the digest instead of raw bytes.)
+    """
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N) -> DataFrame:
+    """(id, shingles) relation; docs with < n tokens drop out (no shingles)."""
+    sh = shingles(tokens(text_col), n)
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+
+
+def _perm_min(hv: Column, a: int, b: int) -> Column:
+    # NB: a proper closure — extra lambda params (even defaulted) confuse
+    # pyspark's higher-order-function arity detection.
+    return F.array_min(F.transform(hv, lambda x: (x * a + b) % HASH_PRIME))
+
+
+def minhash_signature(sh_col: Column) -> Column:
+    """k-long minhash signature of a shingle array (single JVM expression)."""
+    hv = hashed_list(sh_col)
+    return F.array(*[_perm_min(hv, a, b) for a, b in MINHASH_PERMS])
+
+
+def lsh_band_keys(sig_col: Column) -> Column:
+    """Array of LSH_BANDS band keys (joined row values per band)."""
+    return F.array(
+        *[
+            F.concat_ws(",", F.slice(sig_col, j * LSH_ROWS + 1, LSH_ROWS))
+            for j in range(LSH_BANDS)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b) with estimated + exact Jaccard.
+
+    Pipeline: signature → band-bucket self-join (candidates) → signature
+    agreement estimate → exact shingle-set Jaccard verify ≥ threshold.
+    """
+    sh = doc_shingles(docs, text_col, id_col)
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        minhash_signature(F.col("shingles")).alias("sig"),
+    )
+
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(MINHASH_K))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            (inter * F.lit(1.0) / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str, threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs` (same constants)."""
+    toks = tokens_sql(text_col)
+    sh = shingles_sql("toks", SHINGLE_N)
+    hv = hashed_list_sql("shingles")
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hv, x -> (x * {a} + {b}) % {HASH_PRIME}))"
+        for a, b in MINHASH_PERMS
+    )
+    band_keys = ", ".join(
+        f"array_to_string(sig[{j * LSH_ROWS + 1}:{(j + 1) * LSH_ROWS}], ',')"
+        for j in range(LSH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+    ),
+    sh AS (
+      SELECT doc_id, {sh} AS shingles FROM toks
+    ),
+    hs AS (
+      SELECT doc_id, shingles, {hv} AS hv FROM sh WHERE len(shingles) > 0
+    ),
+    sig AS (
+      SELECT doc_id, shingles, [{sig_elems}] AS sig FROM hs
+    ),
+    bands AS (
+      SELECT doc_id, j AS band_idx, keys[j + 1] AS band_key
+      FROM (SELECT doc_id, [{band_keys}] AS keys FROM sig),
+           (SELECT unnest(range(0, {LSH_BANDS})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           list_sum(list_transform(range(1, {MINHASH_K} + 1),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+             / {float(MINHASH_K)} AS est_jaccard,
+           len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _ones_at_bit(hv: Column, j: int) -> Column:
+    return F.aggregate(
+        hv,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.shiftright(x, j).bitwiseAND(F.lit(1)),
+    )
+
+
+def simhash32(toks_col: Column) -> Column:
+    """32-bit SimHash over the token multiset: bit j is 1 iff more than half
+    the token hashes have bit j set (strict majority)."""
+    hv = hashed_list(toks_col)
+    n = F.size(hv)
+    out = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        ones = _ones_at_bit(hv, j)
+        out = out + F.when(ones * 2 > n, F.lit(1 << j).cast("bigint")).otherwise(0)
+    return out
+
+
+def simhash32_sql(hv_col: str = "hv") -> str:
+    """DuckDB twin of :func:`simhash32`, over a column already holding the
+    hashed token list (materialize ``hashed_list_sql`` in a prior CTE)."""
+    return " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform({hv_col}, x -> (x >> {j}) & 1)) "
+        f"> len({hv_col}) THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+
+
+def simhash_bands(h: Column) -> Column:
+    """SIMHASH_BANDS byte-wide band values for hamming-neighbour blocking."""
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    return F.array(
+        *[F.shiftright(h, j * width).bitwiseAND(F.lit(mask)) for j in range(SIMHASH_BANDS)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification primitive / moderate-scale standalone)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str, id_col: str, threshold: float, n: int = SHINGLE_N
+) -> DataFrame:
+    """Exact Jaccard pairs via the inverted-shingle join: pairs must share
+    ≥1 shingle to be compared at all. O(Σ bucket²) on shingle buckets —
+    the honest-but-quadratic fallback; MinHash-LSH is the scale path."""
+    sh = doc_shingles(docs, text_col, id_col, n)
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter") * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _md5_int32(s: str) -> int:
+    """Python twin of the portable hash — for inlining literal constants."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)

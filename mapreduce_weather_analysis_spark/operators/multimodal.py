@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+with decode/feature-extract as Arrow-batched ``mapInPandas`` operators.
+
+The image/audio codecs aren't in this container, so the *decode* step is
+either (a) a deterministic fake used to exercise the real Spark plumbing
+(schemas, batch iteration, partitioning) end-to-end, or (b) a
+clearly-marked ``NotImplementedError`` stub showing exactly where a real
+codec (PIL / torchaudio / pyav) drops in. Everything around the decode —
+binary columns, metadata structs, batch shapes, partition sizing — is real
+and tested.
+
+Scale posture (100 TB of blobs): blobs never shuffle — metadata extraction
+and decoding are narrow per-partition maps; only the (tiny) feature/metadata
+output flows into joins. Partition budget: size input splits so a batch of
+decoded frames fits executor memory (``spark.sql.files.maxPartitionBytes``
+tuned to blob size × decode expansion factor).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_blob(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Wrap a content column as an opaque binary payload + typed metadata —
+    the ingestion shape for any multimodal table."""
+    blob = F.col(content_col).cast("binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        blob.alias("blob"),
+        F.struct(
+            F.octet_length(blob).cast("bigint").alias("n_bytes"),
+            F.sha2(blob, 256).alias("sha256"),
+            F.lit("application/octet-stream").alias("content_type"),
+        ).alias("meta"),
+    )
+
+
+def fake_decode_features(blobs: DataFrame) -> DataFrame:
+    """Deterministic FAKE decoder (stands in for image decode): derives a
+    pseudo width/height from the byte length and an 8-bin byte-value
+    histogram as the "feature vector". Real Arrow-batched ``mapInPandas``
+    plumbing — swap `_decode_batch`'s body for a PIL/pyav call and nothing
+    else changes."""
+
+    def _decode_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n = int(data.size)
+                width = max(int(n**0.5), 1)
+                height = max(n // width, 1)
+                hist = np.bincount(data % FEATURE_DIM, minlength=FEATURE_DIM)
+                feats = (hist / max(n, 1)).astype(float).tolist()
+                rows.append((int(doc_id), n, width, height, feats))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "features"]
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+def decode_image(blobs: DataFrame) -> DataFrame:
+    """REAL image decode — requires PIL, absent from this container."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decode needs Pillow; this container has no codecs — "
+            "use fake_decode_features for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire PIL decode into _decode_batch")  # pragma: no cover
+
+
+def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: real implementation is a mapInPandas identical in shape
+    to fake_decode_features (batch in → batch out, no shuffle)."""
+    raise NotImplementedError("resize needs an image codec (PIL/opencv)")
+
+
+def frame_sample_stub(blobs: DataFrame, every_n: int) -> DataFrame:
+    """Video frame-sampling stub (pyav): emits one row per sampled frame —
+    a mapInPandas that yields MORE rows than it consumes (1→N expansion);
+    partition sizing must budget for the expansion factor."""
+    raise NotImplementedError("frame sampling needs pyav/ffmpeg")

@@ -1,0 +1,190 @@
+"""Deduplication query suite over ``documents`` (training-data-pipeline
+extension — BASELINE.json north star; nothing comparable exists in the
+reference, whose only "dedup" is dropping duplicate headers, Job1.java:27).
+
+Thresholds calibrated on the fixture corpus: planted near-dup pairs sit at
+Jaccard ≈ 0.97 with background pairs < 0.2 → threshold 0.5 separates
+cleanly at every SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import hashed_list, hashed_list_sql, tokens, tokens_sql
+from ..operators.dedup import (
+    SIMHASH_BANDS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash32_sql,
+    simhash_bands,
+)
+from .registry import register, t
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: identical text collapses to the min doc_id. One
+    hash-agg shuffle; at scale, group on sha2(text) instead of raw text."""
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id")
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands × 4 rows) near-dup pairs with exact
+    Jaccard verification ≥ 0.5.
+
+    The full scale path: signatures are one pass over shingles (md5-based
+    portable hashing, JVM-side); candidate generation is the banded bucket
+    self-join (no all-pairs anywhere); verification touches candidates only.
+    """
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, {hashed_list_sql('toks')} AS hv FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id, {simhash32_sql('hv')} AS simhash
+    FROM hs
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (majority vote over token
+    hash bits — one JVM expression per doc, no shuffle at all)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("doc_id", simhash32(F.col("toks")).alias("simhash"))
+    )
+
+
+@register(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, {hashed_list_sql('toks')} AS hv FROM toks WHERE len(toks) > 0
+    ),
+    sh AS (
+      SELECT doc_id, {simhash32_sql('hv')} AS simhash FROM hs
+    ),
+    bands AS (
+      SELECT doc_id, simhash, j AS band_idx,
+             (simhash >> (j * {32 // SIMHASH_BANDS})) & {(1 << (32 // SIMHASH_BANDS)) - 1} AS band_val
+      FROM sh, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-blocked candidates (pairs agreeing on
+    ≥1 of 4 byte-bands) filtered to hamming distance ≤ 6 — the classic
+    scalable hamming join (no all-pairs comparison)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sh = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("doc_id", simhash32(F.col("toks")).alias("simhash"))
+    )
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(simhash_bands(F.col("simhash"))).alias("band_idx", "band_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 6)
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')
+                 AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM toks
+    ),
+    sized AS (
+      SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sized),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via the inverted-shingle join —
+    the ground truth the MinHash estimate approximates (their outputs
+    cross-validate: same pairs at threshold 0.5)."""
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)

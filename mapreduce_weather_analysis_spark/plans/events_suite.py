@@ -1,0 +1,173 @@
+"""Event-stream analytics over ``events`` — the batch twins of the
+streaming operators (streaming_suite runs the same logic through
+Structured Streaming; these forms carry the DuckDB oracles).
+
+Time semantics: ``ts`` arrives as TIMESTAMP(NANOS) parquet, loaded as a
+µs-truncated timestamp (sources/tables.py) — identical to DuckDB's own
+ns→µs truncation, so window boundaries agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .registry import register, t
+
+
+@register(
+    "q_events_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation per event type — the canonical
+    streaming shape (streaming_suite runs it with watermark + availableNow;
+    this batch twin is provably equivalent and oracle-checkable).
+
+    Window starts are emitted as UTC strings, not timestamps: collect()
+    renders timestamps in the *Python process* timezone, which would break
+    value comparison on non-UTC hosts."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q_events_sliding",
+    oracle="""
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+             ]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in two
+    overlapping windows. Spark's window() expands rows exactly like the
+    oracle's two-bucket unnest (both grids align to the epoch)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.window("ts", "1 hour", "30 minutes").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, value, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative-sum of
+    session starts — the batch form of streaming session windows. Timestamps
+    compared as epoch microseconds (exact integers, engine-agnostic)."""
+    e = t(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        ts_us.alias("ts_us"),
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > 1_800_000_000)
+            | F.lag(ts_us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = gaps.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts_us",
+        F.sum("is_new").over(w2).cast("bigint").alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register("q_approx_count_distinct", oracle=None)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type (rows-only:
+    Spark's HLL++ and DuckDB's approx sketch differ by construction —
+    accuracy vs. exact COUNT(DISTINCT) is asserted in tests instead).
+    The 100 TB rationale: one pass, fixed sketch memory, no distinct
+    expansion shuffle."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,122 @@
+"""Similarity-search suite over ``embeddings`` (training-data-pipeline
+extension). Query set: every vec_id ≡ 0 (mod 100) — scales with the corpus.
+
+Cosine doubles are bit-identical across engines (order-identical folds), so
+ranks, ties and scores all oracle-match exactly with no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, cosine_sql
+from ..operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_sql,
+    lsh_topk,
+    probe_buckets_sql,
+)
+from .registry import register, t
+
+_QUERY_FILTER = "vec_id % 100 = 0"
+
+
+@register(
+    "q_ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE {_QUERY_FILTER}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cosine_sql('qv', 'cv')} AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (the exact baseline): broadcast the query
+    side, score all candidates, windowed rank per query."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.expr(_QUERY_FILTER))
+    return brute_force_topk(q, e, k=5)
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    cb AS (SELECT neighbor_id, cv, {lsh_bucket_sql('cv')} AS bucket FROM c),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE {_QUERY_FILTER}
+    ),
+    qb AS (
+      SELECT query_id, qv, unnest({probe_buckets_sql('qbucket')}) AS probe
+      FROM (SELECT query_id, qv, {lsh_bucket_sql('qv')} AS qbucket FROM q)
+    ),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id, {cosine_sql('qv', 'cv')} AS cosine
+      FROM cb JOIN qb ON cb.bucket = qb.probe
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 6 random hyperplanes (64 sign buckets) with
+    hamming-1 multi-probe — the scale path: candidates shrink from |corpus|
+    to the probed buckets' occupancy. Recall vs. brute force is measured in
+    tests (LSH trades recall for candidate count by design)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.expr(_QUERY_FILTER))
+    return lsh_topk(q, e, k=5)
+
+
+@register(
+    "q_embed_neardup",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cosine_sql('a.v', 'b.v')} AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.v', 'b.v')} >= 0.45
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (τ=0.45, calibrated: the
+    fixture corpus has exactly one planted pair above 0.5, background
+    p99.9 ≈ 0.38). All-pairs here (corpus ≤ 2k vectors at bench SFs);
+    at 100 TB swap the self-join for the LSH bucket join of q_ann_lsh_topk
+    — same scoring expression, bounded candidates."""
+    e = t(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double("embedding").alias("v"))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.45)
+    )

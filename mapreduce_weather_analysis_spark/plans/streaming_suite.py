@@ -1,0 +1,47 @@
+"""Structured Streaming queries exposed through the driver contract.
+
+q_stream_tumbling genuinely runs a streaming query (readStream → watermark →
+windowed agg → availableNow → memory sink) and still carries a DuckDB
+oracle: the bounded drain is provably equivalent to the batch twin, minus
+the HLL column (engine-specific sketch → excluded from the oracle-checked
+projection; covered by the rows-only q_approx_count_distinct instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.events_stream import (
+    read_events_stream,
+    run_available_now,
+    tumbling_window_agg,
+)
+from .registry import register
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation executed AS A STREAM (availableNow drain
+    of the parquet fixture through watermark + window + memory sink).
+
+    Window starts emitted as UTC strings (see q_events_tumbling)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = tumbling_window_agg(events)
+    result = run_available_now(agg, spark)
+    return result.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -1,0 +1,229 @@
+"""Text-analysis suite over ``documents`` (training-data-pipeline
+extension): quality scoring, language ID, token counting, fingerprinting.
+
+All pure JVM expressions (regex + higher-order array functions); every
+ratio is a single exact division of integers, so values oracle-match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import HASH_PRIME
+from ..functions.text import hashed_list, hashed_list_sql, tokens, tokens_sql
+from .registry import register, t
+
+# Stopword lists for quality scoring + language ID (fixed, shared with SQL).
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "les", "et", "ne", "une"],
+    "es": ["el", "los", "y", "que", "una"],
+}
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(lits, x)))
+
+
+def _count_in_sql(toks: str, words: list[str]) -> str:
+    return f"len(list_filter({toks}, x -> list_contains({_sql_list(words)}, x)))"
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
+               AS avg_token_len,
+           (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
+               * 1.0 / length(text) AS punct_ratio,
+           {_count_in_sql('toks', STOPWORDS_EN)} * 1.0 / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+    FROM base
+    WHERE len(toks) > 0
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, token stats, punctuation and
+    stopword ratios, lexical diversity — the standard pre-training corpus
+    filters (C4/Gopher-style heuristics), one narrow scan, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select("doc_id", "text", toks.alias("toks")).where(F.size("toks") > 0)
+    n_tokens = F.size("toks")
+    punct_count = F.length("text") - F.length(
+        F.regexp_replace("text", PUNCT_CLASS, "")
+    )
+    return base.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(F.col("toks"), lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(1.0)
+            / n_tokens
+        ).alias("avg_token_len"),
+        (punct_count * F.lit(1.0) / F.length("text")).alias("punct_ratio"),
+        (_count_in(F.col("toks"), STOPWORDS_EN) * F.lit(1.0) / n_tokens).alias(
+            "stopword_ratio"
+        ),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique_tokens"),
+        (F.size(F.array_distinct("toks")) * F.lit(1.0) / n_tokens).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def _lang_case(scores: dict[str, Column | str], sql: bool) -> Column | str:
+    """Deterministic argmax with fixed-order tie-break (en > de > fr > es)."""
+    langs = list(LANG_STOPWORDS)
+    if sql:
+        clauses = []
+        for i, lang in enumerate(langs):
+            conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+            cond = " AND ".join(conds) if conds else "TRUE"
+            clauses.append(f"WHEN {cond} THEN '{lang}'")
+        return "CASE " + " ".join(clauses) + " END"
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang AS labeled_lang, {tokens_sql('text')} AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, labeled_lang,
+             {', '.join(f"{_count_in_sql('toks', ws)} AS s_{lang}" for lang, ws in LANG_STOPWORDS.items())}
+      FROM base WHERE len(toks) > 0
+    )
+    SELECT doc_id, labeled_lang,
+           {_lang_case({}, sql=True)} AS predicted_lang,
+           CAST(s_en AS BIGINT) AS score_en
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-free heuristic: count hits per
+    language's function-word list, argmax with fixed tie order). The fixture
+    corpus is synthetic word soup, so ``labeled_lang`` is arbitrary — the
+    interesting output is the deterministic prediction pipeline itself."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), toks.alias("toks")
+    ).where(F.size("toks") > 0)
+    scores = {
+        lang: _count_in(F.col("toks"), ws) for lang, ws in LANG_STOPWORDS.items()
+    }
+    scored = base.select(
+        "doc_id",
+        "labeled_lang",
+        *[scores[lang].alias(f"s_{lang}") for lang in LANG_STOPWORDS],
+    )
+    rescored = {lang: F.col(f"s_{lang}") for lang in LANG_STOPWORDS}
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        _lang_case(rescored, sql=False).alias("predicted_lang"),
+        F.col("s_en").cast("bigint").alias("score_en"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=r"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_bpeish) AS total_tokens,
+           SUM(n_bpeish) * 1.0 / COUNT(*) AS avg_tokens,
+           MAX(n_bpeish) AS max_tokens
+    FROM counted
+    GROUP BY source
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (word runs + single punctuation
+    marks — the pre-tokenizer split GPT-style BPEs apply), aggregated per
+    source: the "how many tokens is this corpus" pipeline stage."""
+    d = t(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).cast("bigint")
+    return (
+        d.select("doc_id", "source", n.alias("n_bpeish"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpeish").alias("total_tokens"),
+            (F.sum("n_bpeish") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_tokens"),
+            F.max("n_bpeish").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, {hashed_list_sql('toks')} AS hv FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hv),
+                       (acc, x) -> (acc * 31 + x) % {HASH_PRIME}) AS fingerprint
+    FROM hs
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint: polynomial fold
+    acc = (acc·31 + h(token)) mod P over the token sequence — detects
+    reordered-content collisions that set-based (MinHash) dedup misses."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    hv = hashed_list(F.col("toks"))
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.aggregate(
+                hv,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: (acc * 31 + x) % HASH_PRIME,
+            ).alias("fingerprint"),
+        )
+    )

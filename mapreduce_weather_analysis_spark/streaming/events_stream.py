@@ -1,0 +1,85 @@
+"""Structured Streaming over the events table (SURVEY.md §2.2: streaming is
+absent from the reference — pure-batch MapReduce — and a first-class
+extension here).
+
+The parquet fixture stands in for a real stream (Kafka/kinesis in prod):
+``availableNow`` drains it as a bounded stream through the same watermark +
+windowed-aggregation plan a live stream would run, which makes the result
+deterministic and batch-equivalent — the DuckDB oracle of the batch twin
+(plans/events_suite.py) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import ensure_session_conf
+
+# Stream schema: ts is TIMESTAMP(NANOS) in the fixture parquet → int64 under
+# spark.sql.legacy.parquet.nanosAsLong (set by ensure_session_conf).
+EVENTS_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_conf(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    q_events_tumbling (late data beyond the watermark is dropped on a live
+    stream; in the bounded availableNow run nothing is late)."""
+    return (
+        events.withWatermark("ts", watermark)
+        # group on the window STRUCT (not .start): append-mode emission
+        # tracks watermark progress through the struct-typed grouping key
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def run_available_now(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain the bounded stream through a memory sink (complete mode) and
+    return the materialized result."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

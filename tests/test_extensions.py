@@ -1,0 +1,151 @@
+"""Behavioral tests for the training-data-pipeline extensions — properties
+the oracle-parity harness can't express (recall floors, sketch accuracy,
+cross-operator agreement, Python-stage determinism)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_weather_analysis_spark.plans.registry import REGISTRY, _import_plans
+
+from .conftest import SMOKE_SF
+
+_import_plans()
+
+
+def _run(spark, name, sf=SMOKE_SF):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    """LSH candidates + exact verify must find exactly the pairs the
+    all-pairs exact-Jaccard join finds (banding catches every planted pair:
+    est 0.97+ ⇒ ≥1 identical band with near-certainty)."""
+    lsh = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _run(spark, "q_dedup_minhash_lsh").collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _run(spark, "q_ngram_jaccard").collect()
+    }
+    assert lsh == exact
+    assert len(lsh) > 0, "fixture corpus has planted near-dups; none found"
+
+
+def test_minhash_estimate_tracks_jaccard(spark):
+    rows = _run(spark, "q_dedup_minhash_lsh").collect()
+    for r in rows:
+        assert abs(r.est_jaccard - r.jaccard) < 0.35  # 16 perms → coarse but sane
+
+
+def test_simhash_separates_neardups_from_background(spark):
+    """SimHash hamming distance must be statistically smaller for true
+    near-dup pairs than for random pairs (32 bits over a tiny vocab is too
+    noisy for a strict containment guarantee — this asserts the signal)."""
+    near = {(r.doc_a, r.doc_b) for r in _run(spark, "q_dedup_minhash_lsh").collect()}
+    sh = {r.doc_id: r.simhash for r in _run(spark, "q_dedup_simhash").collect()}
+    ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")  # noqa: E731
+    near_mean = sum(ham(a, b) for a, b in near) / len(near)
+    ids = sorted(sh)[:80]
+    bg = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :] if (a, b) not in near]
+    bg_mean = sum(ham(a, b) for a, b in bg) / len(bg)
+    assert near_mean < bg_mean - 2, (near_mean, bg_mean)
+
+
+def test_ann_lsh_recall_floor(spark):
+    """6-plane hamming-1 multiprobe recall vs brute force: random vectors
+    are the worst case for LSH; still must beat a trivial floor."""
+    bf = {(r.query_id, r.neighbor_id) for r in _run(spark, "q_ann_cosine_topk").collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in _run(spark, "q_ann_lsh_topk").collect()}
+    assert len(bf) > 0
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.1, f"ANN recall collapsed: {recall}"
+
+
+def test_ann_topk_is_exact_topk(spark):
+    """Brute-force top-k must match a per-query python argsort."""
+    import numpy as np
+
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in load_table(spark, SMOKE_SF, "embeddings").collect()}
+    got = {}
+    for r in _run(spark, "q_ann_cosine_topk").collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid, pairs in got.items():
+        qv = emb[qid]
+        scores = sorted(
+            (
+                (-(v @ qv) / (np.linalg.norm(v) * np.linalg.norm(qv)), nid)
+                for nid, v in emb.items()
+                if nid != qid
+            ),
+        )[:5]
+        expected = [nid for _, nid in scores]
+        assert [nid for _, nid in sorted(pairs)] == expected
+
+
+def test_approx_count_distinct_accuracy(spark):
+    approx = {
+        r.event_type: r.approx_users
+        for r in _run(spark, "q_approx_count_distinct").collect()
+    }
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SMOKE_SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+
+
+def test_multimodal_decode_deterministic(spark):
+    a = sorted(map(tuple, _run(spark, "q_multimodal_decode").collect()))
+    b = sorted(map(tuple, _run(spark, "q_multimodal_decode").collect()))
+    assert a == b
+    for row in a[:20]:
+        feats = row[4]
+        assert len(feats) == 8
+        assert abs(sum(feats) - 1.0) < 1e-9  # histogram normalized
+
+
+def test_multimodal_stubs_raise(spark):
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        frame_sample_stub,
+        resize_stub,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(None, 224, 224)
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(None, 10)
+
+
+def test_fingerprint_order_sensitivity(spark):
+    """The rolling fingerprint must differ for reordered token sequences
+    (the property set-based MinHash lacks)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    from mapreduce_weather_analysis_spark.functions.compat import HASH_PRIME
+    from mapreduce_weather_analysis_spark.functions.text import hashed_list, tokens
+
+    fp = df.select(
+        "doc_id",
+        F.aggregate(
+            hashed_list(tokens("text")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % HASH_PRIME,
+        ).alias("fp"),
+    ).collect()
+    vals = {r.doc_id: r.fp for r in fp}
+    assert vals[1] == vals[3]
+    assert vals[1] != vals[2]

@@ -1,0 +1,89 @@
+"""Structured Streaming semantics: batch-equivalence of the availableNow
+drain, and watermark late-data dropping on a live multi-batch stream."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_weather_analysis_spark.plans.registry import REGISTRY, _import_plans
+
+from .conftest import SMOKE_SF
+
+_import_plans()
+
+
+def test_stream_equals_batch_twin(spark):
+    stream = {
+        tuple(r)
+        for r in REGISTRY["q_stream_tumbling"].fn(spark, SMOKE_SF).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in REGISTRY["q_events_tumbling"]
+        .fn(spark, SMOKE_SF)
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode tumbling window with a 10-min watermark over a file
+    stream: an event arriving after its window passed the watermark must
+    not resurrect the window."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(datetime(2024, 1, 1, *hm), float(v)) for hm, v in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp" / name))
+        # move parquet part into the watched dir as one new file
+        import glob
+        import shutil
+
+        [part] = glob.glob(str(tmp_path / "tmp" / name / "part-*.parquet"))
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    write_batch("b1", [((10, 0), 1), ((10, 5), 1), ((10, 25), 1)])
+
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.sum("v").alias("total"))
+        .select(F.col("win.start").alias("ws"), "total")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark now 10:25-10:10=10:15 > window [10:00,10:10) end → that
+        # window is final. A late 10:04 event must be dropped; 10:45 advances.
+        write_batch("b2", [((10, 4), 100), ((10, 45), 1)])
+        q.processAllAvailable()
+        write_batch("b3", [((11, 30), 1)])  # push watermark past everything
+        q.processAllAvailable()
+        for _ in range(20):
+            rows = {r.ws: r.total for r in spark.table("wm_test").collect()}
+            if datetime(2024, 1, 1, 10, 0) in rows:
+                break
+            time.sleep(0.5)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert rows[datetime(2024, 1, 1, 10, 0)] == 2.0, (
+        f"late event leaked into finalized window: {rows}"
+    )
