@@ -27,9 +27,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the two reference flagships + one representative per major
 # operator family (kept in sync with plans/* as coverage grows).
 HEADLINE = [
+    # reference surface (Job1/Job2 analogs)
     "q_max_month",
     "q_city_month",
     "q_city_month_formatted",
+    # relational core
+    "q_agg_pricing_summary",
+    "q_join_inner",
+    "q_window_topk_per_group",
+    "q_topk_global",
+    # events / time
+    "q_events_tumbling",
+    "q_events_sessionize",
+    # training-data pipeline extensions
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ann_cosine_topk",
+    "q_text_quality",
+    "q_token_count",
 ]
 
 

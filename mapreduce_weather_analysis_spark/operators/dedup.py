@@ -87,6 +87,34 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N) 
     )
 
 
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the relational twin of
+    :func:`doc_shingles` (same shingle set, exploded).
+
+    Built with codegen-friendly ops only: split → posexplode → window lead
+    (one doc_id shuffle) → distinct. The higher-order array form
+    (transform/slice lambdas) is interpreted row-at-a-time and measured
+    ~3× slower; this is the shape the dedup operators run on.
+    """
+    from pyspark.sql import Window as W
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).where(F.col("tok") != "")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    guard = F.lead("tok", n - 1).over(w)
+    return (
+        ex.select("doc_id", F.concat_ws(" ", *parts).alias("s"), guard.alias("_g"))
+        .where(F.col("_g").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+    )
+
+
 def _perm_min(hv: Column, a: int, b: int) -> Column:
     # NB: a proper closure — extra lambda params (even defaulted) confuse
     # pyspark's higher-order-function arity detection.
@@ -109,20 +137,47 @@ def lsh_band_keys(sig_col: Column) -> Column:
     )
 
 
+def _portable_hash_col(c: str) -> Column:
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % HASH_PRIME
+    )
+
+
+def minhash_signatures_relational(exd: DataFrame) -> DataFrame:
+    """(doc_id, sig) from distinct (doc_id, s) shingle rows: codegen hash →
+    grouped per-perm MIN.
+
+    Semantically identical to :func:`minhash_signature` but ~10× faster:
+    higher-order array lambdas are interpreted (and re-inline the md5 per
+    permutation), whereas this shape hashes each shingle ONCE in a
+    whole-stage-codegen projection and reduces with a single partial+final
+    hash aggregate — the plan that scales to 10^10 docs.
+    """
+    hashed = exd.select("doc_id", _portable_hash_col("s").alias("hx"))
+    aggs = [
+        F.min((F.col("hx") * a + b) % HASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ] + [F.count(F.lit(1)).alias("n_sh")]
+    sigcols = hashed.groupBy("doc_id").agg(*aggs)
+    return sigcols.select(
+        "doc_id",
+        F.array(*[f"mh_{i}" for i in range(MINHASH_K)]).alias("sig"),
+        "n_sh",
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b) with estimated + exact Jaccard.
 
-    Pipeline: signature → band-bucket self-join (candidates) → signature
-    agreement estimate → exact shingle-set Jaccard verify ≥ threshold.
+    Pipeline: shingle rows → signature → band-bucket self-join (candidates)
+    → signature agreement estimate → exact Jaccard verify ≥ threshold,
+    computed ONLY for candidates (the shingle-overlap join is restricted to
+    candidate pairs — never all-pairs).
     """
-    sh = doc_shingles(docs, text_col, id_col)
-    sig = sh.select(
-        "doc_id",
-        "shingles",
-        minhash_signature(F.col("shingles")).alias("sig"),
-    )
+    exd = shingle_rows(docs, text_col, id_col)
+    sig = minhash_signatures_relational(exd)
 
     bands = sig.select(
         "doc_id",
@@ -141,32 +196,47 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sig").alias("sig_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sig").alias("sig_b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    # signature-agreement estimate (16-element arrays, candidates only)
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(MINHASH_K))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+    est_pairs = (
+        cand.join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
             "doc_a",
-            "doc_b",
-            est.alias("est_jaccard"),
-            (inter * F.lit(1.0) / union).alias("jaccard"),
         )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", est.alias("est_jaccard"), "n_a", "n_b")
+    )
+
+    # exact verify: shingle-intersection counts restricted to candidates
+    ex_a = exd.select(F.col("doc_id").alias("doc_a"), "s")
+    ex_b = exd.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jacc = F.col("n_inter") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(est_pairs, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "est_jaccard", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -250,6 +320,38 @@ def simhash32(toks_col: Column) -> Column:
     return out
 
 
+def simhash_relational(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, simhash) via explode → codegen hash → 32 grouped bit-sums.
+
+    Same values as :func:`simhash32` (which re-inlines the interpreted md5
+    transform 32×); this shape hashes each token once and reduces with one
+    partial+final hash aggregate — the scale path.
+    """
+    from ..functions.text import tokens
+
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    hx = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % HASH_PRIME
+    ).alias("hx")
+    hashed = ex.select("doc_id", hx)
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright("hx", j).bitwiseAND(F.lit(1))).alias(f"o_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    grouped = hashed.groupBy("doc_id").agg(*aggs)
+    simhash = sum(
+        (
+            F.when(F.col(f"o_{j}") * 2 > F.col("n"), F.lit(1 << j).cast("bigint"))
+            .otherwise(0)
+            for j in range(SIMHASH_BITS)
+        ),
+        start=F.lit(0).cast("bigint"),
+    )
+    return grouped.select("doc_id", simhash.alias("simhash"))
+
+
 def simhash32_sql(hv_col: str = "hv") -> str:
     """DuckDB twin of :func:`simhash32`, over a column already holding the
     hashed token list (materialize ``hashed_list_sql`` in a prior CTE)."""
@@ -280,14 +382,13 @@ def ngram_jaccard_pairs(
     """Exact Jaccard pairs via the inverted-shingle join: pairs must share
     ≥1 shingle to be compared at all. O(Σ bucket²) on shingle buckets —
     the honest-but-quadratic fallback; MinHash-LSH is the scale path."""
-    sh = doc_shingles(docs, text_col, id_col, n)
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = shingle_rows(docs, text_col, id_col, n)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         ex.alias("a")
         .join(
             ex.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -12,16 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import hashed_list, hashed_list_sql, tokens, tokens_sql
+from ..functions.text import hashed_list_sql, tokens_sql
 from ..operators.dedup import (
     SIMHASH_BANDS,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
     ngram_jaccard_pairs,
-    simhash32,
     simhash32_sql,
     simhash_bands,
+    simhash_relational,
 )
 from .registry import register, t
 
@@ -72,14 +72,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (majority vote over token
-    hash bits — one JVM expression per doc, no shuffle at all)."""
+    hash bits), computed relationally: explode → codegen'd hash → one
+    partial+final aggregate (see operators/dedup.py)."""
     d = t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    return (
-        d.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") > 0)
-        .select("doc_id", simhash32(F.col("toks")).alias("simhash"))
-    )
+    return simhash_relational(d, "text", "doc_id")
 
 
 @register(
@@ -116,12 +112,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥1 of 4 byte-bands) filtered to hamming distance ≤ 6 — the classic
     scalable hamming join (no all-pairs comparison)."""
     d = t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    sh = (
-        d.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") > 0)
-        .select("doc_id", simhash32(F.col("toks")).alias("simhash"))
-    )
+    sh = simhash_relational(d, "text", "doc_id")
     bands = sh.select(
         "doc_id",
         "simhash",
