@@ -77,6 +77,8 @@ def _import_plans() -> None:
     _OPTIONAL = (
         "relational",
         "functions_suite",
+        "temporal_suite",
+        "arrays_suite",
         "events_suite",
         "dedup_suite",
         "similarity_suite",

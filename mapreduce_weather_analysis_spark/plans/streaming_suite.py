@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..streaming.events_stream import (
     read_events_stream,
     run_available_now,
+    running_user_counts,
     tumbling_window_agg,
 )
 from .registry import register
@@ -45,3 +46,22 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "q_stream_stateful_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running counts carried in explicit group state, drained availableNow.
+    The final state per user equals the batch GROUP BY — hence the oracle
+    (take the max update per user: update-mode emits one row per batch)."""
+    events = read_events_stream(spark, sf_dir)
+    counts = running_user_counts(events)
+    result = run_available_now(counts, spark, mode="update")
+    return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

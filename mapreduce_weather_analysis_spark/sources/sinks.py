@@ -1,0 +1,63 @@
+"""Sinks (SURVEY.md §2 O11 + engine-canonical storage).
+
+The reference's only sink is TextOutputFormat part files with
+``key<TAB>value`` lines and ``%.3f`` rounding (Job1.java:106-107,145).
+That formatted text sink is reproduced here verbatim; the engine's
+canonical sink is partitioned parquet (columnar + pushdown + partition
+pruning — the 100 TB layout: partition by the dominant filter key, which
+for the reference workload is the month bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_formatted_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """O11: write ``city,yyyy-MM<TAB>%.3f,%.3f`` lines (expects the
+    q_city_month output schema)."""
+    lines = df.select(
+        F.format_string(
+            "%s,%s\t%.3f,%.3f",
+            df.columns[0],
+            df.columns[1],
+            df.columns[2],
+            df.columns[3],
+        ).alias("value")
+    )
+    lines.write.mode(mode).text(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Canonical columnar sink. Partition columns become directory keys →
+    partition pruning for any filter on them; combine with
+    ``maxRecordsPerFile`` / AQE coalescing to avoid small-file explosions."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def ingest_weather_to_parquet(
+    spark: SparkSession, weather_csv: str, location_csv: str, out_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Reference-shaped CSV → typed, month-partitioned parquet (the
+    ingestion that turns the reference's scan-everything CSV layout into a
+    partition-pruned columnar one). Returns the written relations."""
+    from ..functions.datetime_fns import month_bucket
+    from .weather_csv import read_location_csv, read_weather_csv, typed_weather
+
+    wx = typed_weather(read_weather_csv(spark, weather_csv)).withColumn(
+        "year_month", month_bucket("date")
+    )
+    write_parquet_partitioned(wx, f"{out_dir}/weather", ["year_month"])
+    loc = read_location_csv(spark, location_csv)
+    loc.write.mode("overwrite").parquet(f"{out_dir}/location")
+    return (
+        spark.read.parquet(f"{out_dir}/weather"),
+        spark.read.parquet(f"{out_dir}/location"),
+    )

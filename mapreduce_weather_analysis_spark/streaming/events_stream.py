@@ -70,12 +70,38 @@ def tumbling_window_agg(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
-def run_available_now(agg: DataFrame, spark: SparkSession) -> DataFrame:
-    """Drain the bounded stream through a memory sink (complete mode) and
-    return the materialized result."""
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running event count carried across micro-batches in explicit
+    group state (the arbitrary-state API the built-in windows can't express;
+    state is one int per user — bounded, shuffle-partitioned by user_id)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id bigint, n_events bigint",
+        "n bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    agg: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
+    """Drain the bounded stream through a memory sink and return the
+    materialized result."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -1,0 +1,60 @@
+"""Sink round-trips: formatted text (O11), partitioned parquet ingestion
+(incl. partition pruning working over the written layout)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_weather_analysis_spark.plans.weather import q_city_month
+from mapreduce_weather_analysis_spark.sources.sinks import (
+    ingest_weather_to_parquet,
+    write_formatted_text,
+)
+from mapreduce_weather_analysis_spark.sources.weather_csv import (
+    read_location_csv,
+    read_weather_csv,
+)
+
+from .test_weather_golden import fixture_paths  # noqa: F401  (reuse fixture)
+
+
+def test_formatted_text_sink_roundtrip(spark, fixture_paths, tmp_path):  # noqa: F811
+    wx_path, loc_path = fixture_paths
+    agg = q_city_month(
+        read_weather_csv(spark, wx_path), read_location_csv(spark, loc_path)
+    )
+    out = str(tmp_path / "text_out")
+    write_formatted_text(agg, out)
+    lines = {r.value for r in spark.read.text(out).collect()}
+    assert "Colombo,2023-01\t6.000,15.000" in lines
+    assert len(lines) == 4
+
+
+def test_ingest_weather_partitioned_parquet(spark, fixture_paths, tmp_path):  # noqa: F811
+    wx_path, loc_path = fixture_paths
+    out = str(tmp_path / "ingested")
+    wx, loc = ingest_weather_to_parquet(spark, wx_path, loc_path, out)
+
+    assert set(wx.columns) >= {
+        "location_id",
+        "temperature_2m_mean",
+        "precipitation_hours",
+        "year_month",
+    }
+    # month-partitioned layout on disk → partition pruning applies
+    import os
+
+    parts = {p for p in os.listdir(f"{out}/weather") if p.startswith("year_month=")}
+    assert parts == {"year_month=2023-01", "year_month=2023-02"}
+
+    pruned = wx.where(F.col("year_month") == "2023-01")
+    plan = pruned.explain(mode="formatted") or ""
+    # partition filter must appear in the scan, not a post-filter
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(mode="formatted")
+    assert "PartitionFilters: [isnotnull(year_month" in buf.getvalue()
+    assert pruned.count() == 4  # 3 known-loc rows + 1 unknown-loc row (Jan)

@@ -87,3 +87,47 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows[datetime(2024, 1, 1, 10, 0)] == 2.0, (
         f"late event leaked into finalized window: {rows}"
     )
+
+
+def test_stateful_counts_carry_across_batches(spark, tmp_path):
+    """applyInPandasWithState must accumulate state across micro-batches,
+    not recompute per batch."""
+    from mapreduce_weather_analysis_spark.streaming.events_stream import (
+        running_user_counts,
+    )
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("x", T.DoubleType())]
+    )
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "tmp" / name))
+        [part] = glob.glob(str(tmp_path / "tmp" / name / "part-*.parquet"))
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    write_batch("b1", [(1, 1.0), (1, 1.0), (2, 1.0)])
+    counts = running_user_counts(spark.readStream.schema(schema).parquet(str(src)))
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2", [(1, 1.0), (3, 1.0)])
+        q.processAllAvailable()
+        rows = spark.table("stateful_test").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.n_events)
+    assert final == {1: 3, 2: 1, 3: 1}
