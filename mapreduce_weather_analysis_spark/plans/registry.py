@@ -79,6 +79,8 @@ def _import_plans() -> None:
         "functions_suite",
         "temporal_suite",
         "arrays_suite",
+        "sql_suite",
+        "pandas_suite",
         "events_suite",
         "dedup_suite",
         "similarity_suite",

@@ -37,6 +37,11 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as int64; the table loader
     # rebuilds a microsecond timestamp (same truncation DuckDB applies).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Right-size shuffles for the host when an external session still runs
+    # the 200-partition default (with AQE coalescing this only caps the
+    # partition count; results are partitioning-independent by design).
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
     return spark
 
 
