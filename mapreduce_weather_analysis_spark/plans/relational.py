@@ -470,3 +470,105 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return y95.subtract(y96)
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations (rollup's sibling — both
+    expand to a union of grouping sets over ONE shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    SELECT coalesce(a.custkey, b.custkey) AS custkey,
+           coalesce(a.n95, 0) AS n95, coalesce(b.n96, 0) AS n96
+    FROM (SELECT o_custkey AS custkey, COUNT(*) AS n95 FROM orders
+          WHERE strftime(o_orderdate, '%Y') = '1995' GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS custkey, COUNT(*) AS n96 FROM orders
+          WHERE strftime(o_orderdate, '%Y') = '1996' GROUP BY 1) b
+    ON a.custkey = b.custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-customer order counts across two years with
+    zero-fill on either side."""
+    o = t(spark, sf_dir, "orders")
+
+    def year_counts(year: int, out: str) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias(f"ck_{out}"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a, b = year_counts(1995, "n95"), year_counts(1996, "n96")
+    return a.join(b, a.ck_n95 == b.ck_n96, "full_outer").select(
+        F.coalesce("ck_n95", "ck_n96").alias("custkey"),
+        F.coalesce("n95", F.lit(0)).alias("n95"),
+        F.coalesce("n96", F.lit(0)).alias("n96"),
+    )
+
+
+@register(
+    "q_window_rank_family",
+    oracle="""
+    SELECT custkey, orderkey,
+           CAST(rnk AS INTEGER) AS rnk,
+           CAST(drnk AS INTEGER) AS drnk,
+           CAST(tile AS INTEGER) AS tile,
+           first_price, next_price
+    FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS tile,
+             FIRST_VALUE(o_totalprice) OVER w AS first_price,
+             LEAD(o_totalprice) OVER w AS next_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC)
+    )
+    """,
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window functions in one pass:
+    rank, dense_rank, ntile, first_value, lead — one shuffle, one sort."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("tile"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
