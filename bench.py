@@ -60,8 +60,16 @@ def main() -> None:
     _import_plans()
     spark = get_spark(app_name="mwa-spark-bench")
 
-    # JVM/codegen warmup on a trivial plan.
+    # JVM/codegen warmup: touch the parquet reader, hash-agg and shuffle
+    # machinery once so the first timed query isn't paying one-time JIT cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .limit(10_000)
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}

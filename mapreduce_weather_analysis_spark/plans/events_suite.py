@@ -171,3 +171,47 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_events_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, value, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (30-min gap): Spark's native session
+    bucketing, oracle-checked against the lag+cumsum formulation — the two
+    independent constructions must produce identical session bounds
+    (window end = last event + gap)."""
+    e = t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -81,6 +81,7 @@ def _import_plans() -> None:
         "arrays_suite",
         "sql_suite",
         "pandas_suite",
+        "udtf_suite",
         "events_suite",
         "dedup_suite",
         "similarity_suite",

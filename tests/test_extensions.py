@@ -149,3 +149,41 @@ def test_fingerprint_order_sensitivity(spark):
     vals = {r.doc_id: r.fp for r in fp}
     assert vals[1] == vals[3]
     assert vals[1] != vals[2]
+
+
+def test_udtf_chunking(spark):
+    rows = _run(spark, "q_udtf_chunk_text").collect()
+    assert len(rows) > 500  # expansion: >1 chunk per doc on average
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    some = by_doc[min(by_doc)]
+    assert [c.chunk_idx for c in sorted(some, key=lambda c: c.chunk_idx)] == list(
+        range(len(some))
+    )
+    for c in some:
+        assert c.n_toks <= 32 and len(c.chunk.split()) == c.n_toks
+
+
+def test_pandas_udf_cosine_matches_jvm(spark):
+    """The vectorized pandas scorer must agree with the pure-JVM expression
+    path (tolerance: numpy reorders additions)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.functions.vectors import as_double, cosine
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    got = {r.vec_id: r.cos_centroid for r in _run(spark, "q_pandas_udf_cosine").collect()}
+    dim = 64
+    centroid = F.array(*[F.lit(float((i % 7) - 3)) for i in range(dim)])
+    jvm = {
+        r.vec_id: r.c
+        for r in load_table(spark, SMOKE_SF, "embeddings")
+        .select("vec_id", cosine(as_double("embedding"), centroid).alias("c"))
+        .collect()
+    }
+    assert set(got) == set(jvm)
+    for k in got:
+        assert math.isclose(got[k], jvm[k], rel_tol=1e-12), (k, got[k], jvm[k])
