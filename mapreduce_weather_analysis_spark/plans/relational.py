@@ -572,3 +572,68 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
     )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation (operators/skew.py): the hot-key
+    mitigation for 100 TB groupBys. The oracle is the PLAIN group-by — the
+    salted plan must be result-identical (decimal sums commute), proving
+    the rewrite is semantics-preserving."""
+    from ..operators.skew import salted_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        lambda: [
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+            F.count(F.lit(1)).alias("_n"),
+        ],
+        [
+            F.sum("_sq").cast("double").alias("sum_qty"),
+            F.sum("_n").alias("n"),
+        ],
+    ).select(F.col("l_returnflag").alias("returnflag"), "sum_qty", "n")
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-key (the CDC/upsert compaction primitive: collapse
+    an event log to each key's newest record). Window row_number desc —
+    one shuffle; at scale this is the MERGE-emulation building block
+    (anti-join + union for incremental variants)."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+        )
+    )
