@@ -179,3 +179,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-validate: same pairs at threshold 0.5)."""
     d = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@register(
+    "q_dedup_apply",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_b FROM (
+        {minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5)}
+      ) pairs
+    )
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup RESULT: the corpus after near-duplicate removal. Policy:
+    for every MinHash-verified pair (a < b), drop b (greedy min-id
+    canonical — not full transitive clustering, which needs iterative
+    connected components; documented limitation). One anti-join against
+    the loser set."""
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return d.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -138,3 +138,76 @@ def q_sql_api_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           strftime(o.o_orderdate, '%Y') AS yr,
+           CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'REGION_0'
+      AND c.c_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-table join where customer and supplier share a
+    nation, restricted to one region — the deepest join in the suite.
+    lineitem⋈orders is the only fact-fact join (shuffle on orderkey; at
+    100 TB both sides bucket on orderkey); all dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "REGION_0"))
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("string").cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("yr"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_order_priority_count",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE strftime(o.o_orderdate, '%Y') = '1996'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+      )
+    GROUP BY 1
+    """,
+)
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: EXISTS semi-join from a fact against a fact
+    (lineitem probe never widens the orders side), then a tiny grouped
+    count."""
+    o = t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1996)
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
