@@ -595,7 +595,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(
         li,
         ["l_returnflag"],
-        lambda: [
+        [
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
             F.count(F.lit(1)).alias("_n"),
         ],
@@ -603,6 +603,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_sq").cast("double").alias("sum_qty"),
             F.sum("_n").alias("n"),
         ],
+        # deterministic per-row salt: stable unique row identity, so task
+        # recomputes re-bucket identically (see operators/skew.py)
+        salt_cols=["l_orderkey", "l_linenumber"],
     ).select(F.col("l_returnflag").alias("returnflag"), "sum_qty", "n")
 
 

@@ -163,15 +163,15 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, restricted to one region — the deepest join in the suite.
     lineitem⋈orders is the only fact-fact join (shuffle on orderkey; at
     100 TB both sides bucket on orderkey); all dims broadcast."""
+    from ..functions.compat import psum
+
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
     s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     n = F.broadcast(t(spark, sf_dir, "nation"))
     r = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "REGION_0"))
-    rev = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ).cast("string").cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -183,7 +183,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.date_format("o_orderdate", "yyyy").alias("yr"),
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(psum(rev, alias="revenue"))
     )
 
 
