@@ -205,3 +205,41 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        {minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5)}
+      ) p
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, target) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.target FROM und u JOIN reach r ON u.b = r.node
+    )
+    SELECT node AS doc_id, MIN(target) AS component
+    FROM reach
+    GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate CLUSTERS: connected components (iterative
+    min-label propagation, operators/graph.py) over the MinHash-verified
+    pair graph — the proper grouping q_dedup_apply's greedy pairwise policy
+    approximates. Oracle: DuckDB recursive-CTE transitive closure — two
+    entirely different algorithms, identical fixpoint."""
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+    from ..operators.graph import connected_components
+
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )

@@ -65,3 +65,59 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = running_user_counts(events)
     result = run_available_now(counts, spark, mode="update")
     return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: purchases
+    within 1 hour of each click, per user. Both sides watermarked (the
+    range bound + watermarks let Spark evict join state — the unbounded-
+    state hazard of stream-stream joins); drained availableNow and checked
+    against the plain batch-join oracle."""
+    ev_c = read_events_stream(spark, sf_dir)
+    ev_p = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev_c.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        ev_p.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    result = run_available_now(joined, spark, mode="append")
+    return result.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
