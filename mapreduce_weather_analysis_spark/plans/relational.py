@@ -640,3 +640,62 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+           ) AS n_within_10k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_within_10k
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per customer, how
+    many/much of their orders fall within $10k below each order's price —
+    the frame type rows-frames can't express (peers enter by value)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, W.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_within_10k"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey AS partkey, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d
+      FROM part
+    ) UNPIVOT (value FOR metric IN (p_retailprice, p_size_d))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long) via stack() — the inverse of q_pivot."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.expr(
+            "stack(2, 'p_retailprice', p_retailprice,"
+            " 'p_size_d', CAST(p_size AS DOUBLE)) AS (metric, value)"
+        ),
+    ).select("partkey", "metric", "value")

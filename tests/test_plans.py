@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the properties SCALE.md claims must be
+visible in `explain` output — broadcasts chosen, filters/projections pushed
+to the scan, top-k avoiding global sorts, bucketing eliminating shuffles.
+These guard against silent plan regressions (a lost broadcast hint or a
+filter that stops pushing down changes nothing at sf0.001 but everything
+at 100 TB)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_weather_analysis_spark.plans.registry import REGISTRY, _import_plans
+
+from .conftest import SMOKE_SF
+
+_import_plans()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _n_ops(plan: str, op: str) -> int:
+    # formatted mode prints each operator in the tree AND a details section;
+    # count only the details headers like "(12) BroadcastHashJoin"
+    return plan.count(f") {op}")
+
+
+def test_city_month_broadcasts_dims_and_prunes_scan(spark):
+    plan = _plan(REGISTRY["q_city_month"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # fact scan reads only the 4 referenced columns
+    assert "l_comment" not in plan
+    assert "PushedFilters: [IsNotNull(l_suppkey), IsNotNull(l_shipdate)]" in plan
+
+
+def test_scan_filter_project_pushes_down(spark):
+    plan = _plan(REGISTRY["q_scan_filter_project"].fn(spark, SMOKE_SF))
+    assert "PushedFilters:" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in plan
+    # projection pruning: only 6 columns read (4 out + 2 filter-only)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert read_schema.count(":") - 1 <= 6
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(REGISTRY["q_topk_global"].fn(spark, SMOKE_SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort operator
+
+
+def test_max_month_single_exchange(spark):
+    plan = _plan(REGISTRY["q_max_month"].fn(spark, SMOKE_SF))
+    # partial+final agg: exactly one shuffle exchange, then top-1
+    assert _n_ops(plan, "Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """bucketBy co-location: a join between two tables bucketed on the key
+    must plan ZERO shuffle exchanges (the 100 TB fact-fact join story)."""
+    li = spark.read.parquet(f"{SMOKE_SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SMOKE_SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and the result is right
+        n = joined.count()
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
