@@ -60,18 +60,19 @@ def main() -> None:
     _import_plans()
     spark = get_spark(app_name="mwa-spark-bench")
 
-    # JVM/codegen warmup: touch the parquet reader, hash-agg and shuffle
-    # machinery once so the first timed query isn't paying one-time JIT cost.
+    # JVM/codegen warmup: run every headline query once at the smoke SF so
+    # the timed runs measure steady-state execution, not one-time JIT of
+    # each plan's generated code (worth seconds on the widest plans).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    (
-        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        .limit(10_000)
-        .groupBy("l_returnflag")
-        .count()
-        .collect()
-    )
-
     names = [n for n in HEADLINE if n in REGISTRY]
+    warm_sf = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            REGISTRY[name].fn(spark, warm_sf).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
