@@ -109,3 +109,33 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_foreach_batch_parquet(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Idempotent aggregate sink via foreachBatch: COMPLETE mode gives each
+    micro-batch the full aggregation state, and the batch function
+    overwrites one snapshot directory — so a replayed batch (restart
+    between sink write and checkpoint commit) rewrites the same snapshot
+    instead of duplicating rows. Idempotent writes + checkpointed offsets =
+    effective exactly-once for this sink.
+
+    (For APPEND-mode pipelines the idempotent pattern is epoch-keyed
+    subdirectories instead — each replayed epoch overwrites its own dir;
+    an UPDATE-mode agg has no safe plain-parquet sink without a keyed
+    MERGE target, which is why this helper runs complete mode.)"""
+
+    def write_snapshot(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("_epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/latest")
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_snapshot)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

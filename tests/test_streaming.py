@@ -131,3 +131,43 @@ def test_stateful_counts_carry_across_batches(spark, tmp_path):
     for r in rows:
         final[r.user_id] = max(final.get(r.user_id, 0), r.n_events)
     assert final == {1: 3, 2: 1, 3: 1}
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch snapshot overwrite must be REPLAY-idempotent: running
+    the same bounded stream into the SAME output dir again (reprocessing
+    from scratch — fresh checkpoint, same sink) leaves the sink identical,
+    not doubled. An append-mode write_snapshot would fail this."""
+    from mapreduce_weather_analysis_spark.streaming.events_stream import (
+        read_events_stream,
+        run_foreach_batch_parquet,
+        tumbling_window_agg,
+    )
+
+    out = str(tmp_path / "out")
+    agg = tumbling_window_agg(read_events_stream(spark, SMOKE_SF))
+    run_foreach_batch_parquet(agg, out, str(tmp_path / "cp1"))
+    first = sorted(map(tuple, spark.read.parquet(f"{out}/latest").collect()))
+    assert len(first) > 0
+
+    # replay: same sink directory, reprocessed from a fresh checkpoint
+    agg2 = tumbling_window_agg(read_events_stream(spark, SMOKE_SF))
+    run_foreach_batch_parquet(agg2, out, str(tmp_path / "cp2"))
+    second = sorted(map(tuple, spark.read.parquet(f"{out}/latest").collect()))
+    assert second == first  # no duplication, no drift
+
+    # batch-equivalence: snapshot matches the batch twin
+    batch = sorted(
+        map(
+            tuple,
+            REGISTRY["q_events_tumbling"]
+            .fn(spark, SMOKE_SF)
+            .select("window_start", "event_type", "n_events", "total_value")
+            .collect(),
+        )
+    )
+    snap = sorted(
+        (r.window_start.strftime("%Y-%m-%d %H:%M:%S"), r.event_type, r.n_events, r.total_value)
+        for r in spark.read.parquet(f"{out}/latest").collect()
+    )
+    assert snap == batch
