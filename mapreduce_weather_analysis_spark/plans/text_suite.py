@@ -227,3 +227,66 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprint"),
         )
     )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(CAST(CAST(tf.tf * ln(n.n_docs * 1.0 / df.df) AS VARCHAR)
+                       AS DECIMAL(28,6)) AS DOUBLE) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+      ) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 highest-scoring terms per document. Term frequency ×
+    ln(N/df), two hash-aggs + a broadcast-sized idf join + windowed top-k.
+    Scores rounded via the portable shortest-repr path (ln may drift an
+    ulp between libm and java.lang.Math); rank ties break on term.
+
+    Scale: tf is the exploded-token agg (partial+final); df is |vocab|-sized
+    (broadcast); no all-pairs anything."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")))
+            .cast("string")
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
