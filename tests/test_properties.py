@@ -115,3 +115,76 @@ def test_month_bucket_paths_agree_on_valid_dates(spark, rows):
         month_bucket("date").alias("a"), month_bucket_string_path("date").alias("b")
     ).where(F.col("a") != F.col("b"))
     assert diff.count() == 0
+
+
+# (user, ts, is_left)
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000), st.booleans()),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=asof_rows)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, rows):
+    """asof_join (union + carry-forward) must pick, per left row, the max
+    right ts ≤ left ts within the key — verified against a python brute
+    force on generated data, including equal-timestamp ties."""
+    from mapreduce_weather_analysis_spark.operators.asof import asof_join
+
+    lefts = [(u, ts, i) for i, (u, ts, is_l) in enumerate(rows) if is_l]
+    rights = [(u, ts, 1000 + i) for i, (u, ts, is_l) in enumerate(rows) if not is_l]
+    if not lefts or not rights:
+        return
+    ldf = spark.createDataFrame(lefts, "user_id long, ts_us long, event_id long")
+    rdf = spark.createDataFrame(rights, "user_id long, ts_us long, event_id long")
+    got = {
+        r.event_id: r.r_ts_us
+        for r in asof_join(
+            ldf, rdf, key="user_id", ts="ts_us",
+            left_cols=["event_id"], right_cols=["ts_us"],
+        ).collect()
+    }
+    for u, ts, eid in lefts:
+        cands = [rts for ru, rts, _ in rights if ru == u and rts <= ts]
+        expected = max(cands) if cands else None
+        assert got[eid] == expected, (eid, got[eid], expected)
+
+
+@given(rows=weather_rows)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """Two-phase salted aggregation must be result-identical to the plain
+    groupBy for any input (decimal sums commute across salt partials)."""
+    from mapreduce_weather_analysis_spark.operators.skew import salted_agg
+
+    wx = _weather_df(spark, rows)
+    salted = {
+        (r.location_id): (r.s, r.n)
+        for r in salted_agg(
+            wx,
+            ["location_id"],
+            [
+                F.sum(F.col("precipitation_hours").cast("decimal(18,1)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            ],
+            [
+                F.sum("_s").cast("double").alias("s"),
+                F.sum("_n").alias("n"),
+            ],
+            salt_cols=["date"],
+        ).collect()
+    }
+    plain = {
+        (r.location_id): (r.s, r.n)
+        for r in wx.groupBy("location_id")
+        .agg(
+            F.sum(F.col("precipitation_hours").cast("decimal(18,1)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert salted == plain
