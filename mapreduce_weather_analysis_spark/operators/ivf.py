@@ -1,0 +1,261 @@
+"""IVF (inverted-file) approximate nearest neighbour: a deterministic
+mini k-means coarse quantizer + cluster-probed search — the third ANN path
+next to brute force and hyperplane LSH (operators/similarity.py), and the
+one real vector stores default to.
+
+Everything is deterministic and cross-engine exact, so the DuckDB oracle
+reproduces the whole pipeline bit-for-bit:
+* init: the k lowest vec_ids are the seed centroids;
+* Lloyd iterations (fixed count): squared-L2 assignment (double folds in
+  index order — engine-identical), then per-dimension means routed through
+  DECIMAL(28,12) (order-independent exact sums);
+* ties in assignment break on cluster id; empty clusters keep their
+  previous centroid;
+* search: probe the ``nprobe`` nearest centroids, cosine top-k within the
+  probed clusters' members.
+
+Scale: assignment is a broadcast(k centroids) × corpus map — no shuffle;
+centroid recompute is one (cluster, dim) hash-agg; search scans only the
+probed clusters (corpus partitioned by cluster id in a real deployment).
+The driver-side Lloyd loop is ITERS tiny jobs, same posture as
+operators/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+IVF_K = 8
+IVF_ITERS = 3
+IVF_NPROBE = 2
+DIM = 64
+
+
+def _sq_l2(v: str | F.Column, c: str | F.Column) -> F.Column:
+    vv = F.col(v) if isinstance(v, str) else v
+    cc = F.col(c) if isinstance(c, str) else c
+    return F.aggregate(
+        F.zip_with(vv, cc, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster) — nearest centroid by squared L2, ties → lowest
+    cluster id."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cluster", _sq_l2("v", "c").alias("dist")
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cluster")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "v", "cluster")
+    )
+
+
+def _recompute(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    """(cluster, c) — per-dim decimal-exact means; empty clusters keep the
+    previous centroid."""
+    dims = assigned.select(
+        "cluster", F.posexplode("v").alias("dim", "val")
+    )
+    means = (
+        dims.groupBy("cluster", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+            ).alias("c_new")
+        )
+    )
+    return prev.join(means, "cluster", "left").select(
+        "cluster", F.coalesce("c_new", "c").alias("c")
+    )
+
+
+def ivf_index(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
+    """Returns (assignments, centroids) after ``iters`` Lloyd rounds."""
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint()
+    centroids = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("cluster"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        centroids = _recompute(assigned, centroids).localCheckpoint()
+    return _assign(vecs, centroids), centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) searching only the nprobe
+    nearest clusters per query."""
+    from ..functions.vectors import cosine
+
+    assigned, centroids = ivf_index(emb)
+    queries = assigned.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "cluster", _sq_l2("qv", "c").alias("dist")
+    )
+    w = W.partitionBy("query_id").orderBy("dist", "cluster")
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    cand = probes.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            "cluster",
+        ),
+        "cluster",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    ).distinct()
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# --- DuckDB oracle twin ------------------------------------------------------
+
+
+def _sq_l2_sql(v: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    query_filter: str,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    k_neighbors: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """Generate the full iterative-k-means + probe search as one DuckDB
+    query (Lloyd rounds unrolled into CTE chains)."""
+    ctes = [
+        f"vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"""c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, v AS c
+          FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT vecs.vec_id, vecs.v, {prev}.cluster,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY vecs.vec_id
+                         ORDER BY {_sq_l2_sql('vecs.v', f'{prev}.c')}, {prev}.cluster
+                       ) AS rn
+                FROM vecs, {prev}
+              ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+              SELECT cluster, dim,
+                     CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+              FROM (
+                SELECT cluster, i AS dim, v[i] AS val
+                FROM a{i}, (SELECT unnest(range(1, {DIM} + 1)) AS i)
+              )
+              GROUP BY cluster, dim
+            )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+              SELECT {prev}.cluster,
+                     coalesce(agg.c_new, {prev}.c) AS c
+              FROM {prev}
+              LEFT JOIN (
+                SELECT cluster, list(m ORDER BY dim) AS c_new FROM m{i} GROUP BY cluster
+              ) agg ON agg.cluster = {prev}.cluster
+            )"""
+        )
+        prev = f"c{i}"
+    final_assign = f"""fa AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT vecs.vec_id, vecs.v, {prev}.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY {_sq_l2_sql('vecs.v', f'{prev}.c')}, {prev}.cluster
+               ) AS rn
+        FROM vecs, {prev}
+      ) WHERE rn = 1
+    )"""
+    cos = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * cv[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * qv[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> cv[i] * cv[i]))))"
+    )
+    ctes.append(final_assign)
+    ctes.append(
+        f"""q AS (SELECT vec_id AS query_id, v AS qv FROM fa WHERE {query_filter})"""
+    )
+    ctes.append(
+        f"""probes AS (
+          SELECT query_id, qv, cluster FROM (
+            SELECT q.query_id, q.qv, {prev}.cluster,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {_sq_l2_sql('q.qv', f'{prev}.c')}, {prev}.cluster
+                   ) AS rn
+            FROM q, {prev}
+          ) WHERE rn <= {nprobe}
+        )"""
+    )
+    ctes.append(
+        f"""scored AS (
+          SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,
+                 {cos.replace('cv', 'fa.v').replace('qv', 'probes.qv')} AS cosine
+          FROM probes JOIN fa ON probes.cluster = fa.cluster
+          WHERE probes.query_id <> fa.vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= {k_neighbors}
+    """
+    )

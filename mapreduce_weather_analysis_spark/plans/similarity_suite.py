@@ -120,3 +120,20 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.45)
     )
+
+
+from ..operators.ivf import ivf_topk, ivf_topk_sql  # noqa: E402
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=ivf_topk_sql("embeddings", "vec_id % 100 = 0"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic mini k-means (8 cells, 3 Lloyd rounds) as the
+    coarse quantizer, then cosine top-5 probing the 2 nearest cells — the
+    third ANN path (vs. brute force and hyperplane LSH). The oracle unrolls
+    the identical iterative k-means into a CTE chain; bit-parity end to end
+    (decimal-exact centroid means, tie-broken assignments)."""
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, "vec_id % 100 = 0")

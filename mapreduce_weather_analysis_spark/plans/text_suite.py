@@ -290,3 +290,47 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@register(
+    "q_corpus_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS min_doc_id
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split (80/10/10) via the portable
+    content hash of the document id — the deterministic-sampling primitive
+    for corpus curation: identical assignment on every engine, every run,
+    any cluster size (unlike seeded RNG sampling, which is partitioning-
+    dependent). Emits the split distribution."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -187,3 +187,11 @@ def test_pandas_udf_cosine_matches_jvm(spark):
     assert set(got) == set(jvm)
     for k in got:
         assert math.isclose(got[k], jvm[k], rel_tol=1e-12), (k, got[k], jvm[k])
+
+
+def test_ann_ivf_recall_floor(spark):
+    """IVF (8 cells, nprobe=2) recall vs brute force on random vectors."""
+    bf = {(r.query_id, r.neighbor_id) for r in _run(spark, "q_ann_cosine_topk").collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in _run(spark, "q_ann_ivf_topk").collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.1, f"IVF recall collapsed: {recall}"
