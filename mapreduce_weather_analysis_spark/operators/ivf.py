@@ -27,10 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .similarity import EMBED_DIM as DIM
+
 IVF_K = 8
 IVF_ITERS = 3
 IVF_NPROBE = 2
-DIM = 64
 
 
 def _sq_l2(v: str | F.Column, c: str | F.Column) -> F.Column:
@@ -100,7 +101,10 @@ def ivf_index(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
         centroids = _recompute(assigned, centroids).localCheckpoint()
-    return _assign(vecs, centroids), centroids
+    # checkpoint the final assignment too: ivf_topk consumes it on both the
+    # query and candidate branches — uncached, the corpus×k crossJoin +
+    # window would execute twice
+    return _assign(vecs, centroids).localCheckpoint(), centroids
 
 
 def ivf_topk(
@@ -108,12 +112,15 @@ def ivf_topk(
     query_filter: str,
     k_neighbors: int = 5,
     nprobe: int = IVF_NPROBE,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) searching only the nprobe
-    nearest clusters per query."""
+    nearest clusters per query. ``k``/``iters`` mirror ivf_topk_sql so
+    non-default oracles stay reproducible."""
     from ..functions.vectors import cosine
 
-    assigned, centroids = ivf_index(emb)
+    assigned, centroids = ivf_index(emb, k=k, iters=iters)
     queries = assigned.where(F.expr(query_filter)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -218,11 +225,9 @@ def ivf_topk_sql(
         FROM vecs, {prev}
       ) WHERE rn = 1
     )"""
-    cos = (
-        f"list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * cv[i]))"
-        f" / (sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * qv[i])))"
-        f" * sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> cv[i] * cv[i]))))"
-    )
+    from ..functions.vectors import cosine_sql
+
+    cos = cosine_sql("probes.qv", "fa.v")
     ctes.append(final_assign)
     ctes.append(
         f"""q AS (SELECT vec_id AS query_id, v AS qv FROM fa WHERE {query_filter})"""
@@ -242,7 +247,7 @@ def ivf_topk_sql(
     ctes.append(
         f"""scored AS (
           SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,
-                 {cos.replace('cv', 'fa.v').replace('qv', 'probes.qv')} AS cosine
+                 {cos} AS cosine
           FROM probes JOIN fa ON probes.cluster = fa.cluster
           WHERE probes.query_id <> fa.vec_id
         )"""

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, cosine_sql
+from ..operators.ivf import ivf_topk, ivf_topk_sql
 from ..operators.similarity import (
     brute_force_topk,
     lsh_bucket_sql,
@@ -122,12 +123,9 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..operators.ivf import ivf_topk, ivf_topk_sql  # noqa: E402
-
-
 @register(
     "q_ann_ivf_topk",
-    oracle=ivf_topk_sql("embeddings", "vec_id % 100 = 0"),
+    oracle=ivf_topk_sql("embeddings", _QUERY_FILTER),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic mini k-means (8 cells, 3 Lloyd rounds) as the
@@ -136,4 +134,4 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical iterative k-means into a CTE chain; bit-parity end to end
     (decimal-exact centroid means, tie-broken assignments)."""
     e = t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, "vec_id % 100 = 0")
+    return ivf_topk(e, _QUERY_FILTER)
