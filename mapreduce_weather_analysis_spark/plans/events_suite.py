@@ -215,3 +215,39 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+           epoch_us(ts) AS effective_from,
+           lead(epoch_us(ts)) OVER w AS effective_to,
+           lead(epoch_us(ts)) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 effective dating (operators/merge.py): every event becomes a
+    dimension version valid [effective_from, effective_to), open-ended for
+    the current state — the change-history layout MERGE-based lakehouse
+    pipelines maintain; here one window pass."""
+    from ..operators.merge import scd2_history
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    # total per-key order: (ts_us, event_id)
+    w_df = scd2_history(
+        e.withColumn("_ord", F.struct("ts_us", "event_id")), "user_id", "_ord"
+    )
+    return w_df.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        F.col("effective_from.ts_us").alias("effective_from"),
+        F.col("effective_to.ts_us").alias("effective_to"),
+        "is_current",
+    )

@@ -195,3 +195,18 @@ def test_ann_ivf_recall_floor(spark):
     ivf = {(r.query_id, r.neighbor_id) for r in _run(spark, "q_ann_ivf_topk").collect()}
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.1, f"IVF recall collapsed: {recall}"
+
+
+def test_merge_upsert(spark):
+    """MERGE emulation: updates replace matched keys (latest wins within
+    the batch), unmatched keys insert, untouched rows survive."""
+    from mapreduce_weather_analysis_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")], "k long, ts long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, 20, "b2"), (2, 30, "b3"), (4, 20, "d")], "k long, ts long, v string"
+    )
+    got = {r.k: (r.ts, r.v) for r in merge_upsert(base, updates, "k", "ts").collect()}
+    assert got == {1: (10, "a"), 2: (30, "b3"), 3: (10, "c"), 4: (20, "d")}
