@@ -1,9 +1,11 @@
-"""Temporal join suite: as-of join and range join (operators the reference
-lacks and Spark has no native form for — operators/asof.py)."""
+"""Temporal suite: as-of join, range join (operators the reference lacks
+and Spark has no native form for — operators/asof.py), and calendar
+gap-fill/resample with forward fill."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join, range_join_bands
@@ -90,4 +92,72 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_price"),
+    )
+
+
+@register(
+    "q_gapfill_daily",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d, o_totalprice
+      FROM orders WHERE o_totalprice > 400000
+    ),
+    daily AS (
+      SELECT pri, d, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_total
+      FROM src GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    grid AS (
+      SELECT k.pri, s.d FROM (SELECT DISTINCT pri FROM daily) k CROSS JOIN spine s
+    )
+    SELECT g.pri, strftime(g.d, '%Y-%m-%d') AS day,
+           COALESCE(daily.n_orders, 0) AS n_orders,
+           last_value(daily.daily_total IGNORE NULLS) OVER (
+             PARTITION BY g.pri ORDER BY g.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+    FROM grid g LEFT JOIN daily ON daily.pri = g.pri AND daily.d = g.d
+    """,
+)
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: sparse per-priority daily totals
+    (only high-value orders) densified onto a continuous daily calendar
+    spine (``sequence`` + ``explode``), missing days forward-filled with
+    the last observed total (``last(..., ignorenulls=True)`` running
+    window). The spine and key list are tiny → both sides of the grid
+    cross-join broadcast; the only real shuffle is the window's key
+    partition, which scales by key cardinality, not by calendar length."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400_000)
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.to_date("o_orderdate").alias("d"),
+            "o_totalprice",
+        )
+    )
+    daily = o.groupBy("pri", "d").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("daily_total"),
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    grid = daily.select("pri").distinct().crossJoin(F.broadcast(spine))
+    filled = grid.join(daily, ["pri", "d"], "left")
+    w = W.partitionBy("pri").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return filled.select(
+        "pri",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.last("daily_total", ignorenulls=True).over(w).alias("filled_total"),
     )

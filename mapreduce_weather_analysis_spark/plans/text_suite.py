@@ -334,3 +334,43 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# Per-source sampling rates (percent kept): the "data mixing" config a
+# training pipeline applies to reweight sources. Deterministic, so both
+# engines and every rerun agree row-for-row.
+SAMPLE_RATES = [(f"src{i}", 30 if i < 10 else 70) for i in range(20)]
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH rates(source, rate) AS (
+      VALUES {', '.join(f"('{s}', {r})" for s, r in SAMPLE_RATES)}
+    )
+    SELECT d.doc_id, d.source, d.lang, r.rate
+    FROM documents d
+    JOIN rates r ON r.source = d.source
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < r.rate
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-source) deterministic sampling — the corpus-mixing
+    primitive: each source keeps its configured fraction, selected by the
+    portable doc_id hash rather than seeded RNG (so the sample is identical
+    on any engine, any partitioning, any cluster size, and is stable under
+    reruns — the property `df.sample(seed=…)` does NOT have across
+    repartitions). Rates ride a broadcast dim join; the scan itself is the
+    only distributed work, so this runs at full scan speed at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    rates = F.broadcast(spark.createDataFrame(SAMPLE_RATES, ["source", "rate"]))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        d.join(rates, "source")
+        .where(bucket < F.col("rate"))
+        .select("doc_id", "source", "lang", "rate")
+    )

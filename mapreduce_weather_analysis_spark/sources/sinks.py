@@ -42,6 +42,30 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet writer matrix: codec (zstd default — best ratio at similar
+    scan speed; snappy for write-throughput-bound pipelines) and
+    ``maxRecordsPerFile`` to cap file size so downstream scans get
+    even-sized splits. At 100 TB, output file sizing is a first-order
+    concern: too-small files melt the namenode/listing, too-large files
+    serialize the scan — target 128 MB-1 GB via this cap plus AQE
+    coalescing of the final stage."""
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
 def ingest_weather_to_parquet(
     spark: SparkSession, weather_csv: str, location_csv: str, out_dir: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -58,3 +58,24 @@ def test_ingest_weather_partitioned_parquet(spark, fixture_paths, tmp_path):  # 
         pruned.explain(mode="formatted")
     assert "PartitionFilters: [isnotnull(year_month" in buf.getvalue()
     assert pruned.count() == 4  # 3 known-loc rows + 1 unknown-loc row (Jan)
+
+
+def test_parquet_writer_matrix(spark, tmp_path):
+    """Codec round-trip (zstd + snappy) and maxRecordsPerFile splitting."""
+    from mapreduce_weather_analysis_spark.sources.sinks import write_parquet
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    for codec in ("zstd", "snappy"):
+        out = str(tmp_path / codec)
+        write_parquet(df, out, compression=codec)
+        back = spark.read.parquet(out)
+        assert back.count() == 1000
+        assert {r.id for r in back.collect()} == set(range(1000))
+        files = [p for p in (tmp_path / codec).iterdir() if p.suffix == ".parquet"]
+        assert files and all(f".{codec}." in p.name for p in files)
+
+    capped = str(tmp_path / "capped")
+    write_parquet(df.coalesce(1), capped, max_records_per_file=100)
+    parts = [p for p in (tmp_path / "capped").iterdir() if p.suffix == ".parquet"]
+    assert len(parts) == 10  # 1000 rows / 100-row cap
+    assert spark.read.parquet(capped).count() == 1000
