@@ -374,3 +374,105 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(bucket < F.col("rate"))
         .select("doc_id", "source", "lang", "rate")
     )
+
+
+# PII patterns (shared Spark/DuckDB dialect subset: no lookarounds, no \d).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             concat('reach ', source, '@example.com or 555-010-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' :: ', substr(text, 1, 200)) AS raw_text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(raw_text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw_text, '{PHONE_RE}')) AS n_phones
+    FROM raw
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass: replace
+    email/phone patterns with typed placeholder tags and count the hits
+    (the count feeds quality filtering: docs that are mostly PII get
+    dropped). Pure JVM regex expressions over the scan — embarrassingly
+    parallel, no shuffle at all; the deterministic synthetic PII suffix
+    guarantees every row exercises both patterns."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("reach "),
+        F.col("source"),
+        F.lit("@example.com or 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "),
+        F.substring("text", 1, 200),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, doc_id, len({tokens_sql('text')}) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM tok
+    )
+    SELECT source,
+           CAST(FLOOR((running - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY 1, 2
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assemble fixed-token-budget training sequences
+    from consecutive docs (within source, doc_id order): running token
+    total → sequence id by start offset, then per-sequence manifest.
+    Deterministic (no RNG, no partition dependence), one shuffle on
+    source for the window + one map-side-combined agg; at 100 TB the
+    window key (source/shard) bounds state per task."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", "doc_id", F.size(tokens("text")).alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = tok.withColumn("running", F.sum("n_tokens").over(w))
+    seq_id = F.floor(
+        (F.col("running") - F.col("n_tokens")) / F.lit(float(PACK_BUDGET))
+    ).cast("bigint")
+    return (
+        cum.select("source", seq_id.alias("seq_id"), "doc_id", "n_tokens")
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
