@@ -121,3 +121,47 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to the JVM state server;
+    the module is optional in this environment (no installs), so the TWS
+    query registers only where it can actually run. The
+    applyInPandasWithState op (q_stream_stateful_counts) covers the
+    arbitrary-state semantics everywhere."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _has_protobuf():
+
+    @register(
+        "q_stream_tws_counts",
+        oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        """,
+    )
+    def q_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """transformWithStateInPandas (Spark 4 arbitrary-state API) with
+        per-user MAP state over event types, drained availableNow on the
+        RocksDB state store. Final state per (user, type) equals the batch
+        GROUP BY; update-mode emits one row per batch, so take the max."""
+        from ..streaming.events_stream import per_type_user_counts_tws
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        events = read_events_stream(spark, sf_dir)
+        counts = per_type_user_counts_tws(events)
+        result = run_available_now(counts, spark, mode="update")
+        return result.groupBy("user_id", "event_type").agg(
+            F.max("n_events").alias("n_events")
+        )

@@ -139,3 +139,56 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def per_type_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Stateful streaming on the Spark 4 ``transformWithStateInPandas``
+    API (the successor to applyInPandasWithState): per-user MAP state
+    keyed by event_type, carried across micro-batches in the RocksDB
+    state store. Emits every (user, type, n) entry each batch (update
+    semantics). State is O(#types) per user — bounded; shuffle-partitioned
+    by user_id like any keyed stateful op."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_counts: dict[str, int] = {}
+            for pdf in rows:
+                for etype, n in pdf.groupby("event_type").size().items():
+                    batch_counts[etype] = batch_counts.get(etype, 0) + int(n)
+            for etype, n in batch_counts.items():
+                prev = (
+                    self._counts.getValue((etype,))[0]
+                    if self._counts.containsKey((etype,))
+                    else 0
+                )
+                self._counts.updateValue((etype,), (prev + n,))
+            entries = [
+                (k[0], v[0]) for k, v in self._counts.iterator()
+            ]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(entries),
+                    "event_type": [e[0] for e in entries],
+                    "n_events": [e[1] for e in entries],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        PerTypeCounts(),
+        "user_id bigint, event_type string, n_events bigint",
+        "Update",
+        "None",
+    )

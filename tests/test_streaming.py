@@ -6,6 +6,8 @@ from __future__ import annotations
 import time
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -171,3 +173,30 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/latest").collect()
     )
     assert snap == batch
+
+
+def test_tws_query_gated_on_protobuf(spark):
+    """transformWithStateInPandas needs google.protobuf (JVM state-server
+    protocol); the query must register exactly when it is importable, and
+    run correctly where it does."""
+    from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
+    from mapreduce_weather_analysis_spark.plans.streaming_suite import _has_protobuf
+
+    assert ("q_stream_tws_counts" in REGISTRY) == _has_protobuf()
+    if not _has_protobuf():
+        pytest.skip("protobuf not installed: TWS path env-gated")
+    got = {
+        (r.user_id, r.event_type): r.n_events
+        for r in REGISTRY["q_stream_tws_counts"].fn(spark, SMOKE_SF).collect()
+    }
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want
