@@ -176,8 +176,14 @@ def minhash_lsh_pairs(
     computed ONLY for candidates (the shingle-overlap join is restricted to
     candidate pairs — never all-pairs).
     """
-    exd = shingle_rows(docs, text_col, id_col)
-    sig = minhash_signatures_relational(exd)
+    # Both relations fan out to 2-3 consumers below; without materialization
+    # Spark recomputes the shingle split + 16-permutation hashing per branch
+    # (~30% of query wall here, worse at scale). localCheckpoint cuts the
+    # lineage and computes each once — at cluster scale the same role is
+    # played by a persisted intermediate (disk-backed) so executor loss
+    # doesn't strand the only copy.
+    exd = shingle_rows(docs, text_col, id_col).localCheckpoint()
+    sig = minhash_signatures_relational(exd).localCheckpoint()
 
     bands = sig.select(
         "doc_id",
