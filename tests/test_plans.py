@@ -96,3 +96,21 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Partition-by-key layout (the 100 TB ingest posture): a filter on the
+    partition column must become a PartitionFilter — pruned at planning,
+    no data read from other partitions — not a post-scan predicate."""
+    out = str(tmp_path / "events_by_type")
+    spark.read.parquet(f"{SMOKE_SF}/events.parquet").write.partitionBy(
+        "event_type"
+    ).parquet(out)
+    df = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0] and "click" in pf[0], plan
+    # pruning happened at planning: no post-scan Filter re-tests the
+    # partition column (PushedFilters on data columns would be fine)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert not pushed or "event_type" not in pushed[0], plan
