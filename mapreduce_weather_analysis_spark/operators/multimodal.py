@@ -99,7 +99,45 @@ def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def frame_sample_stub(blobs: DataFrame, every_n: int) -> DataFrame:
-    """Video frame-sampling stub (pyav): emits one row per sampled frame —
-    a mapInPandas that yields MORE rows than it consumes (1→N expansion);
-    partition sizing must budget for the expansion factor."""
-    raise NotImplementedError("frame sampling needs pyav/ffmpeg")
+    """CODEC video frame-sampling stub (pyav): real container formats need
+    ffmpeg to find frame boundaries. For fixed-stride payloads (raw video,
+    tensors, audio PCM) use :func:`frame_sample_relational` — same 1→N
+    output contract, pure JVM."""
+    raise NotImplementedError("codec frame sampling needs pyav/ffmpeg")
+
+
+FRAME_BYTES = 256
+
+
+def frame_sample_relational(
+    blobs: DataFrame, frame_bytes: int = FRAME_BYTES, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling over fixed-stride binary payloads, fully relational:
+    one row per sampled frame (index stride ``every_n``), sliced with
+    binary ``substring`` and fingerprinted JVM-side. The 1→N expansion is
+    an array ``explode`` — no Python, no shuffle; output volume is
+    input/every_n, which is the number that matters when sizing partitions
+    for 100 TB of video."""
+    n = F.octet_length("blob").cast("bigint")
+    n_frames = (n + F.lit(frame_bytes - 1)) / F.lit(frame_bytes)
+    n_frames = F.floor(n_frames).cast("bigint")
+    idxs = F.when(
+        n_frames > 0,
+        F.sequence(
+            F.lit(0).cast("bigint"),
+            n_frames - 1,
+            F.lit(every_n).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    frame = F.substring(
+        F.col("blob"), (F.col("frame_idx") * frame_bytes + 1).cast("int"), frame_bytes
+    )
+    return (
+        blobs.select("doc_id", "blob", F.explode(idxs).alias("frame_idx"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.octet_length(frame).cast("bigint").alias("frame_bytes"),
+            F.sha2(frame, 256).alias("frame_sha"),
+        )
+    )

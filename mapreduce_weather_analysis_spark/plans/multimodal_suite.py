@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_blob, fake_decode_features
+from ..operators.multimodal import (
+    attach_blob,
+    fake_decode_features,
+    frame_sample_relational,
+)
 from .registry import register, t
 
 
@@ -43,3 +47,36 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     blobs = attach_blob(d, "text", "doc_id")
     return fake_decode_features(blobs)
+
+
+@register(
+    "q_frame_sample",
+    oracle="""
+    -- DuckDB substr() has no BLOB overload: slice the VARCHAR then encode.
+    -- Byte-slice == char-slice because the corpus is ASCII (asserted by the
+    -- octet_length==length invariant; q_multimodal_meta leans on it too).
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, (n + 255) // 256, 4)) AS frame_idx
+      FROM b WHERE n > 0
+    )
+    SELECT doc_id, frame_idx,
+           CAST(octet_length(encode(substr(text, frame_idx * 256 + 1, 256))) AS BIGINT)
+             AS frame_bytes,
+           sha256(substr(text, frame_idx * 256 + 1, 256)) AS frame_sha
+    FROM idx
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video/tensor payload model): every 4th 256-byte
+    frame of each blob, sliced and fingerprinted relationally
+    (operators/multimodal.py:frame_sample_relational) — the 1→N expansion
+    pattern for multimodal extraction without any Python stage."""
+    d = t(spark, sf_dir, "documents")
+    blobs = attach_blob(d, "text", "doc_id")
+    return frame_sample_relational(blobs, frame_bytes=256, every_n=4)

@@ -210,3 +210,25 @@ def test_merge_upsert(spark):
     )
     got = {r.k: (r.ts, r.v) for r in merge_upsert(base, updates, "k", "ts").collect()}
     assert got == {1: (10, "a"), 2: (30, "b3"), 3: (10, "c"), 4: (20, "d")}
+
+
+def test_frame_sample_relational_edges(spark):
+    """Stride/boundary semantics: empty blobs emit nothing; a blob of
+    exactly one frame emits frame 0; tail frames are short, not padded."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        frame_sample_relational,
+    )
+
+    rows = [(1, ""), (2, "x" * 256), (3, "y" * (256 * 8 + 10))]
+    df = spark.createDataFrame(rows, "doc_id long, payload string").select(
+        "doc_id", F.col("payload").cast("binary").alias("blob")
+    )
+    got = {
+        (r.doc_id, r.frame_idx): r.frame_bytes
+        for r in frame_sample_relational(df, frame_bytes=256, every_n=4).collect()
+    }
+    # doc 1: none; doc 2: frame 0 full; doc 3: 9 frames (0..8), sampled
+    # 0,4,8 — frame 8 is the 10-byte tail, short not padded
+    assert got == {(2, 0): 256, (3, 0): 256, (3, 4): 256, (3, 8): 10}
