@@ -251,3 +251,56 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("effective_to.ts_us").alias("effective_to"),
         "is_current",
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 'view' AS stage, 1 AS stage_idx, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'click', 2, COUNT(*) FROM s2
+    UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly increasing time
+    per user): conditional-min cascade, each stage an equi-join back to the
+    fact on user_id + a time bound. All three aggregations and joins share
+    the user_id key, so a cluster run co-partitions once and every stage is
+    shuffle-local from there; stage outputs are one row per converting
+    user, shrinking monotonically down the funnel."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(evt: str, prev, prev_t: str, out_t: str):
+        base = e.where(F.col("event_type") == evt)
+        if prev is not None:
+            base = base.join(prev, "user_id").where(F.col("ts") > F.col(prev_t))
+        return base.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    s1 = stage("view", None, "", "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+
+    def cnt(df, name: str, idx: int):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return cnt(s1, "view", 1).unionByName(cnt(s2, "click", 2)).unionByName(
+        cnt(s3, "purchase", 3)
+    )
