@@ -304,3 +304,52 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt(s1, "view", 1).unionByName(cnt(s2, "click", 2)).unionByName(
         cnt(s3, "purchase", 3)
     )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, MIN(strftime(ts, '%Y-%m')) AS cohort_month
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS active_month
+      FROM events
+    )
+    SELECT c.cohort_month,
+           (CAST(substr(a.active_month, 1, 4) AS INT) * 12
+              + CAST(substr(a.active_month, 6, 2) AS INT))
+           - (CAST(substr(c.cohort_month, 1, 4) AS INT) * 12
+              + CAST(substr(c.cohort_month, 6, 2) AS INT)) AS months_since,
+           COUNT(*) AS n_active_users
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen month, counted
+    in each subsequent active month (months_since 0 = the cohort's own
+    month). Two aggregations + one user_id-keyed join — the cohort dim is
+    derived from the fact itself, and all three steps share the user_id
+    key, so a cluster run co-partitions once. The month delta is computed
+    on the string bucket (y*12+m) to stay engine-portable."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("month")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("month").alias("cohort_month"))
+    activity = e.distinct().withColumnRenamed("month", "active_month")
+
+    def months(col: str):
+        return F.substring(col, 1, 4).cast("int") * 12 + F.substring(
+            col, 6, 2
+        ).cast("int")
+
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            "cohort_month",
+            (months("active_month") - months("cohort_month")).alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
