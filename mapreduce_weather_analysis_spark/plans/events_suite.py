@@ -353,3 +353,31 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register("q_sketch_mergeable", oracle=None)
+def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Datasketches HLL): per-month user sketches,
+    then a re-merge to the all-time estimate via hll_union_agg — THE
+    pre-aggregation pattern at 100 TB: store tiny per-partition sketches,
+    answer distinct-count queries over any month range by merging sketches
+    instead of rescanning raw events. Rows-only check (sketch estimates
+    have no SQL twin); accuracy vs exact is pytest-asserted."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
+    )
+    per_month = e.groupBy("month").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    monthly = per_month.select(
+        "month",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    overall = per_month.agg(
+        F.lit("ALL").alias("month"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return monthly.unionByName(overall)

@@ -232,3 +232,27 @@ def test_frame_sample_relational_edges(spark):
     # doc 1: none; doc 2: frame 0 full; doc 3: 9 frames (0..8), sampled
     # 0,4,8 — frame 8 is the 10-byte tail, short not padded
     assert got == {(2, 0): 256, (3, 0): 256, (3, 4): 256, (3, 8): 10}
+
+
+def test_sketch_mergeable_accuracy(spark):
+    """HLL estimates (per month and merged ALL) within 5% of exact; the
+    merged sketch must estimate the DISTINCT union, not the sum of parts."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    est = {r.month: r.est_users for r in _run(spark, "q_sketch_mergeable").collect()}
+    e = load_table(spark, SMOKE_SF, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
+    )
+    exact = {
+        r.month: r.n
+        for r in e.groupBy("month").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for m, n in exact.items():
+        assert abs(est[m] - n) <= max(0.05 * n, 2), (m, est[m], n)
+    # merged estimates the DISTINCT union: never exceeds the naive sum
+    # (strictly less when users span months; equal at single-month smoke SF)
+    assert est["ALL"] <= sum(v for k, v in est.items() if k != "ALL")
