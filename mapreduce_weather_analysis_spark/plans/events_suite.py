@@ -381,3 +381,37 @@ def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     )
     return monthly.unionByName(overall)
+
+
+@register("q_sketch_quantiles", oracle=None)
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Datasketches KLL): per-event-type value
+    sketch → p50/p95, plus the all-types quantiles by FOLDING the per-group
+    sketches with the scalar 2-ary merge (collect_list + aggregate lambda)
+    — same store-small/re-merge pattern as q_sketch_mergeable, for
+    quantiles, where exact distributed percentiles need a full sort.
+    Rows-only; accuracy vs exact percentile is pytest-asserted."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    sk = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def quantiles(sk_col):
+        return [
+            F.kll_sketch_get_quantile_double(sk_col, F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double(sk_col, F.lit(0.95)).alias("p95"),
+        ]
+
+    per_type = sk.select("event_type", *quantiles(F.col("sk")), "n")
+    folded = F.aggregate(
+        F.expr("slice(sks, 2, size(sks))"),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    overall = (
+        sk.agg(F.collect_list("sk").alias("sks"), F.sum("n").alias("n"))
+        .select(F.lit("ALL").alias("event_type"), folded.alias("m"), "n")
+        .select("event_type", *quantiles(F.col("m")), "n")
+    )
+    return per_type.unionByName(overall)

@@ -256,3 +256,38 @@ def test_sketch_mergeable_accuracy(spark):
     # merged estimates the DISTINCT union: never exceeds the naive sum
     # (strictly less when users span months; equal at single-month smoke SF)
     assert est["ALL"] <= sum(v for k, v in est.items() if k != "ALL")
+
+
+def test_sketch_quantiles_accuracy(spark):
+    """KLL p50/p95 (per type and fold-merged ALL) close to exact
+    percentile_approx(…, 1e6) — normalized rank error for default-k KLL
+    is ~1.7%; assert within 5% of the value range."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    got = {
+        r.event_type: (r.p50, r.p95)
+        for r in _run(spark, "q_sketch_quantiles").collect()
+    }
+    e = load_table(spark, SMOKE_SF, "events").select("event_type", "value")
+    lo, hi = e.agg(F.min("value"), F.max("value")).first()
+    tol = 0.05 * (hi - lo)
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    exact["ALL"] = tuple(
+        e.agg(
+            F.percentile("value", F.lit(0.5)), F.percentile("value", F.lit(0.95))
+        ).first()
+    )
+    assert set(got) == set(exact)
+    for k, (p50, p95) in exact.items():
+        assert abs(got[k][0] - p50) <= tol, (k, got[k][0], p50)
+        assert abs(got[k][1] - p95) <= tol, (k, got[k][1], p95)
