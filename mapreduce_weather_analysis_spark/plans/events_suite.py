@@ -415,3 +415,60 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", *quantiles(F.col("m")), "n")
     )
     return per_type.unionByName(overall)
+
+
+@register(
+    "q_events_funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+       AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+       AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 'view' AS stage, 1 AS stage_idx, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'click', 2, COUNT(*) FROM s2
+    UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3
+    """,
+)
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with conversion windows: each stage must occur within 1 hour
+    of the previous stage's first event — the bounded form real funnels
+    use (and the one that produces actual drop-off). Same co-partitioned
+    cascade as q_events_funnel; the upper time bound also caps join state
+    if run as a streaming funnel."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(evt: str, prev, prev_t: str, out_t: str):
+        base = e.where(F.col("event_type") == evt)
+        if prev is not None:
+            base = base.join(prev, "user_id").where(
+                (F.col("ts") > F.col(prev_t))
+                & (F.col("ts") <= F.col(prev_t) + F.expr("INTERVAL 1 HOUR"))
+            )
+        return base.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    s1 = stage("view", None, "", "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+
+    def cnt(df, name: str, idx: int):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return cnt(s1, "view", 1).unionByName(cnt(s2, "click", 2)).unionByName(
+        cnt(s3, "purchase", 3)
+    )
