@@ -188,3 +188,114 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         .collect()
     }
     assert salted == plain
+
+
+# (key 0-2, day-offset 0-30, amount) — sparse keyed daily series
+series_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(1, 100)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=series_rows)
+@settings(**_SETTINGS)
+def test_gapfill_forward_fill_invariants(spark, rows):
+    """Calendar gap-fill (the q_gapfill_daily shape): the dense grid covers
+    every key × every day in [min,max]; observed days keep their totals;
+    filled_total is non-null from each key's first observation onward and
+    equals the most recent observed total."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(k, f"2024-03-{d + 1:02d}", a) for k, d, a in rows],
+        "k int, day string, amount int",
+    ).select("k", F.to_date("day").alias("d"), "amount")
+    daily = df.groupBy("k", "d").agg(F.sum("amount").alias("total"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    grid = daily.select("k").distinct().crossJoin(F.broadcast(spine))
+    w = W.partitionBy("k").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    filled = grid.join(daily, ["k", "d"], "left").select(
+        "k", "d", "total", F.last("total", ignorenulls=True).over(w).alias("ff")
+    )
+    out = filled.collect()
+
+    keys = {k for k, _, _ in rows}
+    days = sorted({d for _, d, _ in rows})
+    span = days[-1] - days[0] + 1
+    assert len(out) == len(keys) * span
+
+    expect = {}
+    for k, d, a in rows:
+        expect[(k, d)] = expect.get((k, d), 0) + a
+    by_key_day = {(r.k, r.d.day - 1 - days[0]): r for r in out}
+    for k in keys:
+        last_seen = None
+        for off in range(span):
+            r = by_key_day[(k, off)]
+            obs = expect.get((k, off + days[0]))
+            if obs is not None:
+                assert r.total == obs
+                last_seen = obs
+            else:
+                assert r.total is None
+            assert r.ff == last_seen
+
+
+doc_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(1, 400)),  # (source, n_tokens)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=doc_rows)
+@settings(**_SETTINGS)
+def test_pack_sequences_invariants(spark, rows):
+    """Sequence packing (q_pack_sequences shape, budget 100): token mass is
+    conserved per source; sequence ids per source are exactly the distinct
+    start-offset buckets (no holes created by the groupBy); every sequence
+    holds ≥1 doc; docs stay in id order within their source's packing."""
+    from pyspark.sql import Window as W
+
+    budget = 100
+    df = spark.createDataFrame(
+        [(i, src, n) for i, (src, n) in enumerate(rows)],
+        "doc_id long, source int, n_tokens long",
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = df.withColumn("running", F.sum("n_tokens").over(w))
+    seq = F.floor((F.col("running") - F.col("n_tokens")) / F.lit(float(budget)))
+    packed = (
+        cum.select("source", seq.alias("seq_id"), "doc_id", "n_tokens")
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .collect()
+    )
+    per_source: dict[int, list] = {}
+    for r in packed:
+        per_source.setdefault(r.source, []).append(r)
+    for src, rs in per_source.items():
+        docs = [(i, n) for i, (s, n) in enumerate(rows) if s == src]
+        assert sum(r.total_tokens for r in rs) == sum(n for _, n in docs)
+        assert all(r.n_docs >= 1 for r in rs)
+        # expected bucket per doc from the running prefix sum
+        run, want_seqs = 0, set()
+        for _, n in docs:
+            want_seqs.add(run // budget)
+            run += n
+        assert {r.seq_id for r in rs} == want_seqs
+        # sequences ordered by id ⇒ doc ranges are disjoint and increasing
+        rs = sorted(rs, key=lambda r: r.seq_id)
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_doc < b.first_doc
