@@ -79,3 +79,27 @@ def test_parquet_writer_matrix(spark, tmp_path):
     parts = [p for p in (tmp_path / "capped").iterdir() if p.suffix == ".parquet"]
     assert len(parts) == 10  # 1000 rows / 100-row cap
     assert spark.read.parquet(capped).count() == 1000
+
+
+def test_json_and_orc_roundtrip(spark, tmp_path):
+    """Source/sink matrix beyond CSV+parquet: JSON-lines (schema-enforced
+    read — no runaway inference on a real pipeline) and ORC (built-in
+    columnar alternative) both round-trip typed rows."""
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+    )
+    jp = str(tmp_path / "j")
+    df.write.mode("overwrite").json(jp)
+    back_j = spark.read.schema("id long, v double, name string").json(jp)
+    assert sorted(map(tuple, back_j.collect())) == sorted(map(tuple, df.collect()))
+
+    op = str(tmp_path / "o")
+    df.write.mode("overwrite").option("compression", "zstd").orc(op)
+    back_o = spark.read.orc(op)
+    assert sorted(map(tuple, back_o.collect())) == sorted(map(tuple, df.collect()))
+    # ORC read-back relaxes nullability; names+types must survive
+    assert [(f.name, f.dataType) for f in back_o.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
