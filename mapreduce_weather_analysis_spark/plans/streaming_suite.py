@@ -165,3 +165,26 @@ if _has_protobuf():
         return result.groupBy("user_id", "event_type").agg(
             F.max("n_events").alias("n_events")
         )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    dropDuplicatesWithinWatermark keeps one row per (user_id, event_type)
+    and — unlike plain dropDuplicates on a stream — EVICTS keys once the
+    watermark passes them, so state is O(keys per watermark window), not
+    O(all keys ever). Drained availableNow; the emitted key set equals
+    batch DISTINCT (first-occurrence payload is arrival-order-dependent,
+    so only the keys are projected)."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(deduped, spark, mode="append")
