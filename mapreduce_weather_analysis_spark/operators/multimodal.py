@@ -141,3 +141,43 @@ def frame_sample_relational(
             F.sha2(frame, 256).alias("frame_sha"),
         )
     )
+
+
+def fake_decode_features_arrow(blobs: DataFrame) -> DataFrame:
+    """mapInArrow twin of :func:`fake_decode_features`: same fake decode,
+    but the batch API is pyarrow RecordBatch — no pandas materialization,
+    which matters when blobs are large (Arrow buffers stay zero-copy until
+    the numpy view). Tests assert it is row-identical to the pandas path."""
+
+    def _decode_batch(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            rows = []
+            for doc_id, blob in zip(ids, batch.column("blob").to_pylist()):
+                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n = int(data.size)
+                width = max(int(n**0.5), 1)
+                height = max(n // width, 1)
+                hist = np.bincount(data % FEATURE_DIM, minlength=FEATURE_DIM)
+                feats = (hist / max(n, 1)).astype(float).tolist()
+                rows.append((int(doc_id), n, width, height, feats))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[i] for r in rows], type=t)
+                    for i, t in enumerate(
+                        (
+                            pa.int64(),
+                            pa.int64(),
+                            pa.int32(),
+                            pa.int32(),
+                            pa.list_(pa.float64()),
+                        )
+                    )
+                ],
+                names=["doc_id", "n_bytes", "width", "height", "features"],
+            )
+
+    return blobs.select("doc_id", "blob").mapInArrow(_decode_batch, DECODED_SCHEMA)

@@ -310,3 +310,19 @@ def test_sketch_set_ops_accuracy(spark):
         (r.click_only, len(c - p)),
     ]:
         assert abs(got - exact) <= max(0.05 * exact, 2), (got, exact)
+
+
+def test_map_in_arrow_equals_pandas_decode(spark):
+    """The mapInArrow decode path must be row-identical to the mapInPandas
+    one (same fake codec, different batch transport)."""
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        attach_blob,
+        fake_decode_features,
+        fake_decode_features_arrow,
+    )
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    blobs = attach_blob(load_table(spark, SMOKE_SF, "documents"), "text", "doc_id")
+    a = sorted(map(tuple, fake_decode_features(blobs).collect()))
+    b = sorted(map(tuple, fake_decode_features_arrow(blobs).collect()))
+    assert a == b
