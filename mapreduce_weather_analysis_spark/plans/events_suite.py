@@ -493,3 +493,101 @@ def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_only"
         ),
     )
+
+
+@register(
+    "q_events_funnel_sessionized",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ),
+    v AS (
+      SELECT user_id, session_id, MIN(ts_us) AS t1 FROM s
+      WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT s.user_id, s.session_id, MIN(s.ts_us) AS t2
+      FROM s JOIN v ON s.user_id = v.user_id AND s.session_id = v.session_id
+                   AND s.ts_us > v.t1
+      WHERE s.event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT s.user_id, s.session_id, MIN(s.ts_us) AS t3
+      FROM s JOIN c ON s.user_id = c.user_id AND s.session_id = c.session_id
+                   AND s.ts_us > c.t2
+      WHERE s.event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT 'view' AS stage, 1 AS stage_idx, COUNT(*) AS n_sessions FROM v
+    UNION ALL SELECT 'click', 2, COUNT(*) FROM c
+    UNION ALL SELECT 'purchase', 3, COUNT(*) FROM p
+    """,
+)
+def q_events_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel scoped to sessions: view → click → purchase must all happen
+    inside one 30-min-gap session (the per-visit conversion funnel product
+    analytics actually reports). Composition of the sessionize pass with
+    the conditional-min cascade — every stage keyed on (user_id,
+    session_id), so the whole pipeline runs on one co-partitioning."""
+    e = t(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > 1_800_000_000)
+            | F.lag(ts_us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = gaps.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum("is_new").over(w2).cast("bigint").alias("session_id"),
+    )
+
+    def stage(evt: str, prev, prev_t: str, out_t: str):
+        base = s.where(F.col("event_type") == evt)
+        if prev is not None:
+            base = base.join(prev, ["user_id", "session_id"]).where(
+                F.col("ts_us") > F.col(prev_t)
+            )
+        return base.groupBy("user_id", "session_id").agg(
+            F.min("ts_us").alias(out_t)
+        )
+
+    v = stage("view", None, "", "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+
+    def cnt(df, name: str, idx: int):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+
+    return cnt(v, "view", 1).unionByName(cnt(c, "click", 2)).unionByName(
+        cnt(p, "purchase", 3)
+    )
