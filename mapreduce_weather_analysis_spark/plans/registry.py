@@ -58,15 +58,94 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def all_queries() -> dict[str, QueryFn]:
+# Driver-facing emission order. The correctness driver verifies registry
+# entries front-to-back with a bounded budget (round 1 stopped at 50), so the
+# dict order below is load-bearing: the reference-surface queries (SURVEY.md
+# §2, O1-O13) come first, then the LLM-data-pipeline extension flagships that
+# round 1 left unchecked (VERDICT.md "What's wrong" #1), then the newly
+# oracled ex-rows-only queries. Everything not listed follows in registration
+# order — those all have green hash-match rows from CORRECTNESS_r01.json.
+_PRIORITY: tuple[str, ...] = (
+    # -- reference surface (O1-O13 per VERDICT coverage table) --
+    "q_max_month",
+    "q_city_month",
+    "q_city_month_formatted",
+    "q_scan_filter_project",
+    "q_join_inner",
+    "q_date_funcs",
+    "q_case_coalesce",
+    "q_topk_global",
+    "q_sql_api_shipping",
+    # -- extension block: events / sketches / funnels --
+    # (q_events_tumbling already has a green r01 hash-match row -> tail)
+    "q_events_sliding",
+    "q_events_sessionize",
+    "q_approx_count_distinct",
+    "q_events_session_window",
+    "q_scd2_history",
+    "q_events_funnel",
+    "q_retention_cohorts",
+    "q_sketch_mergeable",
+    "q_sketch_quantiles",
+    "q_events_funnel_windowed",
+    "q_sketch_set_ops",
+    "q_events_funnel_sessionized",
+    # -- deduplication --
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_dedup_apply",
+    "q_dedup_clusters",
+    # -- similarity search --
+    "q_ann_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_embed_neardup",
+    "q_ann_ivf_topk",
+    # -- text analysis --
+    "q_text_quality",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_tfidf_top_terms",
+    "q_corpus_split",
+    "q_stratified_sample",
+    "q_pii_scrub",
+    "q_pack_sequences",
+    # -- multimodal --
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_frame_sample",
+    # -- streaming --
+    "q_stream_tumbling",
+    "q_stream_stateful_counts",
+    "q_stream_stream_join",
+    "q_stream_dedup",
+    # -- ex-rows-only queries, re-checked with their new oracles --
+    "q_pandas_udf_cosine",
+    "q_udtf_chunk_text",
+    "q_group_trend_pandas",
+)
+
+
+def _ordered_specs() -> list[QuerySpec]:
     _import_plans()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    tail = [s for n, s in REGISTRY.items() if n not in set(_PRIORITY)]
+    return [REGISTRY[n] for n in _PRIORITY] + tail
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {spec.name: spec.fn for spec in _ordered_specs()}
 
 
 def all_oracles() -> dict[str, str]:
-    _import_plans()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        spec.name: spec.oracle
+        for spec in _ordered_specs()
+        if spec.oracle is not None
     }
 
 
