@@ -1,7 +1,16 @@
 """Grouped-map (applyInPandas) operator — the sanctioned slow path for
-per-group logic no builtin expresses (here: per-group OLS trend fitting,
-a real numpy job). Rows-only driver check; tests cross-validate against
-the closed-form solution computed with builtin aggregates."""
+per-group logic no builtin expresses (here: per-group OLS trend fitting).
+
+Bit-reproducibility design: the fit is the closed-form OLS over integer
+sufficient statistics — x = µs since the group's first event (int64),
+y = value·1000 (the fixture values are exact 3-decimal doubles, so this
+is an exact integer). Σx, Σy, Σxy, Σx² accumulate in arbitrary-precision
+Python ints / DuckDB HUGEINT, so they are EXACT and order-independent;
+slope and intercept are then a fixed, mirrored sequence of scalar IEEE
+double ops on identical operands. That is what lets a Python grouped-map
+carry a full hash-checked DuckDB oracle (plain lstsq — SVD, pairwise
+sums — could never hash-match). Tests cross-validate against lstsq
+within float tolerance."""
 
 from __future__ import annotations
 
@@ -11,15 +20,43 @@ from .registry import register, t
 
 TREND_SCHEMA = "event_type string, n bigint, slope double, intercept double"
 
+# slope: value-units per SECOND (x is µs → ×1e6, y is milli-units → ÷1e3,
+# net ×1000.0); intercept: fitted value at the group's first event time.
+_TREND_ORACLE = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1000) AS HUGEINT) AS ym
+  FROM events
+), c AS (
+  SELECT event_type,
+         CAST(ts_us - MIN(ts_us) OVER (PARTITION BY event_type) AS HUGEINT)
+           AS x,
+         ym
+  FROM b
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(ym) AS sy,
+         SUM(x * ym) AS sxy, SUM(x * x) AS sxx
+  FROM c GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0 AS slope,
+       (CAST(sy AS DOUBLE) / 1000.0
+        - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(sx AS DOUBLE) / 1000.0) / n AS intercept
+FROM s
+"""
 
-@register("q_group_trend_pandas", oracle=None)
+
+@register("q_group_trend_pandas", oracle=_TREND_ORACLE)
 def q_group_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value trend via applyInPandas (Arrow batch per group).
 
     Scale note: groups must fit in one executor's memory — correct here
     (5 event types × bounded projection); for huge groups, pre-aggregate
     the sufficient statistics (Σx, Σy, Σxy, Σx²) with builtins instead —
-    that closed form is exactly what the tests verify this against.
+    the same closed form this computes exactly (see module docstring).
 
     NB: the pandas function is a NESTED def on purpose — cloudpickle ships
     closures by value, so executors need no importable copy of this package
@@ -28,20 +65,27 @@ def q_group_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     def fit_group_trend(pdf):
-        import numpy as np
         import pandas as pd
 
-        x = pdf["ts_us"].to_numpy(dtype=np.float64)
-        y = pdf["value"].to_numpy(dtype=np.float64)
-        x = (x - x.mean()) / 1e6  # seconds, centered — conditioning
-        a = np.vstack([x, np.ones_like(x)]).T
-        (slope, intercept), *_ = np.linalg.lstsq(a, y, rcond=None)
+        ts = [int(v) for v in pdf["ts_us"].tolist()]
+        ts0 = min(ts)
+        x = [v - ts0 for v in ts]
+        y = [int(round(v * 1000)) for v in pdf["value"].tolist()]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        # mirror the oracle's double op order exactly (one op at a time)
+        slope = float(num) / float(den) * 1000.0
+        intercept = (float(sy) / 1000.0
+                     - float(num) / float(den) * float(sx) / 1000.0) / n
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "n": [len(pdf)],
-                "slope": [float(slope)],
-                "intercept": [float(intercept)],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [intercept],
             }
         )
 

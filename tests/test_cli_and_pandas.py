@@ -59,14 +59,16 @@ def test_group_trend_matches_closed_form(spark):
             F.avg("value").alias("my"),
             F.covar_pop("xc", "value").alias("cxy"),
             F.var_pop("xc").alias("vx"),
+            F.min("ts_us").alias("ts0"),
         )
         .collect()
     )
     for r in stats:
-        # slope in value-per-second (pandas op centers and rescales x to s)
+        # slope in value-per-second; intercept = fitted value at the
+        # group's FIRST event time (x = ts_us - min ts_us, see plan docstring)
         slope = (r.cxy / r.vx) * 1e6
-        intercept = r.my  # x centered ⇒ intercept is the mean of y
+        intercept = r.my - (r.cxy / r.vx) * (r.mx - r.ts0)
         n, got_slope, got_intercept = got[r.event_type]
         assert n == r.n
         assert math.isclose(got_slope, slope, rel_tol=1e-6), (got_slope, slope)
-        assert math.isclose(got_intercept, intercept, rel_tol=1e-9)
+        assert math.isclose(got_intercept, intercept, rel_tol=1e-6)
