@@ -1,7 +1,10 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 with decode/feature-extract as Arrow-batched ``mapInPandas`` operators.
 
-The image/audio codecs aren't in this container, so the *decode* step is
+The image/audio codecs aren't in this container (committed probe:
+``scripts/env_probe.py`` output recorded in ``ENVIRONMENT.md`` — no PIL,
+cv2, av, soundfile, nor ffmpeg/ffprobe binaries; installs are out of
+scope), so the *decode* step is
 either (a) a deterministic fake used to exercise the real Spark plumbing
 (schemas, batch iteration, partitioning) end-to-end, or (b) a
 clearly-marked ``NotImplementedError`` stub showing exactly where a real
