@@ -1,19 +1,27 @@
-"""Iterative graph operators: connected components via min-label
-propagation — the transitive-closure step that upgrades pairwise near-dup
-detection into proper duplicate CLUSTERS.
+"""Iterative graph operators: connected components — the transitive-closure
+step that upgrades pairwise near-dup detection into duplicate CLUSTERS.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+two relational steps (per-node min + join), and the edge relation
+contracts toward a forest of depth-1 stars rooted at each component's
+minimum id in **O(log n) rounds** (vs O(diameter) for naive min-label
+propagation: a 64-node chain converges in ~6 rounds instead of ~63 —
+asserted in tests/test_extensions.py).
 
 This is the engine's one genuinely iterative algorithm (driver-side loop,
-each step a distributed join). Lineage is cut with ``localCheckpoint`` per
-iteration — the standard posture for iterative Spark (GraphX/Pregel
+each step a distributed job). Lineage is cut with ``localCheckpoint`` per
+round — the standard posture for iterative Spark (GraphX/Pregel
 materialize the same way); without it the plan doubles every round.
-Convergence: min-label propagation moves a label one hop per iteration, so
-it finishes in O(component diameter) rounds — near-dup clusters are tiny
-(diameter ≤ a handful), and ``max_iter`` bounds the pathological case.
+Convergence is detected from a (count, checksum) aggregate over the
+already-checkpointed round output — one tiny job, no extra self-join
+(xxhash64 collision odds ~2^-64 per round; ``max_iter`` bounds even that).
 
-Scale: each iteration is one shuffle join on node id over the EDGE
-relation (≪ corpus: only near-dup members appear). The big-graph
-refinement (large-star/small-star, alternating to cut diameter) drops into
-the same loop shape.
+Scale: every step shuffles only the EDGE relation (≪ corpus: only
+near-dup members appear), and the star contraction specifically bounds
+the high-degree-node blowup that breaks label propagation on skewed
+graphs — large-star re-points every neighbor of a hub at the hub's
+minimum, so hub adjacency lists shrink geometrically.
 """
 
 from __future__ import annotations
@@ -22,44 +30,97 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct (u > v)-oriented edge relation, self-loops dropped."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    return (
+        e.select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of each node to the node's
+    minimum neighborhood id. Input/output: (u > v)-oriented distinct."""
+    s = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = s.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("u", "mn").alias("m"))
+    return (
+        s.where(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor (and the node itself) to the node's
+    minimum neighborhood id. Input/output: (u > v)-oriented distinct."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    joined = e.join(m, "u")
+    re_pointed = (
+        joined.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+    return re_pointed.union(self_edge).where(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    """(row count, order-independent checksum) of the edge relation."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38) accumulator: a raw long sum overflows under ANSI mode
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """(node, component) for every node in ``edges`` (undirected);
-    component = min node id reachable. Deterministic."""
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    """(node, component) for every node appearing in ``edges`` (undirected);
+    component = min node id reachable. Deterministic.
+
+    ``stats``, if given, receives {"rounds": int} — the number of
+    large-star/small-star rounds until fixpoint (O(log n)).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    labels = und.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
-    )
+    e = _canonical(edges, src, dst).localCheckpoint()
+    fp = _fingerprint(e)
+    rounds = 0
     for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels, und.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        new_fp = _fingerprint(e)
+        if new_fp == fp:
             break
-    return labels
+        fp = new_fp
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint is a forest of depth-1 stars: u (leaf) -> v (root). The
+    # groupBy-min is a safety net for a max_iter cutoff mid-convergence.
+    leaf_labels = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    return (
+        nodes.join(leaf_labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )

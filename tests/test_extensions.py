@@ -326,3 +326,36 @@ def test_map_in_arrow_equals_pandas_decode(spark):
     a = sorted(map(tuple, fake_decode_features(blobs).collect()))
     b = sorted(map(tuple, fake_decode_features_arrow(blobs).collect()))
     assert a == b
+
+
+def test_connected_components_star_correct_and_logarithmic(spark):
+    """Star CC: correct labels on a multi-component graph, and a 64-node
+    chain must converge in O(log n) rounds (min-label would need ~63)."""
+    from mapreduce_weather_analysis_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two components + an isolated self-loop node
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 20)],
+        ["src", "dst"],
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20),
+    }
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["src", "dst"]
+    )
+    stats: dict = {}
+    labels = connected_components(chain, "src", "dst", stats=stats)
+    assert {(r.node, r.component) for r in labels.collect()} == {
+        (i, 0) for i in range(64)
+    }
+    assert stats["rounds"] <= 10, stats  # O(log n); naive needs ~diameter
