@@ -42,14 +42,28 @@ from ..functions.text import (
 )
 
 # --- MinHash constants (shared with oracle SQL) ------------------------------
-# k=16 permutations h_i(x) = (a_i*x + b_i) mod P over P = 2^31-1; products
-# stay < 2^62 so int64 arithmetic is overflow-identical in both engines.
+# Permutations h_i(x) = (a_i*x + b_i) mod P over P = 2^31-1; products stay
+# < 2^62 so int64 arithmetic is overflow-identical in both engines. The
+# (k, bands) operating point is a tunable: the oracle-checked queries pin
+# (16, 4) — cheap, coarse est_jaccard, near-certain banding recall for the
+# fixtures' ~0.97-Jaccard planted dups — while tests also exercise a
+# (128, 32) point (4-row bands: candidate P(j)=1-(1-j^4)^32, steep around
+# j≈0.4) whose estimator is ~√8 tighter. Pick k for estimator precision,
+# then bands/rows for where the recall S-curve should turn on.
+
+
+def minhash_perms(k: int) -> list[tuple[int, int]]:
+    """k LCG-derived (a, b) permutation constants (public-knowledge recipe,
+    deterministic, identical in the SQL twin)."""
+    a = [(1103515245 * (i + 1) + 12345) % HASH_PRIME for i in range(k)]
+    b = [(69069 * (i + 1) + 1234567) % HASH_PRIME for i in range(k)]
+    return list(zip(a, b))
+
+
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
-_A = [(1103515245 * (i + 1) + 12345) % HASH_PRIME for i in range(MINHASH_K)]
-_B = [(69069 * (i + 1) + 1234567) % HASH_PRIME for i in range(MINHASH_K)]
-MINHASH_PERMS = list(zip(_A, _B))
+MINHASH_PERMS = minhash_perms(MINHASH_K)
 
 # --- SimHash constants -------------------------------------------------------
 SIMHASH_BITS = 32
@@ -121,18 +135,21 @@ def _perm_min(hv: Column, a: int, b: int) -> Column:
     return F.array_min(F.transform(hv, lambda x: (x * a + b) % HASH_PRIME))
 
 
-def minhash_signature(sh_col: Column) -> Column:
+def minhash_signature(sh_col: Column, k: int = MINHASH_K) -> Column:
     """k-long minhash signature of a shingle array (single JVM expression)."""
     hv = hashed_list(sh_col)
-    return F.array(*[_perm_min(hv, a, b) for a, b in MINHASH_PERMS])
+    return F.array(*[_perm_min(hv, a, b) for a, b in minhash_perms(k)])
 
 
-def lsh_band_keys(sig_col: Column) -> Column:
-    """Array of LSH_BANDS band keys (joined row values per band)."""
+def lsh_band_keys(
+    sig_col: Column, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> Column:
+    """Array of band keys (joined row values per band)."""
+    rows = k // bands
     return F.array(
         *[
-            F.concat_ws(",", F.slice(sig_col, j * LSH_ROWS + 1, LSH_ROWS))
-            for j in range(LSH_BANDS)
+            F.concat_ws(",", F.slice(sig_col, j * rows + 1, rows))
+            for j in range(bands)
         ]
     )
 
@@ -143,7 +160,9 @@ def _portable_hash_col(c: str) -> Column:
     )
 
 
-def minhash_signatures_relational(exd: DataFrame) -> DataFrame:
+def minhash_signatures_relational(
+    exd: DataFrame, k: int = MINHASH_K
+) -> DataFrame:
     """(doc_id, sig) from distinct (doc_id, s) shingle rows: codegen hash →
     grouped per-perm MIN.
 
@@ -156,18 +175,23 @@ def minhash_signatures_relational(exd: DataFrame) -> DataFrame:
     hashed = exd.select("doc_id", _portable_hash_col("s").alias("hx"))
     aggs = [
         F.min((F.col("hx") * a + b) % HASH_PRIME).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
+        for i, (a, b) in enumerate(minhash_perms(k))
     ] + [F.count(F.lit(1)).alias("n_sh")]
     sigcols = hashed.groupBy("doc_id").agg(*aggs)
     return sigcols.select(
         "doc_id",
-        F.array(*[f"mh_{i}" for i in range(MINHASH_K)]).alias("sig"),
+        F.array(*[f"mh_{i}" for i in range(k)]).alias("sig"),
         "n_sh",
     )
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b) with estimated + exact Jaccard.
 
@@ -175,7 +199,11 @@ def minhash_lsh_pairs(
     → signature agreement estimate → exact Jaccard verify ≥ threshold,
     computed ONLY for candidates (the shingle-overlap join is restricted to
     candidate pairs — never all-pairs).
+
+    (k, bands) picks the operating point: rows-per-band r = k/bands gives
+    candidate probability 1-(1-j^r)^bands; see the constants block.
     """
+    assert k % bands == 0, "k must divide evenly into bands"
     # Both relations fan out to 2-3 consumers below; without materialization
     # Spark recomputes the shingle split + 16-permutation hashing per branch
     # (~30% of query wall here, worse at scale). localCheckpoint cuts the
@@ -183,14 +211,16 @@ def minhash_lsh_pairs(
     # played by a persisted intermediate (disk-backed) so executor loss
     # doesn't strand the only copy.
     exd = shingle_rows(docs, text_col, id_col).localCheckpoint()
-    sig = minhash_signatures_relational(exd).localCheckpoint()
+    sig = minhash_signatures_relational(exd, k=k).localCheckpoint()
 
-    bands = sig.select(
+    band_rel = sig.select(
         "doc_id",
-        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+        F.posexplode(lsh_band_keys(F.col("sig"), k=k, bands=bands)).alias(
+            "band_idx", "band_key"
+        ),
     )
-    left = bands.alias("a")
-    right = bands.alias("b")
+    left = band_rel.alias("a")
+    right = band_rel.alias("b")
     cand = (
         left.join(
             right,
@@ -207,7 +237,7 @@ def minhash_lsh_pairs(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, v: acc + v,
-    ) / F.lit(float(MINHASH_K))
+    ) / F.lit(float(k))
     est_pairs = (
         cand.join(
             sig.select(

@@ -359,3 +359,40 @@ def test_connected_components_star_correct_and_logarithmic(spark):
         (i, 0) for i in range(64)
     }
     assert stats["rounds"] <= 10, stats  # O(log n); naive needs ~diameter
+
+
+def test_minhash_operating_points_recall_precision(spark):
+    """Parameterized (k, bands): measure the LSH candidate stage against
+    exact all-pairs Jaccard at two operating points. The 128-perm/32-band
+    point must (a) keep full recall on the planted near-dups, and (b) give
+    a materially tighter Jaccard estimator than the default 16/4 point
+    (RMSE over verified pairs ~ sqrt(j(1-j)/k) halves three times)."""
+    from mapreduce_weather_analysis_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    assert truth, "fixture corpus has planted near-dups"
+
+    rmse = {}
+    for k, bands in ((16, 4), (128, 32)):
+        got = {
+            (r.doc_a, r.doc_b): (r.est_jaccard, r.jaccard)
+            for r in minhash_lsh_pairs(
+                docs, "text", "doc_id", 0.5, k=k, bands=bands
+            ).collect()
+        }
+        # recall: every true pair surfaced by banding; precision: the exact
+        # verify step makes emitted pairs a subset of truth by construction
+        recall = len(set(got) & set(truth)) / len(truth)
+        assert recall == 1.0, f"(k={k},b={bands}) recall={recall}"
+        assert set(got) <= set(truth)
+        errs = [(est - truth[p]) ** 2 for p, (est, _) in got.items()]
+        rmse[k] = (sum(errs) / len(errs)) ** 0.5
+    assert rmse[128] < rmse[16] * 0.7, rmse
