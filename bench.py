@@ -35,6 +35,7 @@ HEADLINE = [
     "q_agg_pricing_summary",
     "q_join_inner",
     "q_window_topk_per_group",
+    "q_window_running_sum",
     "q_topk_global",
     # events / time
     "q_events_tumbling",
@@ -42,10 +43,36 @@ HEADLINE = [
     # training-data pipeline extensions
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_clusters",
     "q_ann_cosine_topk",
+    "q_ann_ivf_topk",
     "q_text_quality",
     "q_token_count",
 ]
+
+# Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
+# A timed run at sf0.1 that exceeds 2x its baseline (plus a 0.75 s absolute
+# floor so sub-second queries don't flake on scheduler noise) fails the run
+# with a non-zero exit AFTER printing the JSON line.
+BASELINE_SEC = {
+    "q_max_month": 3.4,
+    "q_city_month": 2.1,
+    "q_city_month_formatted": 1.4,
+    "q_agg_pricing_summary": 1.8,
+    "q_join_inner": 1.1,
+    "q_window_topk_per_group": 0.9,
+    "q_window_running_sum": 1.0,
+    "q_topk_global": 0.3,
+    "q_events_tumbling": 1.1,
+    "q_events_sessionize": 1.0,
+    "q_dedup_minhash_lsh": 6.4,
+    "q_dedup_simhash": 1.7,
+    "q_dedup_clusters": 3.7,
+    "q_ann_cosine_topk": 1.3,
+    "q_ann_ivf_topk": 3.1,
+    "q_text_quality": 0.7,
+    "q_token_count": 0.4,
+}
 
 
 def _sf_of(path: str) -> float:
@@ -71,8 +98,8 @@ def main() -> None:
             REGISTRY[name].fn(spark, warm_sf).write.mode("overwrite").format(
                 "noop"
             ).save()
-        except Exception:
-            pass  # warmup is best-effort; the timed run surfaces real errors
+        except Exception as exc:  # loud: a broken warmup means a broken query
+            print(f"WARMUP FAILED {name}: {exc!r}", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -82,6 +109,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
+    sf = _sf_of(SF_DIR)
     print(
         json.dumps(
             {
@@ -89,10 +117,25 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": _sf_of(SF_DIR),
+                "sf": sf,
             }
         )
     )
+
+    # Per-query regression gate (bounds are calibrated at sf0.1 only).
+    if sf == 0.1:
+        over = {
+            n: (t, BASELINE_SEC[n])
+            for n, t in timings.items()
+            if n in BASELINE_SEC and t > max(2 * BASELINE_SEC[n], BASELINE_SEC[n] + 0.75)
+        }
+        if over:
+            for n, (t, base) in over.items():
+                print(
+                    f"BOUND EXCEEDED {n}: {t:.3f}s > 2x baseline {base:.1f}s",
+                    file=sys.stderr,
+                )
+            sys.exit(1)
 
 
 if __name__ == "__main__":
