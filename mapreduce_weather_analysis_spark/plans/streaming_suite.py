@@ -166,6 +166,28 @@ if _has_protobuf():
             F.max("n_events").alias("n_events")
         )
 
+    @register("q_stream_tws_idle_sessions", oracle=None)
+    def q_stream_tws_idle_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Timer-path TWS (handleExpiredTimer): per-user idle-session flush
+        in EventTime mode — sessions closed by a later same-user event emit
+        from handleInputRows; trailing sessions emit when the global
+        watermark passes last+gap. Rows-only check: which trailing sessions
+        flush depends on whether the runner schedules a final timer batch
+        under availableNow (environment-dependent); the data-closed subset
+        is deterministic and test-asserted."""
+        from ..streaming.events_stream import user_idle_sessions_tws
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        events = read_events_stream(spark, sf_dir).withWatermark(
+            "ts", "0 seconds"
+        )
+        sessions = user_idle_sessions_tws(events, gap_minutes=30)
+        return run_available_now(sessions, spark, mode="append")
+
 
 @register(
     "q_stream_dedup",

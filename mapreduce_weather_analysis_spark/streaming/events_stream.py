@@ -192,3 +192,87 @@ def per_type_user_counts_tws(events: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+def user_idle_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Timer-driven session flush on ``transformWithStateInPandas``
+    (EventTime mode) — the ``handleExpiredTimer`` path: per-user open
+    session (n, last_ms) in ValueState; sessions closed by a LATER event
+    of the same user emit from ``handleInputRows``, and the trailing open
+    session emits from ``handleExpiredTimer`` once the (global) watermark
+    passes last_ms + gap. One event-time timer per key, re-registered on
+    every input batch (register-new-then-delete-old, so a processor crash
+    between the two calls leaves an extra stale timer — which the expiry
+    handler ignores via the expiry==last+gap check — rather than none).
+
+    Emission is batch-structure independent: a session row appears exactly
+    when something PROVES the session closed (a newer event, or watermark
+    passage). Requires ``withWatermark`` upstream. Env-gated like
+    :func:`per_type_user_counts_tws` (protobuf — see ENVIRONMENT.md)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    class IdleSessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open_session", "n bigint, last_ms bigint"
+            )
+            self._handle = handle
+
+        def _emit(self, key, n, last_ms):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "session_end_ms": [last_ms],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._open.get()
+            n, last = (int(cur[0]), int(cur[1])) if cur is not None else (0, None)
+            ts_all = []
+            for pdf in rows:
+                ts_all.extend(int(v) for v in pdf["ts_ms"].tolist())
+            ts_all.sort()
+            for ts in ts_all:
+                if last is not None and ts - last > gap_ms:
+                    yield self._emit(key, n, last)
+                    n, last = 1, ts
+                else:
+                    n, last = n + 1, max(last, ts) if last is not None else ts
+            self._open.update((n, last))
+            new_timer = last + gap_ms
+            for old in list(self._handle.listTimers()):
+                if old != new_timer:
+                    self._handle.deleteTimer(old)
+            self._handle.registerTimer(new_timer)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            cur = self._open.get()
+            if cur is None:
+                return
+            n, last = int(cur[0]), int(cur[1])
+            # stale-timer guard: only the timer matching the live session
+            # flushes it (a newer event re-registered a later timer)
+            if expiredTimerInfo.getExpiryTimeInMs() == last + gap_ms:
+                yield self._emit(key, n, last)
+                self._open.clear()
+
+        def close(self) -> None:
+            pass
+
+    with_ms = events.select(
+        "user_id", "ts", F.unix_millis("ts").alias("ts_ms")
+    )
+    return with_ms.groupBy("user_id").transformWithStateInPandas(
+        IdleSessions(),
+        "user_id bigint, n_events bigint, session_end_ms bigint",
+        "Append",
+        "EventTime",
+    )

@@ -200,3 +200,53 @@ def test_tws_query_gated_on_protobuf(spark):
         .collect()
     }
     assert got == want
+
+
+def test_tws_idle_sessions_timer_path(spark):
+    """Timer-driven TWS session flush (handleExpiredTimer). Skipped without
+    protobuf (ENVIRONMENT.md). Where runnable: every session CLOSED BY A
+    LATER EVENT of the same user must emit exactly its batch-sessionization
+    row; trailing sessions may additionally emit iff the watermark passed
+    them (final-timer-batch scheduling is runner-dependent)."""
+    from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
+    from mapreduce_weather_analysis_spark.plans.streaming_suite import _has_protobuf
+
+    assert ("q_stream_tws_idle_sessions" in REGISTRY) == _has_protobuf()
+    if not _has_protobuf():
+        pytest.skip("protobuf not installed: TWS path env-gated")
+
+    got = {
+        (r.user_id, r.n_events, r.session_end_ms)
+        for r in REGISTRY["q_stream_tws_idle_sessions"].fn(spark, SMOKE_SF).collect()
+    }
+    from pyspark.sql import Window as W
+
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    e = load_table(spark, SMOKE_SF, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms")
+    gap = 30 * 60 * 1000
+    sess = (
+        e.withColumn("prev", F.lag("ts_ms").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull() | (F.col("ts_ms") - F.col("prev") > gap)).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts_ms").alias("session_end_ms"))
+    )
+    last = sess.groupBy("user_id").agg(F.max("sess_id").alias("last_sess"))
+    closed_by_data = {
+        (r.user_id, r.n_events, r.session_end_ms)
+        for r in sess.join(last, "user_id")
+        .where(F.col("sess_id") < F.col("last_sess"))
+        .collect()
+    }
+    all_sessions = {
+        (r.user_id, r.n_events, r.session_end_ms) for r in sess.collect()
+    }
+    assert closed_by_data <= got <= all_sessions
+    assert len(closed_by_data) > 0
