@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import hashed_list_sql, tokens_sql
+from ..functions.text import hashed_list_sql, shingles_sql, tokens_sql
 from ..operators.dedup import (
     SIMHASH_BANDS,
     exact_dedup,
@@ -242,4 +242,59 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
+    )
+
+
+_DECON_N = 4  # n-gram width for contamination (corpus docs are ~50-200 toks)
+_DECON_EVAL = 23  # doc_id % _DECON_EVAL == 0 -> held-out "benchmark" doc
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest({shingles_sql('toks', _DECON_N)}) AS s
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+    ),
+    eval_sh AS (
+      SELECT DISTINCT doc_id AS eval_id, s FROM sh WHERE doc_id % {_DECON_EVAL} = 0
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {_DECON_EVAL} <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.s) AS n_shared_shingles,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit
+    FROM train_sh t JOIN eval_sh e ON t.s = e.s
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    4-token shingle with the held-out eval split (doc_id % 23 == 0 —
+    the stand-in for a benchmark suite), with overlap counts. The standard
+    LLM pretraining hygiene step (n-gram collision decontamination).
+
+    Scale posture: the eval side is benchmark-sized (MBs even at 100 TB of
+    train data), so its distinct shingle relation BROADCASTS — the train
+    side is scanned once, shingled in-map, and hash-joined with no shuffle
+    of train data; only the (tiny) per-doc overlap counts aggregate.
+    """
+    from ..operators.dedup import shingle_rows
+
+    d = t(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "text", "doc_id", n=_DECON_N)
+    is_eval = F.col("doc_id") % _DECON_EVAL == 0
+    eval_sh = sh.where(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "s"
+    )
+    train_sh = sh.where(~is_eval)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
     )

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Scale the extension-block inputs (documents/embeddings) by N and time
+the heavy dedup/ANN/text pipelines against the sf0.1 originals — the
+SCALE.md evidence that the LSH/IVF/star-CC plans, not just the relational
+core, extrapolate.
+
+Replication preserves workload character instead of exploding it:
+- documents: each replica r suffixes every TOKEN with "_r", so replicas
+  share no shingles (cross-replica Jaccard 0) and the planted near-dup
+  pairs simply repeat once per replica — near-dup density per bucket is
+  constant, total work scales linearly. A naive copy would make every doc
+  a 10-way exact dup and quadratically blow up the candidate stage.
+- embeddings: replica r shifts ids and adds a tiny deterministic bias to
+  one coordinate — corpus size scales, geometry stays ANN-shaped.
+
+Usage: python scripts/ext_scale_stress.py [MULT] [OUT_DIR]
+Writes {documents,embeddings}.parquet to OUT_DIR (default /tmp/ext10x)
+then times registry queries with sf_dir=OUT_DIR vs /root/testdata/sf0.1.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+QUERIES = [
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    "q_dedup_simhash",
+    "q_ann_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_pack_sequences",
+]
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ext10x"
+    base = "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.plans.registry import (
+        REGISTRY,
+        _import_plans,
+    )
+    from mapreduce_weather_analysis_spark.session import get_spark
+
+    _import_plans()
+    spark = get_spark(app_name="ext-scale-stress")
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    n_docs = docs.count()
+    reps = []
+    for r in range(mult):
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.concat(t, F.lit(f"_{r}")),
+            ),
+            " ",
+        )
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    big_docs = reps[0]
+    for p in reps[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    n_emb = emb.count()
+    ereps = []
+    for r in range(mult):
+        shifted = F.transform(
+            F.col("embedding"), lambda x, i: x + (i == 0).cast("float") * (0.001 * r)
+        )
+        ereps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+                shifted.cast("array<float>").alias("embedding"),
+                "label",
+            )
+        )
+    big_emb = ereps[0]
+    for p in ereps[1:]:
+        big_emb = big_emb.unionByName(p)
+    big_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    print(f"scaled: documents {n_docs}->{n_docs * mult}, "
+          f"embeddings {n_emb}->{n_emb * mult}")
+
+    for name in QUERIES:
+        fn = REGISTRY[name].fn
+        # warm plan/codegen at the smoke SF
+        fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        row = []
+        for sf_dir in (base, out):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            row.append(time.perf_counter() - t0)
+        print(
+            f"{name}: sf0.1={row[0]:.2f}s {mult}x={row[1]:.2f}s "
+            f"ratio={row[1] / row[0]:.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
