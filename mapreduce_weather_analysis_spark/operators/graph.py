@@ -95,13 +95,17 @@ def connected_components(
     ``stats``, if given, receives {"rounds": int} — the number of
     large-star/small-star rounds until fixpoint (O(log n)).
     """
+    # materialize the edge input ONCE: both the node universe and the
+    # canonical relation derive from it, and without this the (possibly
+    # expensive — e.g. full MinHash-LSH) upstream plan executes twice
+    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        ed.select(F.col("s").alias("node"))
+        .union(ed.select(F.col("d").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    e = _canonical(edges, src, dst).localCheckpoint()
+    e = _canonical(ed, "s", "d").localCheckpoint()
     fp = _fingerprint(e)
     rounds = 0
     for _ in range(max_iter):
