@@ -396,3 +396,46 @@ def test_minhash_operating_points_recall_precision(spark):
         errs = [(est - truth[p]) ** 2 for p, (est, _) in got.items()]
         rmse[k] = (sum(errs) / len(errs)) ** 0.5
     assert rmse[128] < rmse[16] * 0.7, rmse
+
+
+def test_udtf_chunking_edges(spark):
+    """Chunker edge semantics locked against the oracle's range/slice math:
+    empty doc -> one empty chunk; short doc -> one partial chunk;
+    exactly-32-token doc -> one full chunk; 33 tokens -> two chunks."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "",
+                    "a b c",
+                    " ".join(f"t{i}" for i in range(32)),
+                    " ".join(f"t{i}" for i in range(33)),
+                ],
+            }
+        )
+    )
+    docs.createOrReplaceTempView("v_docs_edge")
+    from mapreduce_weather_analysis_spark.plans.udtf_suite import (
+        q_udtf_chunk_text,  # registers the UDTF on call
+    )
+
+    # reuse the registered query's UDTF by calling through SQL on our view
+    from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
+
+    REGISTRY["q_udtf_chunk_text"].fn(spark, SMOKE_SF)  # registers chunk_text
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.start_tok, c.n_toks, c.chunk
+        FROM v_docs_edge d, LATERAL chunk_text(d.text) c
+        """
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.start_tok, r.n_toks))
+    assert by_doc[1] == [(0, 0, 0)]          # empty text -> one empty chunk
+    assert by_doc[2] == [(0, 0, 3)]          # short doc -> one partial chunk
+    assert by_doc[3] == [(0, 0, 32)]         # exact window -> one full chunk
+    assert by_doc[4] == [(0, 0, 32)]         # 33 toks: stride 16 > n-32 -> one chunk

@@ -114,3 +114,11 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # partition column (PushedFilters on data columns would be fine)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert not pushed or "event_type" not in pushed[0], plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-split shingle relation (benchmark-sized even at 100 TB of
+    train data) must broadcast — the train side joins without shuffling."""
+    plan = _plan(REGISTRY["q_decontaminate"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
