@@ -476,3 +476,90 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    ts AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+             COUNT(*) AS n_uniq, MAX(c) AS top_tok
+      FROM tc GROUP BY 1
+    ),
+    bl AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigs
+      FROM tl
+    ),
+    b AS (SELECT doc_id, unnest(bigs) AS big FROM bl),
+    bc AS (SELECT doc_id, big, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    bs AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigs, MAX(c) AS top_big
+      FROM bc GROUP BY 1
+    )
+    SELECT ts.doc_id, n_toks,
+           n_uniq * 1.0 / n_toks AS uniq_tok_frac,
+           top_tok * 1.0 / n_toks AS top_tok_frac,
+           top_big * 1.0 / n_bigs AS top_bigram_frac
+    FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+    WHERE n_toks >= 2
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style, token-level since the
+    corpus is single-line): unique-token fraction, most-frequent-token
+    fraction, most-frequent-bigram fraction. High top-fractions flag
+    boilerplate/templated docs for filtering.
+
+    All three are single exact divisions of integer counts → bit-exact
+    across engines. Shape: two per-doc hash-aggs (token counts, bigram
+    counts) joined on doc_id — scan-bound, no data-dependent blowup."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    tc = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ts = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("c").alias("top_tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        ex.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w)).alias("big"),
+            F.lead("tok").over(w).alias("_g"),
+        )
+        .where(F.col("_g").isNotNull())
+        .select("doc_id", "big")
+    )
+    bc = bg.groupBy("doc_id", "big").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigs"), F.max("c").alias("top_big")
+    )
+    return (
+        ts.join(bs, "doc_id")
+        .where(F.col("n_toks") >= 2)
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("n_uniq") * F.lit(1.0) / F.col("n_toks")).alias(
+                "uniq_tok_frac"
+            ),
+            (F.col("top_tok") * F.lit(1.0) / F.col("n_toks")).alias(
+                "top_tok_frac"
+            ),
+            (F.col("top_big") * F.lit(1.0) / F.col("n_bigs")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
