@@ -563,3 +563,59 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_mixing_weights",
+    oracle=f"""
+    WITH tl AS (
+      SELECT source, len({tokens_sql('text')}) AS n FROM documents
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM tl GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_sources
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1.0 / total_tokens AS token_share,
+           1.0 / (n_sources * (n_tokens * 1.0 / total_tokens))
+             AS uniform_weight
+    FROM per_src, tot
+    """,
+)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: per-source token shares and the sampling
+    weight that would equalize source contributions (weight ∝ target
+    share / actual share, uniform target). The upstream step of any
+    DoReMi/temperature-style mixture schedule — downstream samplers
+    multiply these into per-doc keep probabilities.
+
+    Exactness: shares are one exact integer division; weights mirror the
+    oracle's double op order. Shape: one per-source agg (20 rows) + a
+    broadcast of the 1-row total — nothing data-dependent shuffles twice.
+    """
+    d = t(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(tokens("text")).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        (F.lit(1.0) / (F.col("n_sources") * share)).alias("uniform_weight"),
+    )
