@@ -135,3 +135,68 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal-exact centroid means, tie-broken assignments)."""
     e = t(spark, sf_dir, "embeddings")
     return ivf_topk(e, _QUERY_FILTER)
+
+
+@register(
+    "q_ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+      FROM embeddings WHERE {_QUERY_FILTER}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cosine_sql('qv', 'cv')} AS cosine
+      FROM q JOIN c ON q.label = c.label AND query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: cosine top-5 restricted to
+    candidates sharing the query's label — the pre-filtered ANN mode every
+    production vector store exposes (filter first, then rank; post-filter
+    top-k can return < k or drift).
+
+    Shape: the label equi-join replaces the crossJoin — candidates
+    partition by label, the (broadcast) query side probes only its
+    label's partition. At 100 TB this is the same bucket-join scaling
+    argument as LSH, with the filter column as the bucket."""
+    e = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.expr(_QUERY_FILTER)).select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+            "label",
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cv"),
+        "label",
+    )
+    scored = (
+        q.join(c, "label")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
