@@ -200,3 +200,50 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    )
+    SELECT vec_id,
+           127.0 / maxabs AS scale,
+           list_transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5)
+                                       AS INTEGER)) AS qvec
+    FROM m
+    WHERE maxabs > 0
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (per-vector scale
+    = 127/max|x|): the 4× storage/bandwidth cut applied before ANN serving
+    at scale. Dequantization is q/scale; recall loss is bounded by the
+    per-dim step of maxabs/127.
+
+    Exactness: floor(x*scale + 0.5) is used EXPLICITLY instead of round()
+    — Spark rounds HALF_UP, DuckDB rounds differently on .5 doubles; the
+    floor form is bit-identical in both. Pure narrow map over the vector
+    column, no shuffle at all."""
+    e = t(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("maxabs")
+    return (
+        e.select("vec_id", v.alias("v"), maxabs.alias("maxabs"))
+        .where(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            scale.alias("scale"),
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x * (F.lit(127.0) / F.col("maxabs")) + F.lit(0.5)).cast("int"),
+            ).alias("qvec"),
+        )
+    )
