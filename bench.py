@@ -100,13 +100,19 @@ def main() -> None:
             ).save()
         except Exception as exc:  # loud: a broken warmup means a broken query
             print(f"WARMUP FAILED {name}: {exc!r}", file=sys.stderr)
+    # Per-query time = best of 2 consecutive runs: single-machine scheduler
+    # noise is 1.5-2x on sub-5s queries, and the regression gate below needs
+    # steady-state numbers, not one draw from a noisy distribution.
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
-        start = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = _sf_of(SF_DIR)
