@@ -80,7 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     # (q_events_tumbling already has a green r01 hash-match row -> tail)
     "q_events_sliding",
     "q_events_sessionize",
-    "q_approx_count_distinct",
+    # (q_approx_count_distinct is a rows-only check — its accuracy is
+    # pytest-asserted; the slot goes to a hash-checkable query -> tail)
     "q_events_session_window",
     "q_scd2_history",
     "q_events_funnel",
@@ -112,9 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stratified_sample",
     "q_pii_scrub",
     "q_pack_sequences",
-    # -- multimodal --
+    # -- multimodal (decode is a rows-only fake-decode check -> tail) --
     "q_multimodal_meta",
-    "q_multimodal_decode",
     "q_frame_sample",
     # -- streaming --
     "q_stream_tumbling",
@@ -125,6 +125,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_pandas_udf_cosine",
     "q_udtf_chunk_text",
     "q_group_trend_pandas",
+    # -- round-2 additions with exact oracles --
+    "q_decontaminate",
+    "q_ann_filtered_topk",
 )
 
 
