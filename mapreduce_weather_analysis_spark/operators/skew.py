@@ -21,6 +21,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_cols: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-salted inner equi-join: the hot-key mitigation for joins where
+    one fact key dominates (AQE skew-join splits map outputs, but a single
+    reducer key can still exceed memory when the dim row must meet EVERY
+    hot fact row in one task).
+
+    Rewrite: the fact side gets a deterministic salt in [0, n_salts) hashed
+    from stable row-identity columns (``salt_cols`` — same recompute-safety
+    argument as :func:`salted_agg`); the dim side is replicated once per
+    salt via ``explode``; the join key becomes (key, salt), spreading each
+    hot key over ``n_salts`` reducers. Result is EXACTLY the plain join's —
+    every (fact row, dim row) pair still meets exactly once, on the fact
+    row's salt.
+
+    Cost: dim side scales ×``n_salts`` through the shuffle — apply to the
+    smaller-but-not-broadcastable side only.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
+    f = fact.withColumn("_fsalt", salt)
+    d = dim.withColumn(
+        "_dsalt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        f.join(
+            d,
+            (f[fact_key] == d[dim_key]) & (f["_fsalt"] == d["_dsalt"]),
+            "inner",
+        )
+        .drop("_fsalt", "_dsalt")
+    )
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],

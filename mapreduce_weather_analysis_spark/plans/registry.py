@@ -170,6 +170,7 @@ def _import_plans() -> None:
         "text_suite",
         "multimodal_suite",
         "streaming_suite",
+        "scale_suite",
     )
     import importlib
 

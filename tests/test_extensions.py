@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_weather_analysis_spark.plans.registry import REGISTRY, _import_plans
 
-from .conftest import SMOKE_SF
+from .conftest import ORACLE_SF, SMOKE_SF
 
 _import_plans()
 
@@ -439,3 +439,32 @@ def test_udtf_chunking_edges(spark):
     assert by_doc[2] == [(0, 0, 3)]          # short doc -> one partial chunk
     assert by_doc[3] == [(0, 0, 32)]         # exact window -> one full chunk
     assert by_doc[4] == [(0, 0, 32)]         # 33 toks: stride 16 > n-32 -> one chunk
+
+
+def test_prefilter_semi_join_fingerprints_are_lossy(spark):
+    """q_prefilter_semi_join's phase-1 fingerprint prefilter must be a
+    strict over-approximation at the oracle SF (false positives exist, so
+    the phase-2 exact semi-join is load-bearing, not decorative)."""
+    from mapreduce_weather_analysis_spark.plans.scale_suite import (
+        _HIGH_VALUE,
+        _PREFILTER_BITS,
+    )
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    li = load_table(spark, ORACLE_SF, "lineitem").select("l_orderkey")
+    build = (
+        load_table(spark, ORACLE_SF, "orders")
+        .where(F.col("o_totalprice") > _HIGH_VALUE)
+        .select("o_orderkey")
+    )
+    fp_domain = 1 << _PREFILTER_BITS
+    build_fp = build.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(fp_domain)).alias("_fp")
+    ).distinct()
+    candidates = (
+        li.withColumn("_fp", F.pmod(F.xxhash64("l_orderkey"), F.lit(fp_domain)))
+        .join(F.broadcast(build_fp), "_fp", "left_semi")
+        .count()
+    )
+    exact = li.join(F.broadcast(build), li["l_orderkey"] == build["o_orderkey"], "left_semi").count()
+    assert candidates > exact > 0, (candidates, exact)

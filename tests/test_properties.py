@@ -299,3 +299,38 @@ def test_pack_sequences_invariants(spark, rows):
         rs = sorted(rs, key=lambda r: r.seq_id)
         for a, b in zip(rs, rs[1:]):
             assert a.last_doc < b.first_doc
+
+
+# (fact_key 0-3, payload) with key 0 deliberately hot in most draws
+skew_join_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 99)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=skew_join_rows)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows):
+    """salted_join must produce exactly the plain inner join's multiset of
+    pairs for any input — every (fact, dim) pair meets exactly once, on the
+    fact row's salt (operators/skew.py)."""
+    from mapreduce_weather_analysis_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v int, rid int"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(3)], "dk int, name string"  # key 3 unmatched
+    )
+    got = sorted(
+        (r.k, r.v, r.rid, r.name)
+        for r in salted_join(
+            fact, dim, fact_key="k", dim_key="dk", salt_cols=["rid"], n_salts=4
+        ).collect()
+    )
+    plain = sorted(
+        (r.k, r.v, r.rid, r.name)
+        for r in fact.join(dim, fact["k"] == dim["dk"], "inner").collect()
+    )
+    assert got == plain
