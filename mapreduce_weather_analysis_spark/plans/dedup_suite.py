@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..functions.text import hashed_list_sql, shingles_sql, tokens_sql
 from ..operators.dedup import (
@@ -297,4 +298,76 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s").alias("n_shared_shingles"),
             F.countDistinct("eval_id").alias("n_eval_docs_hit"),
         )
+    )
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        {minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5)}
+      ) p
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, target) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.target FROM und u JOIN reach r ON u.b = r.node
+    ),
+    comp AS (SELECT node, MIN(target) AS component FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, LENGTH(d.text) AS len,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component,
+           FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component ORDER BY len DESC, doc_id ASC
+           ) AS canonical_id,
+           CAST(doc_id = FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component ORDER BY len DESC, doc_id ASC
+           ) AS INTEGER) AS keep
+    FROM labeled
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step that turns duplicate
+    CLUSTERS into a deduplicated corpus: every doc maps to its cluster's
+    keeper (longest text wins, doc_id breaks ties; singletons keep
+    themselves) plus a 0/1 ``keep`` flag, so the cleaned corpus is
+    ``WHERE keep = 1`` and the mapping doubles as a redirect table.
+
+    Pipeline: MinHash-LSH pairs → large-star/small-star components
+    (operators/graph.py) → per-component argmax by a window over the
+    component label. Scale: the window partitions by component — cluster
+    sizes are bounded by near-dup group sizes (no global sort); the
+    documents scan reads (doc_id, text-length) only."""
+    from ..operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    labeled = (
+        d.select("doc_id", F.length("text").alias("_len"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "_len",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    w = W.partitionBy("component").orderBy(F.desc("_len"), F.asc("doc_id"))
+    canon = F.first("doc_id").over(w)
+    return labeled.select(
+        "doc_id",
+        "component",
+        canon.alias("canonical_id"),
+        (F.col("doc_id") == canon).cast("int").alias("keep"),
     )

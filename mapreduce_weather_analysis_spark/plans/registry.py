@@ -128,6 +128,10 @@ _PRIORITY: tuple[str, ...] = (
     # -- round-2 additions with exact oracles --
     "q_decontaminate",
     "q_ann_filtered_topk",
+    # -- window boundary (slot 50): entries below are first in line if the
+    #    driver's correctness window ever widens --
+    "q_ann_pq_topk",
+    "q_dedup_canonical",
 )
 
 

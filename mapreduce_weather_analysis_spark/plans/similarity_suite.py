@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, cosine_sql
 from ..operators.ivf import ivf_topk, ivf_topk_sql
+from ..operators.pq import pq_topk, pq_topk_sql
 from ..operators.similarity import (
     brute_force_topk,
     lsh_bucket_sql,
@@ -247,3 +248,24 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qvec"),
         )
     )
+
+
+@register(
+    "q_ann_pq_topk",
+    oracle=pq_topk_sql("embeddings", _QUERY_FILTER),
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 4 subspaces × 16
+    codewords trained by deterministic per-subspace k-means, corpus stored
+    as 4 codes/vector (16× compression of the 64-float embedding), search
+    via asymmetric-distance lookup tables — the compression-side ANN
+    technique next to candidate pruning (LSH/IVF). The oracle unrolls all
+    four codebook trainings + the ADC scan into one CTE chain; bit-parity
+    end to end (decimal-exact codeword means and ADC sums, id tie-breaks).
+
+    At 100 TB: query-time I/O is the CODE relation (4 bytes/vector, not
+    256) plus a broadcast LUT of |Q|·64 doubles; the float embeddings are
+    read once at index-build. Compose with IVF probing for the standard
+    IVFPQ layout."""
+    e = t(spark, sf_dir, "embeddings")
+    return pq_topk(e, _QUERY_FILTER)

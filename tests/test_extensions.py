@@ -468,3 +468,100 @@ def test_prefilter_semi_join_fingerprints_are_lossy(spark):
     )
     exact = li.join(F.broadcast(build), li["l_orderkey"] == build["o_orderkey"], "left_semi").count()
     assert candidates > exact > 0, (candidates, exact)
+
+
+def test_pq_codes_and_adc_identity(spark):
+    """PQ index invariants + an independent numpy replay of the ADC scan:
+    every vector gets exactly M codes in [1, K], and each reported
+    adc_dist equals the numpy sum of subspace distances from the query's
+    exact subvector to the neighbor's assigned codewords (third
+    implementation next to Spark and the DuckDB oracle)."""
+    import numpy as np
+
+    from mapreduce_weather_analysis_spark.operators.pq import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        pq_index,
+        pq_topk,
+    )
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    emb_df = load_table(spark, SMOKE_SF, "embeddings")
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in emb_df.collect()}
+    codes_df, cb_df = pq_index(emb_df)
+    codes = {(r.vec_id, r.m): r.code for r in codes_df.collect()}
+    cb = {(r.m, r.code): np.array(r.c, dtype=np.float64) for r in cb_df.collect()}
+    assert len(codes) == len(emb) * PQ_M
+    assert all(1 <= c <= PQ_K for c in codes.values())
+    assert len(cb) == PQ_M * PQ_K
+
+    for r in pq_topk(emb_df, "vec_id % 100 = 0").collect():
+        qv = emb[r.query_id]
+        expect = sum(
+            float(
+                ((qv[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+                  - cb[(m, codes[(r.neighbor_id, m)])]) ** 2).sum()
+            )
+            for m in range(PQ_M)
+        )
+        assert abs(r.adc_dist - expect) < 1e-9, (r, expect)
+
+
+def test_pq_adc_recall_floor(spark):
+    """ADC top-5 vs exact squared-L2 top-5 (numpy): random vectors are the
+    PQ worst case (no cluster structure for the codebooks to exploit), but
+    the deterministic fixture recall must not collapse to zero."""
+    import numpy as np
+
+    from mapreduce_weather_analysis_spark.operators.pq import pq_topk
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    emb_df = load_table(spark, SMOKE_SF, "embeddings")
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in emb_df.collect()}
+    got = {}
+    for r in pq_topk(emb_df, "vec_id % 100 = 0").collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(got) > 0
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    recalls = []
+    for qid, nbrs in got.items():
+        d = ((mat - emb[qid]) ** 2).sum(axis=1)
+        exact = [ids[j] for j in np.argsort(d, kind="stable") if ids[j] != qid][:5]
+        recalls.append(len(set(exact) & nbrs) / 5)
+    assert float(np.mean(recalls)) >= 0.1, recalls
+
+
+def test_dedup_canonical_consistency(spark):
+    """q_dedup_canonical: exactly one keeper per component; the keeper is
+    the component's longest doc (doc_id tie-break); components agree with
+    q_dedup_clusters on every clustered doc; singletons keep themselves."""
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    rows = _run(spark, "q_dedup_canonical").collect()
+    docs = {
+        r.doc_id: r.length
+        for r in load_table(spark, SMOKE_SF, "documents")
+        .select("doc_id", F.length("text").alias("length"))
+        .collect()
+    }
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert len(rows) == len(docs)  # every doc mapped
+    for comp, members in by_comp.items():
+        keepers = [r for r in members if r.keep == 1]
+        assert len(keepers) == 1, (comp, members)
+        assert keepers[0].doc_id == keepers[0].canonical_id
+        best = min(
+            members, key=lambda r: (-docs[r.doc_id], r.doc_id)
+        )
+        assert keepers[0].doc_id == best.doc_id
+        assert {r.canonical_id for r in members} == {best.doc_id}
+    clusters = {r.doc_id: r.component for r in _run(spark, "q_dedup_clusters").collect()}
+    canon = {r.doc_id: r.component for r in rows}
+    for doc, comp in clusters.items():
+        assert canon[doc] == comp
