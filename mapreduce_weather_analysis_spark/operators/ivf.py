@@ -133,7 +133,9 @@ def ivf_topk(
         .where(F.col("_rn") <= nprobe)
         .select("query_id", "qv", "cluster")
     )
-    cand = probes.join(
+    # the probe side is |queries|·nprobe rows — broadcast it so the corpus
+    # side of the membership join never shuffles
+    cand = F.broadcast(probes).join(
         assigned.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("v").alias("cv"),
@@ -141,9 +143,13 @@ def ivf_topk(
         ),
         "cluster",
     ).where(F.col("query_id") != F.col("neighbor_id"))
+    # each neighbor lives in exactly one cluster and probe clusters are
+    # distinct per query -> (query, neighbor) pairs are already unique,
+    # no dedup shuffle needed (the oracle's SELECT DISTINCT is likewise
+    # a no-op, kept for self-documentation)
     scored = cand.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
-    ).distinct()
+    )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w2))
