@@ -371,3 +371,56 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.alias("canonical_id"),
         (F.col("doc_id") == canon).cast("int").alias("keep"),
     )
+
+
+_INCR_MOD = 5  # doc_id % 5 == 4 -> the "incoming batch" (~20% of corpus)
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH inc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_INCR_MOD} = {_INCR_MOD - 1}
+    ),
+    snap AS (
+      SELECT doc_id AS snap_id, text FROM documents
+      WHERE doc_id % {_INCR_MOD} <> {_INCR_MOD - 1}
+    ),
+    dup AS (
+      SELECT i.doc_id, MIN(s.snap_id) AS dup_of
+      FROM inc i JOIN snap s ON i.text = s.text
+      GROUP BY i.doc_id
+    )
+    SELECT i.doc_id, d.dup_of,
+           CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS is_new
+    FROM inc i LEFT JOIN dup d ON d.doc_id = i.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot) dedup — the production shape of exact dedup:
+    an incoming batch is checked against the standing corpus snapshot, NOT
+    re-deduplicated against itself. Every incoming doc gets its earliest
+    snapshot twin (dup_of) or is_new=1.
+
+    Content equality runs on sha2(text) digests, so the (huge) snapshot
+    side ships 32-byte hashes instead of full text through the join, and
+    the incoming batch — epochs smaller than the snapshot at 100 TB —
+    BROADCASTS: the snapshot scan never shuffles, exactly the
+    q_decontaminate posture. The oracle joins on raw text equality;
+    identical results bar a sha2 collision (~2^-128)."""
+    d = t(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % _INCR_MOD == _INCR_MOD - 1
+    inc = d.where(is_inc).select("doc_id", F.sha2("text", 256).alias("h"))
+    snap = d.where(~is_inc).select(
+        F.col("doc_id").alias("snap_id"), F.sha2("text", 256).alias("h")
+    )
+    dup = (
+        snap.join(F.broadcast(inc), "h")
+        .groupBy("doc_id")
+        .agg(F.min("snap_id").alias("dup_of"))
+    )
+    return inc.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "dup_of",
+        F.when(F.col("dup_of").isNull(), 1).otherwise(0).alias("is_new"),
+    )

@@ -619,3 +619,103 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("token_share"),
         (F.lit(1.0) / (F.col("n_sources") * share)).alias("uniform_weight"),
     )
+
+
+_BPE_TOP = 50
+
+
+@register(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      FROM toks
+    ),
+    counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, rank FROM (
+      SELECT pair, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rank
+      FROM counts
+    ) WHERE rank <= {_BPE_TOP}
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies, top-{50} — the counting step at the
+    core of BPE/WordPiece vocabulary induction (which token pair to merge
+    next = the corpus-wide argmax of exactly this relation).
+
+    Plan: tokenize → posexplode → window lead(1) per doc (pairs keep
+    MULTIPLICITY — unlike shingling, BPE counts occurrences, not sets) →
+    one partial+final hash-agg on the pair string. The final top-K window
+    is global but runs over the AGGREGATED relation, bounded by |vocab|²
+    distinct pairs, not corpus size — the same rollup-then-rank shape as
+    q_topk_global."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        ex.withColumn("nxt", F.lead("tok", 1).over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "tok", "nxt").alias("pair"))
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    wr = W.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _BPE_TOP)
+        .select("pair", "n", "rank")
+    )
+
+
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "q_corpus_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {HASH_PRIME} AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % {_SHUFFLE_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY hv % {_SHUFFLE_SHARDS} ORDER BY hv, doc_id
+           ) AS INTEGER) AS pos
+    FROM h
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every doc gets a
+    shard (md5-derived hash mod {8}) and a position within its shard
+    (ordered by the same hash) — a reproducible global permutation with no
+    global sort. This is how a 100 TB corpus is shuffled in practice: ONE
+    hash-partition shuffle, then an independent in-shard sort bounded by
+    shard size (corpus/shards), instead of a total-order sort of
+    everything. Re-shuffling epochs = salt the hash input."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % HASH_PRIME
+    )
+    h = d.select("doc_id", hv.alias("hv"))
+    shard = (F.col("hv") % _SHUFFLE_SHARDS).cast("int")
+    w = W.partitionBy(F.col("hv") % _SHUFFLE_SHARDS).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )

@@ -565,3 +565,63 @@ def test_dedup_canonical_consistency(spark):
     canon = {r.doc_id: r.component for r in rows}
     for doc, comp in clusters.items():
         assert canon[doc] == comp
+
+
+def test_corpus_shuffle_is_permutation(spark):
+    """q_corpus_shuffle: every doc appears once; within each shard the
+    positions are exactly 1..shard_size (a valid training order)."""
+    rows = _run(spark, "q_corpus_shuffle").collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_bpe_pair_counts_total_mass(spark):
+    """Sum of ALL pair counts must equal sum over docs of (n_tokens - 1):
+    multiplicity is preserved (BPE counts occurrences, not sets)."""
+    from mapreduce_weather_analysis_spark.functions.text import tokens
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    d = load_table(spark, SMOKE_SF, "documents")
+    expect = (
+        d.select(F.greatest(F.size(tokens("text")) - 1, F.lit(0)).alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    top = _run(spark, "q_bpe_pair_counts").collect()
+    assert len(top) == 50 and top[0].rank == 1 if top else True
+    # rebuild the full (unlimited) count relation to check mass
+    ex = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    total = (
+        ex.withColumn("nxt", F.lead("tok", 1).over(w))
+        .where(F.col("nxt").isNotNull())
+        .count()
+    )
+    assert total == expect
+
+
+def test_dedup_incremental_against_exact(spark):
+    """Incremental dedup must agree with full exact dedup: an incoming doc
+    is flagged iff its text equals some snapshot doc's text, and dup_of is
+    the earliest such snapshot id."""
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SMOKE_SF, "documents").collect()
+    }
+    snap_by_text = {}
+    for did in sorted(texts):
+        if did % 5 != 4:
+            snap_by_text.setdefault(texts[did], did)
+    for r in _run(spark, "q_dedup_incremental").collect():
+        expect = snap_by_text.get(texts[r.doc_id])
+        assert r.dup_of == expect, (r, expect)
+        assert r.is_new == (0 if expect is not None else 1)
