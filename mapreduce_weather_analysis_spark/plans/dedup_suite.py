@@ -424,3 +424,117 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         F.when(F.col("dup_of").isNull(), 1).otherwise(0).alias("is_new"),
     )
+
+
+_CLEAN_MIN_TOKENS = 20
+_CLEAN_MIN_TTR = 0.25
+
+
+@register(
+    "q_corpus_clean",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        {minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5)}
+      ) p
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, target) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.target FROM und u JOIN reach r ON u.b = r.node
+    ),
+    comp AS (SELECT node, MIN(target) AS component FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, LENGTH(d.text) AS len,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    canon AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component ORDER BY len DESC, doc_id ASC
+             ) THEN 1 ELSE 0 END AS keep_dedup
+      FROM labeled
+    ),
+    sig AS (
+      SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents
+    )
+    SELECT s.doc_id,
+           CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS keep_lang,
+           CASE WHEN len(s.toks) >= {_CLEAN_MIN_TOKENS}
+                 AND len(list_distinct(s.toks)) * 1.0 / len(s.toks)
+                     >= {_CLEAN_MIN_TTR}
+                THEN 1 ELSE 0 END AS keep_quality,
+           c.keep_dedup,
+           (CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END)
+             * (CASE WHEN len(s.toks) >= {_CLEAN_MIN_TOKENS}
+                      AND len(list_distinct(s.toks)) * 1.0 / len(s.toks)
+                          >= {_CLEAN_MIN_TTR}
+                     THEN 1 ELSE 0 END)
+             * c.keep_dedup AS keep
+    FROM sig s JOIN canon c ON c.doc_id = s.doc_id
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus filter — the pipeline the individual
+    operators exist FOR, composed: language gate (metadata), quality gate
+    (min tokens + lexical diversity, q_text_quality's signals), and
+    near-dup gate (MinHash-LSH → components → canonical keeper). Output is
+    the per-document audit relation (keep_lang, keep_quality, keep_dedup,
+    keep) — the cleaned corpus is ``WHERE keep = 1`` and every drop is
+    attributable to its gate.
+
+    Scale: the gates are one narrow scan (lang/quality) plus the dedup
+    pipeline's own bounded plan; the final join keys on doc_id. Filters
+    compose as independent 0/1 columns, so gate ordering is a pure
+    cost decision at deploy time (cheap scans first, dedup last on the
+    survivors)."""
+    from pyspark.sql import Window as W2
+
+    from ..functions.text import tokens
+    from ..operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    labeled = (
+        d.select("doc_id", F.length("text").alias("_len"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "_len",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    w = W2.partitionBy("component").orderBy(F.desc("_len"), F.asc("doc_id"))
+    canon = labeled.select(
+        "doc_id",
+        (F.col("doc_id") == F.first("doc_id").over(w)).cast("int").alias(
+            "keep_dedup"
+        ),
+    )
+    toks = tokens("text")
+    n_toks = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")) * F.lit(1.0) / n_toks
+    sig = d.select("doc_id", "lang", toks.alias("toks"))
+    keep_lang = F.when(F.col("lang") == "en", 1).otherwise(0)
+    keep_quality = F.when(
+        (n_toks >= _CLEAN_MIN_TOKENS) & (ttr >= _CLEAN_MIN_TTR), 1
+    ).otherwise(0)
+    return (
+        sig.join(canon, "doc_id")
+        .select(
+            "doc_id",
+            keep_lang.alias("keep_lang"),
+            keep_quality.alias("keep_quality"),
+            "keep_dedup",
+            (keep_lang * keep_quality * F.col("keep_dedup")).alias("keep"),
+        )
+    )

@@ -625,3 +625,18 @@ def test_dedup_incremental_against_exact(spark):
         expect = snap_by_text.get(texts[r.doc_id])
         assert r.dup_of == expect, (r, expect)
         assert r.is_new == (0 if expect is not None else 1)
+
+
+def test_corpus_clean_gates_compose(spark):
+    """q_corpus_clean: keep == product of the three gates; the dedup gate
+    agrees with q_dedup_canonical; every gate drops at least one doc on
+    the fixture (no vacuous filters)."""
+    rows = _run(spark, "q_corpus_clean").collect()
+    assert all(r.keep == r.keep_lang * r.keep_quality * r.keep_dedup for r in rows)
+    canon = {r.doc_id: r.keep for r in _run(spark, "q_dedup_canonical").collect()}
+    assert all(canon[r.doc_id] == r.keep_dedup for r in rows)
+    for gate in ("keep_lang", "keep_quality", "keep_dedup"):
+        dropped = sum(1 for r in rows if getattr(r, gate) == 0)
+        assert dropped > 0, f"{gate} dropped nothing"
+    survivors = sum(r.keep for r in rows)
+    assert 0 < survivors < len(rows)
