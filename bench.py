@@ -48,6 +48,9 @@ HEADLINE = [
     "q_ann_ivf_topk",
     "q_text_quality",
     "q_token_count",
+    "q_ann_pq_topk",
+    "q_corpus_clean",
+    "q_bpe_pair_counts",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -72,6 +75,9 @@ BASELINE_SEC = {
     "q_ann_ivf_topk": 3.1,
     "q_text_quality": 0.7,
     "q_token_count": 0.4,
+    "q_ann_pq_topk": 3.0,
+    "q_corpus_clean": 3.9,
+    "q_bpe_pair_counts": 0.5,
 }
 
 
