@@ -166,6 +166,7 @@ def _import_plans() -> None:
         "temporal_suite",
         "arrays_suite",
         "sql_suite",
+        "tpch_suite",
         "pandas_suite",
         "udtf_suite",
         "events_suite",

@@ -719,3 +719,92 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).alias("pos"),
     )
+
+
+_QUOTA_PER_SOURCE = 20  # max docs kept per source (the per-domain cap)
+
+
+@register(
+    "q_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT), doc_id
+             ) AS INTEGER) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rk
+    FROM ranked WHERE rk <= {_QUOTA_PER_SOURCE}
+    """,
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap — the per-domain ceiling every web-scale corpus
+    applies (a handful of giant domains would otherwise dominate the
+    mixture): keep at most N docs per source, selected by the portable
+    doc_id hash so the SAME docs survive on any engine / partitioning /
+    rerun (a seeded `sample()` has none of those guarantees).
+
+    Shape: one hash-partition shuffle on source + per-partition top-N via
+    row_number — no global sort. Skew note for 100 TB: a single mega-source
+    serializes its own partition; the fix is the two-phase cap (per-salt
+    top-N, then top-N of the union), which this operator's window form
+    drops into without changing semantics."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    w = W.partitionBy("source").orderBy(hv.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _QUOTA_PER_SOURCE)
+    )
+
+
+_LEN_BUCKET = 200  # chars per histogram bucket
+
+
+@register(
+    "q_corpus_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(LEAST(n_chars // {_LEN_BUCKET}, 9) AS INTEGER) AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: doc-length histogram (fixed-width buckets, top
+    bucket open-ended) × language, with per-cell source diversity — the
+    first-look dashboard query run before any filtering decision, and the
+    evidence base for length-cutoff choices in the quality pass.
+
+    Shape: single partial+final hash-agg over a 3-column scan (text column
+    never read — n_chars is the pre-computed width); distinct-source counts
+    expand map-side per cell. Scales as a pure scan."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / _LEN_BUCKET), F.lit(9)
+    ).cast("int")
+    return (
+        d.select("lang", bucket.alias("len_bucket"), "n_chars", "source")
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
