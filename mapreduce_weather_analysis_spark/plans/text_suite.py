@@ -808,3 +808,154 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+_FUZZY_MAX_DIST = 2  # max edit distance accepted as a match
+_FUZZY_PROBE_MOD = 25  # every Nth doc becomes a (corrupted) probe
+
+
+@register(
+    "q_fuzzy_match",
+    oracle=f"""
+    WITH titles AS (
+      SELECT doc_id,
+             array_to_string(({tokens_sql('text')})[1:3], ' ') AS title,
+             ({tokens_sql('text')})[1] AS tok1
+      FROM documents
+      WHERE len({tokens_sql('text')}) >= 3
+    ),
+    probes AS (
+      SELECT doc_id AS probe_id,
+             substr(title, 1, len(title) - 1) AS probe_title,
+             tok1
+      FROM titles WHERE doc_id % {_FUZZY_PROBE_MOD} = 0
+    ),
+    cand AS (
+      SELECT p.probe_id, t.doc_id AS match_id,
+             levenshtein(p.probe_title, t.title) AS dist
+      FROM probes p JOIN titles t ON p.tok1 = t.tok1
+      WHERE levenshtein(p.probe_title, t.title) <= {_FUZZY_MAX_DIST}
+    )
+    SELECT probe_id, match_id, dist, n_candidates FROM (
+      SELECT probe_id, match_id, dist,
+             CAST(COUNT(*) OVER (PARTITION BY probe_id) AS BIGINT)
+               AS n_candidates,
+             ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY dist, match_id
+             ) AS rk
+      FROM cand
+    ) WHERE rk = 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (edit-distance record linkage with blocking):
+    link corrupted probe titles back to the canonical title dictionary —
+    the dedup-adjacent resolution step for near-identical metadata (titles,
+    author strings, URLs) where token-level Jaccard is too coarse.
+
+    The probe set is synthesized deterministically (every Nth title with
+    its last character dropped) so the query is self-contained and exact.
+
+    Plan: NEVER all-pairs — candidates come from an equi-join on the
+    first-token blocking key (hash join; at 100 TB the blocking key is the
+    shuffle key and skewed head tokens get salted), levenshtein runs only
+    inside blocks, and best-match selection is a per-probe window top-1
+    with a total (dist, match_id) tie-break."""
+    from pyspark.sql import Window as W
+
+    toks = tokens("text")
+    titles = (
+        t(spark, sf_dir, "documents")
+        .where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("title"),
+            F.element_at(toks, 1).alias("tok1"),
+        )
+    )
+    probes = titles.where(F.col("doc_id") % _FUZZY_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.expr("substring(title, 1, length(title) - 1)").alias("probe_title"),
+        "tok1",
+    )
+    dist = F.levenshtein("probe_title", "title")
+    cand = (
+        probes.join(titles, "tok1")
+        .where(dist <= _FUZZY_MAX_DIST)
+        .select(
+            "probe_id",
+            F.col("doc_id").alias("match_id"),
+            dist.alias("dist"),
+        )
+    )
+    w_all = W.partitionBy("probe_id")
+    w_rk = W.partitionBy("probe_id").orderBy("dist", "match_id")
+    return (
+        cand.select(
+            "probe_id",
+            "match_id",
+            "dist",
+            F.count(F.lit(1)).over(w_all).alias("n_candidates"),
+            F.row_number().over(w_rk).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select("probe_id", "match_id", "dist", "n_candidates")
+    )
+
+
+_TOKEN_BUDGET = 2000  # per-source token budget (the mixture's hard cap)
+
+
+@register(
+    "q_token_budget",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, source, len({tokens_sql('text')}) AS n_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY hv, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens
+      FROM tl
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM run WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: fill each source's training-token quota in
+    deterministic hash order and stop — how a mixture config ("S tokens
+    from source X") becomes an actual doc subset. Unlike the doc-count
+    quota (q_quota_sample), the cap is on SUM(tokens), so selection needs
+    the running sum, not a rank.
+
+    Plan: one shuffle on source + an in-partition running sum (integer
+    token counts — exact, order fixed by the portable hash). The 100 TB
+    skew note from q_quota_sample applies: a mega-source serializes its
+    partition; remedy is a two-phase budget split across salted
+    sub-partitions with budget rebalancing, same semantics."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    tl = d.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens"), hv.alias("hv")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tl.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
