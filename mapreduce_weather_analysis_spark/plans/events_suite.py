@@ -591,3 +591,46 @@ def q_events_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt(v, "view", 1).unionByName(cnt(c, "click", 2)).unionByName(
         cnt(p, "purchase", 3)
     )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+                AS INTEGER) AS rank
+    FROM events
+    GROUP BY 1
+    ORDER BY 2 DESC, 1
+    LIMIT 5
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequent-items sketch — the
+    one-pass, fixed-memory answer to "which keys dominate this stream".
+    Unlike the exact groupBy (whose state is |distinct keys|), the sketch
+    is O(maxItemsTracked) per partition and merges associatively, so it
+    survives arbitrary cardinality at 100 TB.
+
+    Exactness for the oracle: with |distinct| ≤ maxItemsTracked the sketch
+    degenerates to exact counts (no evictions ever happen), and k covers
+    the whole domain, so the result equals the exact top-5 — ranked here
+    with a total (count desc, item) tie-break applied identically in both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("v_events_hh")
+    topk = spark.sql(
+        "SELECT approx_top_k(event_type, 5) AS tk FROM v_events_hh"
+    ).select(F.explode("tk").alias("e"))
+    return (
+        topk.select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .select(
+            "item",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), F.asc("item")))
+            .alias("rank"),
+        )
+        .limit(5)
+    )

@@ -210,3 +210,68 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_available_now(deduped, spark, mode="append")
+
+
+# Static enrichment dim: event_type -> funnel category / alert weight.
+# Inline and deterministic so the streaming query is self-contained.
+_TYPE_DIM = [
+    ("view", "engagement", 1),
+    ("click", "engagement", 2),
+    ("signup", "conversion", 5),
+    ("purchase", "conversion", 10),
+    ("error", "ops", 0),
+]
+
+
+@register(
+    "q_stream_static_join",
+    oracle=f"""
+    WITH dim(event_type, category, weight) AS (
+      VALUES {', '.join(f"('{t}', '{c}', {w})" for t, c, w in _TYPE_DIM)}
+    )
+    SELECT d.category,
+           strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(d.weight AS BIGINT)) AS BIGINT) AS total_weight
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live event stream joined to a
+    slowly-changing reference dim (event_type → category/weight), then
+    windowed per category — the standard streaming-ETL enrichment shape.
+
+    The static side needs NO watermark and holds no join state: Spark
+    re-plans it per micro-batch as a broadcast hash join (at 100 TB of
+    stream the dim is still KB — broadcast is free), so unlike the
+    stream-stream join there is no state-eviction concern. Drained
+    availableNow in complete mode (append would hold back windows still
+    inside the final watermark); batch twin is the plain join+agg oracle."""
+    events = read_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        spark.createDataFrame(_TYPE_DIM, ["event_type", "category", "weight"])
+    )
+    enriched = events.join(dim, "event_type")
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("weight").cast("bigint")).alias("total_weight"),
+        )
+        .select(
+            "category",
+            F.col("win.start").alias("ws"),
+            "n_events",
+            "total_weight",
+        )
+    )
+    result = run_available_now(agg, spark)
+    return result.select(
+        "category",
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "total_weight",
+    )
