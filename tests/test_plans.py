@@ -122,3 +122,49 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = _plan(REGISTRY["q_decontaminate"].fn(spark, SMOKE_SF))
     assert _n_ops(plan, "BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_broadcasts_dim_no_global_sort_blowup(spark):
+    """TPC-H Q3 shape: customer rides a broadcast; the top-10 is a
+    TakeOrderedAndProject (never a full global sort materialization)."""
+    plan = _plan(REGISTRY["q_shipping_priority"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "TakeOrderedAndProject" in plan
+    # date filters push into both fact scans
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan and "o_orderdate" in plan
+
+
+def test_big_orders_aggregates_before_join(spark):
+    """TPC-H Q18 shape: the lineitem quantity agg runs BEFORE the orders
+    join — the shuffle carries pre-combined per-order groups, not raw
+    lineitem rows. In the formatted plan the HashAggregate pair must sit
+    below the join (appear before it in the operator listing)."""
+    import re
+
+    plan = _plan(REGISTRY["q_big_orders"].fn(spark, SMOKE_SF))
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    join_ids = [int(m) for m in re.findall(r"\((\d+)\) \w*HashJoin", plan)]
+    assert agg_ids and join_ids
+    # lower operator id = deeper in the tree = executes first
+    assert min(agg_ids) < min(join_ids)
+
+
+def test_brand_revenue_derives_pushed_filters(spark):
+    """TPC-H Q19 shape: Catalyst must derive the single-side implications
+    of the OR-of-ANDs and push them into the scans (quantity band on
+    lineitem; brand/size disjunction on part)."""
+    plan = _plan(REGISTRY["q_brand_revenue"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # implied quantity bound reaches the lineitem parquet scan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+    assert "LessThanOrEqual(l_quantity,50.0)" in plan
+
+
+def test_quota_sample_single_shuffle(spark):
+    """Per-source quota cap: exactly one exchange (hash-partition on
+    source) feeds the window; no global sort anywhere."""
+    plan = _plan(REGISTRY["q_quota_sample"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "Exchange") == 1
+    assert "hashpartitioning(source" in plan
