@@ -128,3 +128,72 @@ def connected_components(
             "node", F.coalesce("component", F.col("node")).alias("component")
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Weighted PageRank (simplified/original formulation: rank' =
+    (1-d)/N + d·Σ_in rank·w/out_w, no dangling-mass redistribution) over an
+    edge relation — the second iterative fixed-point operator next to
+    :func:`connected_components`, same driver-loop posture: each round is
+    one join + one grouped aggregate over the EDGE relation, lineage cut
+    per round with ``localCheckpoint``.
+
+    Determinism (oracle-exactness): per-edge contributions are doubles with
+    a fixed op order ``(rank * w) / out_w``; the per-node reduction routes
+    through DECIMAL(18,12) string-cast accumulation (order-independent,
+    identical rounding in DuckDB — see ``functions/compat.psum``), and the
+    teleport+damping update is two scalar double ops. Every iteration is
+    therefore bit-identical to the unrolled SQL twin.
+
+    Scale: shuffles only edges (grouped on dst) and the O(|V|) rank
+    relation per round; out-degree normalization is one precomputed
+    grouped sum. Hub skew is bounded by the weighted normalization (no
+    adjacency-list explosion as in label propagation).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = e.join(out_w, "src").localCheckpoint()  # (src, dst, w, out_w), static
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        term = (F.col("rank") * F.col("w").cast("double")) / F.col(
+            "out_w"
+        ).cast("double")
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(F.col("dst").alias("node"), term.alias("term"))
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("term").cast("string").cast("decimal(18,12)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

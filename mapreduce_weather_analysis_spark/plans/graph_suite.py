@@ -1,0 +1,110 @@
+"""Graph-analytics queries: PageRank over the nation trade graph.
+
+Connected components (operators/graph.py) already powers the dedup
+clustering; this suite exercises the other canonical iterative fixed-point
+— weighted PageRank — end-to-end through the driver contract, with an
+EXACT oracle: the DuckDB twin unrolls the same five iterations as chained
+CTEs with bit-identical arithmetic (fixed double op order + decimal-exact
+contribution sums, the `functions/compat.psum` trick applied per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from .registry import register, t
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+# Edge relation: supplier-nation -> customer-nation, weighted by lineitem
+# count (exact bigint). Shared between the Spark plan and the oracle.
+_EDGES_SQL = """
+    SELECT ns.n_name AS src, nc.n_name AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, damping: float = _PR_DAMPING) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank: r0 -> r{iters}."""
+    term = (
+        "CAST(CAST((r.rank * CAST(e.w AS DOUBLE)) / CAST(ow.out_w AS DOUBLE)"
+        " AS VARCHAR) AS DECIMAL(18,12))"
+    )
+    ctes = [
+        f"e AS ({_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, CAST(SUM({term}) AS DOUBLE) AS contrib"
+            f" FROM e JOIN r{i - 1} r ON r.node = e.src"
+            f" JOIN ow ON ow.src = e.src GROUP BY 1)"
+        )
+        # NB: bare decimal literals are DECIMAL in DuckDB (1.0 - 0.85 folds
+        # EXACTLY to 0.15), while Spark/Python do the IEEE double subtract
+        # (0.15000000000000002) — cast to DOUBLE first so both engines run
+        # the identical float ops.
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE))"
+            f" / (SELECT n FROM nn)"
+            f" + CAST({damping} AS DOUBLE) * COALESCE(c.contrib, 0.0) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS nation, rank FROM r{iters}"
+    )
+
+
+@register("q_pagerank_nations", oracle=_pagerank_oracle())
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier-nation → customer-nation trade
+    graph (edge weight = lineitem count): which nations sit at the center
+    of the trade network. Five damped iterations of the driver-loop
+    operator (operators/graph.pagerank); the oracle unrolls the identical
+    recurrence as five chained CTEs — two entirely different executions,
+    bit-identical fixpoint trajectory.
+
+    Scale: edge derivation is the q_nation_volume join (broadcast dims,
+    one fact-fact shuffle); the iteration itself only ever shuffles the
+    |nations|² edge relation — for a billion-node web graph the SAME code
+    shuffles edges per round, which is the canonical Pregel/GraphX cost."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = t(spark, sf_dir, "nation")
+    ns = F.broadcast(
+        n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("src"))
+    )
+    nc = F.broadcast(
+        n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("dst"))
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(
+        edges, src="src", dst="dst", weight="w",
+        damping=_PR_DAMPING, iters=_PR_ITERS,
+    )
+    return ranks.select(F.col("node").alias("nation"), "rank")

@@ -171,6 +171,7 @@ def _import_plans() -> None:
         "udtf_suite",
         "events_suite",
         "dedup_suite",
+        "graph_suite",
         "similarity_suite",
         "text_suite",
         "multimodal_suite",
