@@ -51,6 +51,13 @@ HEADLINE = [
     "q_ann_pq_topk",
     "q_corpus_clean",
     "q_bpe_pair_counts",
+    # round-2 late additions: TPC-H flagship, iterative PageRank, blocked
+    # fuzzy linkage, frequent-items sketch, vocab coverage
+    "q_shipping_priority",
+    "q_pagerank_nations",
+    "q_fuzzy_match",
+    "q_heavy_hitters",
+    "q_vocab_coverage",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -78,6 +85,11 @@ BASELINE_SEC = {
     "q_ann_pq_topk": 3.0,
     "q_corpus_clean": 3.9,
     "q_bpe_pair_counts": 0.5,
+    "q_shipping_priority": 0.9,
+    "q_pagerank_nations": 2.8,
+    "q_fuzzy_match": 0.7,
+    "q_heavy_hitters": 0.5,
+    "q_vocab_coverage": 1.2,
 }
 
 

@@ -634,3 +634,59 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(5)
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           n * 1.0 / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS p_transition
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the generalization of the fixed funnel
+    queries (any path, not just view→click→purchase), and the input to
+    drop-off/anomaly analyses.
+
+    Shape: one shuffle on user_id for the LEAD window (tie-broken on
+    event_id for a total per-user order), then a tiny |types|² agg; the
+    conditional probability normalizes by an exact bigint row-count sum,
+    so the division is deterministic. At 100 TB the user_id partitioning
+    is the same high-cardinality key the sessionization queries already
+    scale on."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") * F.lit(1.0) / F.sum("n").over(w_from)).alias("p_transition"),
+    )

@@ -959,3 +959,65 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+_VOCAB_TOP = 100
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql('text')}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    ranked AS (
+      SELECT tok, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank
+      FROM counts
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= {_VOCAB_TOP})
+    SELECT tok, n, rank,
+           CAST(SUM(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) * 1.0 / (SELECT total FROM tot) AS cum_coverage
+    FROM top
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the top-K unigram vocabulary with the
+    cumulative fraction of all corpus tokens it covers — the measurement
+    behind every vocab-size decision (how big must V be for 95% coverage?)
+    and the unigram companion to the BPE pair counts.
+
+    Scale shape: token counts are one hash-agg; the total is a scalar agg;
+    ONLY the fixed-K head enters the running-sum window (single partition
+    of K rows, constant regardless of corpus size — never a global window
+    over the full vocabulary). Coverage = exact bigint cumsum ÷ exact
+    total, one double division per row."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w_rank = W.orderBy(F.desc("n"), F.asc("tok"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= _VOCAB_TOP)
+    )
+    w_cum = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n",
+            "rank",
+            (F.sum("n").over(w_cum) * F.lit(1.0) / F.col("total")).alias(
+                "cum_coverage"
+            ),
+        )
+    )
