@@ -142,3 +142,101 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 5) -> DataFrame
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def gemm_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k with a **vectorized GEMM pruner**: same results
+    (and same oracle) as :func:`brute_force_topk`, ~an order of magnitude
+    less work per pair.
+
+    Why: the brute-force path scores |Q|·|N| pairs with a per-row JVM array
+    fold — correct, but each pair costs an interpreted 64-element loop.
+    Dense float math is exactly what BLAS is for, so this variant runs the
+    scoring as one numpy matrix multiply per Arrow batch (``mapInPandas``):
+
+    1. collect the (small, broadcast-sized) query matrix to the driver and
+       ship it inside the closure — the same "broadcast the probe side"
+       posture as the relational path;
+    2. per candidate batch: one (batch × d) @ (d × |Q|) GEMM, mask
+       self-pairs, keep the per-batch top-k per query with the
+       (cosine desc, neighbor_id asc) compound order — a sound pruner:
+       any global top-k row is a per-batch top-k row of its batch;
+    3. rescore ONLY the surviving ≈ k·|Q|·n_batches candidate pairs with
+       the JVM fold (`functions/vectors.cosine`) and re-rank — so emitted
+       scores/ranks are bit-identical to the all-JVM plan and the DuckDB
+       oracle (GEMM rounding never reaches the output, it only prunes;
+       a pair can drop only if two cosines collide within GEMM error
+       ~1e-15 at the batch-k boundary — vanishing for real embeddings).
+
+    Scale: candidates stream through executors batch-by-batch (no
+    crossJoin materialization); the GEMM is cache-friendly and SIMD; the
+    rescoring join touches k·|Q| rows per batch — at 100 TB the pattern is
+    the standard "matmul block-scan + exact re-rank" ANN layout.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        queries.select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long"
+
+    def prune(batches):
+        # nested closure: executors can't import the repo (driver-sim runs
+        # from a foreign cwd), so the fn must pickle by value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            scores = c_norm @ q_norm.T  # (batch, |Q|)
+            scores[c_ids[:, None] == q_ids[None, :]] = -np.inf  # self
+            kk = min(k, len(pdf))
+            # per-query top-kk by (score desc, neighbor_id asc)
+            order = np.lexsort((c_ids[:, None].repeat(len(q_ids), 1), -scores), axis=0)
+            top = order[:kk, :]  # row idx per query column
+            qi = np.repeat(q_ids[None, :], kk, axis=0)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi.ravel(),
+                    "neighbor_id": c_ids[top].ravel(),
+                }
+            )
+
+    cand_ids = candidates.select("vec_id", "embedding").mapInPandas(
+        prune, schema=out_schema
+    )
+
+    # exact JVM-fold rescore of the pruned pairs (bit-identical to oracle)
+    c = candidates.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+        )
+    )
+    rescored = (
+        cand_ids.where(F.col("query_id") != F.col("neighbor_id"))
+        .join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -269,3 +269,39 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVFPQ layout."""
     e = t(spark, sf_dir, "embeddings")
     return pq_topk(e, _QUERY_FILTER)
+
+
+@register(
+    "q_ann_gemm_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE {_QUERY_FILTER}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cosine_sql('qv', 'cv')} AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 via the GEMM-pruned path
+    (operators/similarity.gemm_topk): numpy matmul per Arrow batch prunes
+    candidates, the JVM fold rescore keeps the output bit-identical to
+    q_ann_cosine_topk — SAME oracle, different (vectorized) execution.
+    The measured fast path for exact search; see bench."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.expr(_QUERY_FILTER))
+    from ..operators.similarity import gemm_topk
+
+    return gemm_topk(q, e, k=5)
