@@ -15,18 +15,29 @@ from .compat import HASH_PRIME
 
 # ---------------------------------------------------------------------------
 # Tokenize: lowercase, trim, split on whitespace, drop empties.
+#
+# The whitespace class is spelled explicitly rather than as `\s` because the
+# two regex engines disagree on it: java.util.regex `\s` is [ \t\n\x0B\f\r]
+# while RE2 (DuckDB) `\s` is [\t\n\f\r ] — a vertical tab in the input makes
+# Spark and the oracle tokenize differently ('a\x0bb' → 1 vs 2 tokens).
+# Spelling [ \t\n\r\x0b\x0c] on BOTH sides makes them agree by construction.
 # ---------------------------------------------------------------------------
+
+WS_CLASS = r"[ \t\n\r\x0b\x0c]"
 
 
 def tokens(c: Column | str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     return F.filter(
-        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.trim(col)), WS_CLASS + "+"), lambda t: t != F.lit("")
     )
 
 
 def tokens_sql(expr: str) -> str:
-    return rf"list_filter(string_split_regex(lower(trim({expr})), '\s+'), t -> t <> '')"
+    return (
+        rf"list_filter(string_split_regex(lower(trim({expr})), "
+        rf"'{WS_CLASS}+'), t -> t <> '')"
+    )
 
 
 # ---------------------------------------------------------------------------

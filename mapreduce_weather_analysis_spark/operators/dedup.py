@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import HASH_PRIME
 from ..functions.text import (
+    WS_CLASS,
     hashed_list,
     hashed_list_sql,
     shingles,
@@ -114,9 +115,9 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N) 
 
     ex = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "tok"
-        ),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), WS_CLASS + "+")
+        ).alias("pos", "tok"),
     ).where(F.col("tok") != "")
     w = W.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]

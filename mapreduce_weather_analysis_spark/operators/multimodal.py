@@ -135,13 +135,18 @@ def frame_sample_relational(
     frame = F.substring(
         F.col("blob"), (F.col("frame_idx") * frame_bytes + 1).cast("int"), frame_bytes
     )
+    # The digest is sha256 of the frame's lowercase-hex encoding, not of the
+    # raw bytes: DuckDB 1.0's sha256() only accepts VARCHAR, so hashing the
+    # hex string is the strongest frame fingerprint both engines can compute
+    # byte-exactly even when a frame boundary splits a multi-byte UTF-8
+    # character (the oracle slices a hex string, 2 chars per byte).
     return (
         blobs.select("doc_id", "blob", F.explode(idxs).alias("frame_idx"))
         .select(
             "doc_id",
             "frame_idx",
             F.octet_length(frame).cast("bigint").alias("frame_bytes"),
-            F.sha2(frame, 256).alias("frame_sha"),
+            F.sha2(F.lower(F.hex(frame)), 256).alias("frame_sha"),
         )
     )
 

@@ -144,11 +144,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')
-                 AS toks
+      SELECT doc_id, {tokens_sql('text')} AS toks
       FROM documents
     ),
     sh AS (

@@ -18,10 +18,13 @@ from .registry import register, t
 @register(
     "q_multimodal_meta",
     oracle="""
+    -- magic_hex slices the blob's HEX STRING (2 chars per byte): DuckDB has
+    -- no BLOB substring, and char-slicing text diverges from byte-slicing
+    -- whenever the prefix contains a multi-byte UTF-8 character.
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS sha256,
-           lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+           substr(lower(hex(encode(text))), 1, 8) AS magic_hex
     FROM documents
     """,
 )
@@ -52,23 +55,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_frame_sample",
     oracle="""
-    -- DuckDB substr() has no BLOB overload: slice the VARCHAR then encode.
-    -- Byte-slice == char-slice because the corpus is ASCII (asserted by the
-    -- octet_length==length invariant; q_multimodal_meta leans on it too).
+    -- DuckDB substr() has no BLOB overload: slice the blob's HEX STRING
+    -- instead (2 hex chars per byte), which is byte-exact even when a frame
+    -- boundary splits a multi-byte UTF-8 character. frame_sha is sha256 of
+    -- the frame's lowercase-hex encoding on BOTH engines (DuckDB sha256 is
+    -- VARCHAR-only), so the digests agree by construction.
     WITH b AS (
-      SELECT doc_id, text,
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
              CAST(octet_length(encode(text)) AS BIGINT) AS n
       FROM documents
     ),
     idx AS (
-      SELECT doc_id, text,
+      SELECT doc_id, hx,
              unnest(range(0, (n + 255) // 256, 4)) AS frame_idx
       FROM b WHERE n > 0
     )
     SELECT doc_id, frame_idx,
-           CAST(octet_length(encode(substr(text, frame_idx * 256 + 1, 256))) AS BIGINT)
+           CAST(length(substr(hx, frame_idx * 512 + 1, 512)) // 2 AS BIGINT)
              AS frame_bytes,
-           sha256(substr(text, frame_idx * 256 + 1, 256)) AS frame_sha
+           sha256(substr(hx, frame_idx * 512 + 1, 512)) AS frame_sha
     FROM idx
     """,
 )

@@ -158,18 +158,26 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex, spelled with explicit character classes so
+# java.util.regex (Spark) and RE2 (DuckDB oracle) agree by construction:
+# `\w`/`\s` differ between the engines (Java \s includes \x0B, RE2's does
+# not; \w is ASCII in both only by default configuration). Word runs of
+# [A-Za-z0-9_], else one token per non-word non-whitespace character.
+BPEISH_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\x0b\x0c]"
+
+
 @register(
     "q_token_count",
-    oracle=r"""
+    oracle=rf"""
     WITH counted AS (
       SELECT doc_id, source,
-             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
+             CAST(len(regexp_extract_all(text, '{BPEISH_RE}')) AS BIGINT) AS n_bpeish
       FROM documents
     )
     SELECT source,
            COUNT(*) AS n_docs,
            SUM(n_bpeish) AS total_tokens,
-           SUM(n_bpeish) * 1.0 / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_bpeish) AS DOUBLE) / COUNT(*) AS avg_tokens,
            MAX(n_bpeish) AS max_tokens
     FROM counted
     GROUP BY source
@@ -180,14 +188,14 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks — the pre-tokenizer split GPT-style BPEs apply), aggregated per
     source: the "how many tokens is this corpus" pipeline stage."""
     d = t(spark, sf_dir, "documents")
-    n = F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).cast("bigint")
+    n = F.size(F.regexp_extract_all("text", F.lit(BPEISH_RE), 0)).cast("bigint")
     return (
         d.select("doc_id", "source", n.alias("n_bpeish"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bpeish").alias("total_tokens"),
-            (F.sum("n_bpeish") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum("n_bpeish").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
             F.max("n_bpeish").alias("max_tokens"),
         )
     )
@@ -389,7 +397,7 @@ PACK_BUDGET = 256  # tokens per packed training sequence
       SELECT doc_id,
              concat('reach ', source, '@example.com or 555-010-',
                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-                    ' :: ', substr(text, 1, 200)) AS raw_text
+                    ' :: ', coalesce(substr(text, 1, 200), '')) AS raw_text
       FROM documents
     )
     SELECT doc_id,
@@ -414,7 +422,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("@example.com or 555-010-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" :: "),
-        F.substring("text", 1, 200),
+        # coalesce: Spark concat is NULL-propagating but DuckDB's skips
+        # NULL args — a NULL text must not null the whole synthetic row.
+        F.coalesce(F.substring("text", 1, 200), F.lit("")),
     )
     scrubbed = F.regexp_replace(
         F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
@@ -441,7 +451,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     )
     SELECT source,
-           CAST(FLOOR((running - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           CAST((running - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
            SUM(n_tokens) AS total_tokens,
            MIN(doc_id) AS first_doc,
@@ -463,9 +473,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("source", "doc_id", F.size(tokens("text")).alias("n_tokens"))
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     cum = tok.withColumn("running", F.sum("n_tokens").over(w))
-    seq_id = F.floor(
-        (F.col("running") - F.col("n_tokens")) / F.lit(float(PACK_BUDGET))
-    ).cast("bigint")
+    # Integer floor-division on both sides (offsets are non-negative, so
+    # truncation == floor) — no float path that could round differently
+    # between the engines.
+    seq_id = F.expr(f"(running - n_tokens) div {PACK_BUDGET}").cast("bigint")
     return (
         cum.select("source", seq_id.alias("seq_id"), "doc_id", "n_tokens")
         .groupBy("source", "seq_id")

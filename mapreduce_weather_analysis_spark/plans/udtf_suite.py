@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_CLASS
 from ..functions.vectors import dot_sql
 from .registry import register, t
 
@@ -24,7 +25,7 @@ _CHUNK_SIZE, _CHUNK_STRIDE = 32, 16
 _CHUNK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '{WS_CLASS}+'),
                      x -> x <> '') AS tk
   FROM documents
   WHERE text IS NOT NULL
@@ -38,7 +39,8 @@ SELECT doc_id,
        CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
        CAST(start AS INT) AS start_tok,
        CAST(least({_CHUNK_SIZE}, n - start) AS INT) AS n_toks,
-       array_to_string(tk[start + 1 : start + {_CHUNK_SIZE}], ' ') AS chunk
+       COALESCE(array_to_string(tk[start + 1 : start + {_CHUNK_SIZE}], ' '), '')
+           AS chunk
 FROM starts
 """
 
@@ -62,7 +64,17 @@ def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):  # noqa: D401
             if text is None:
                 return
-            toks = text.lower().split()
+            import re
+
+            # Explicit ASCII whitespace class, NOT str.split(): Python's
+            # bare split() also breaks on unicode spaces (NBSP, \x85, ...)
+            # that the RE2 oracle regex does not — same dialect-divergence
+            # class as Java-vs-RE2 \s (see functions/text.py WS_CLASS).
+            toks = [
+                x
+                for x in re.split("[ \t\n\r\x0b\x0c]+", text.lower())
+                if x != ""
+            ]
             size, stride = 32, 16  # literals: executor-shipped code must not
             idx = 0                # reference module globals (pickle rule)
             for start in range(0, max(len(toks) - size + 1, 1), stride):
