@@ -59,14 +59,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Driver-facing emission order. The correctness driver verifies registry
-# entries front-to-back with a bounded budget (round 1 stopped at 50), so the
-# dict order below is load-bearing: the reference-surface queries (SURVEY.md
-# §2, O1-O13) come first, then the LLM-data-pipeline extension flagships that
-# round 1 left unchecked (VERDICT.md "What's wrong" #1), then the newly
-# oracled ex-rows-only queries. Everything not listed follows in registration
-# order — those all have green hash-match rows from CORRECTNESS_r01.json.
+# entries front-to-back with a bounded budget (50 in rounds 1-2), so the
+# dict order below is load-bearing. Round-3 rotation (VERDICT_r2 ask #2):
+# keep the 9 reference-surface queries and the 2 round-2 hash failures
+# (fixed this round) in-window, pull in the 30 queries that had no driver
+# row from any round (TPC-H pack, PageRank, PQ/GEMM ANN, canonical/
+# incremental dedup, the round-2 text queries, salted/semi joins,
+# stream-static join), and spend the remaining slots re-checking queries
+# whose tokenizer / oracle text changed this round. Double-green r1+r2
+# entries and the 3 no-oracle sketches rotate past slot 50 — by design,
+# not regression (they remain pytest-oracle-green locally).
 _PRIORITY: tuple[str, ...] = (
-    # -- reference surface (O1-O13 per VERDICT coverage table) --
+    # -- reference surface (O1-O13 per VERDICT coverage table): 9 --
     "q_max_month",
     "q_city_month",
     "q_city_month_formatted",
@@ -76,62 +80,61 @@ _PRIORITY: tuple[str, ...] = (
     "q_case_coalesce",
     "q_topk_global",
     "q_sql_api_shipping",
-    # -- extension block: events / sketches / funnels --
-    # (q_events_tumbling already has a green r01 hash-match row -> tail)
-    "q_events_sliding",
-    "q_events_sessionize",
-    # (q_approx_count_distinct is a rows-only check — its accuracy is
-    # pytest-asserted; the slot goes to a hash-checkable query -> tail)
-    "q_events_session_window",
-    "q_scd2_history",
-    "q_events_funnel",
-    "q_retention_cohorts",
-    "q_sketch_mergeable",
-    "q_sketch_quantiles",
-    "q_events_funnel_windowed",
-    "q_sketch_set_ops",
-    "q_events_funnel_sessionized",
-    # -- deduplication --
-    "q_dedup_exact",
+    # -- the two round-2 hash failures, fixed (dialect-proof regexes): 2 --
+    "q_token_count",
+    "q_pack_sequences",
+    # -- never-checked: TPC-H pack: 6 --
+    "q_shipping_priority",
+    "q_nation_volume",
+    "q_returned_items",
+    "q_promo_revenue",
+    "q_big_orders",
+    "q_brand_revenue",
+    # -- never-checked: events: 2 --
+    "q_heavy_hitters",
+    "q_event_transitions",
+    # -- never-checked: dedup: 4 --
+    "q_simhash_pairs",
+    "q_dedup_canonical",
+    "q_dedup_incremental",
+    "q_corpus_clean",
+    # -- never-checked: graph + similarity: 4 --
+    "q_pagerank_nations",
+    "q_embed_quantize",
+    "q_ann_pq_topk",
+    "q_ann_gemm_topk",
+    # -- never-checked: round-2 text additions: 9 --
+    "q_text_repetition",
+    "q_mixing_weights",
+    "q_bpe_pair_counts",
+    "q_corpus_shuffle",
+    "q_quota_sample",
+    "q_corpus_stats",
+    "q_fuzzy_match",
+    "q_token_budget",
+    "q_vocab_coverage",
+    # -- never-checked: joins + streaming: 3 --
+    "q_stream_static_join",
+    "q_salted_join",
+    "q_prefilter_semi_join",
+    # -- never-checked rows-only (still deserve one driver row each): 2 --
+    "q_approx_count_distinct",
+    "q_multimodal_decode",
+    # -- re-checks: code or oracle text changed this round (WS_CLASS
+    #    tokenizer, hex-slice multimodal oracles, pii concat coalesce): 9 --
     "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
     "q_ngram_jaccard",
     "q_dedup_apply",
-    "q_dedup_clusters",
-    # -- similarity search --
-    "q_ann_cosine_topk",
-    "q_ann_lsh_topk",
-    "q_embed_neardup",
-    "q_ann_ivf_topk",
-    # -- text analysis --
-    "q_text_quality",
-    "q_lang_id",
-    "q_token_count",
     "q_doc_fingerprint",
     "q_tfidf_top_terms",
-    "q_corpus_split",
-    "q_stratified_sample",
     "q_pii_scrub",
-    "q_pack_sequences",
-    # -- multimodal (decode is a rows-only fake-decode check -> tail) --
+    "q_udtf_chunk_text",
     "q_multimodal_meta",
     "q_frame_sample",
-    # -- streaming --
-    "q_stream_tumbling",
-    "q_stream_stateful_counts",
-    "q_stream_stream_join",
-    "q_stream_dedup",
-    # -- ex-rows-only queries, re-checked with their new oracles --
-    "q_pandas_udf_cosine",
-    "q_udtf_chunk_text",
-    "q_group_trend_pandas",
-    # -- round-2 additions with exact oracles --
-    "q_decontaminate",
-    "q_ann_filtered_topk",
     # -- window boundary (slot 50): entries below are first in line if the
     #    driver's correctness window ever widens --
-    "q_ann_pq_topk",
-    "q_dedup_canonical",
+    "q_dedup_exact",
+    "q_dedup_simhash",
 )
 
 
