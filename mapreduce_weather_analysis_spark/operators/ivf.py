@@ -23,15 +23,27 @@ operators/graph.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .similarity import EMBED_DIM as DIM
 
-IVF_K = 8
+IVF_K_FLOOR = 8
 IVF_ITERS = 3
 IVF_NPROBE = 2
+
+
+def ivf_cells(n: int) -> int:
+    """Cell-count policy: k = max(floor, ⌊√N⌋) — the classical IVF sizing
+    (per-cell occupancy and probe cost both ~√N, so total search work per
+    query is O(√N) instead of O(N/k_fixed)). A fixed k=8 measured 37× wall
+    growth at 100× data (SCALE.md r2); √N keeps the ratio near 100^1.5/100.
+    Same double-sqrt on both engines (DuckDB FLOOR(SQRT(n))) for bit-parity.
+    """
+    return max(IVF_K_FLOOR, int(math.floor(math.sqrt(n))))
 
 
 def _sq_l2(v: str | F.Column, c: str | F.Column) -> F.Column:
@@ -84,11 +96,15 @@ def _recompute(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-def ivf_index(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
-    """Returns (assignments, centroids) after ``iters`` Lloyd rounds."""
+def ivf_index(emb: DataFrame, k: int | None = None, iters: int = IVF_ITERS):
+    """Returns (assignments, centroids) after ``iters`` Lloyd rounds.
+    ``k=None`` → the ivf_cells(N) policy (one tiny count job at build time;
+    the corpus is localCheckpointed first so the scan isn't repeated)."""
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).localCheckpoint()
+    if k is None:
+        k = ivf_cells(vecs.count())
     centroids = (
         vecs.orderBy("vec_id")
         .limit(k)
@@ -112,7 +128,7 @@ def ivf_topk(
     query_filter: str,
     k_neighbors: int = 5,
     nprobe: int = IVF_NPROBE,
-    k: int = IVF_K,
+    k: int | None = None,
     iters: int = IVF_ITERS,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) searching only the nprobe
@@ -171,18 +187,30 @@ def _sq_l2_sql(v: str, c: str) -> str:
 def ivf_topk_sql(
     table: str,
     query_filter: str,
-    k: int = IVF_K,
+    k: int | None = None,
     iters: int = IVF_ITERS,
     k_neighbors: int = 5,
     nprobe: int = IVF_NPROBE,
 ) -> str:
     """Generate the full iterative-k-means + probe search as one DuckDB
-    query (Lloyd rounds unrolled into CTE chains)."""
+    query (Lloyd rounds unrolled into CTE chains). ``k=None`` mirrors the
+    ivf_cells(N) policy via a scalar subquery — same FLOOR(SQRT(COUNT))
+    double arithmetic as the Spark side, so the seed set is identical."""
+    k_expr = (
+        str(k)
+        if k is not None
+        else (
+            f"(SELECT GREATEST({IVF_K_FLOOR}, "
+            f"CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)"
+        )
+    )
     ctes = [
         f"vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
         f"""c0 AS (
-          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, v AS c
-          FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k})
+          SELECT cluster, c FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, v AS c
+            FROM vecs
+          ) WHERE cluster <= {k_expr}
         )""",
     ]
     prev = "c0"

@@ -129,11 +129,13 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=ivf_topk_sql("embeddings", _QUERY_FILTER),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic mini k-means (8 cells, 3 Lloyd rounds) as the
-    coarse quantizer, then cosine top-5 probing the 2 nearest cells — the
-    third ANN path (vs. brute force and hyperplane LSH). The oracle unrolls
-    the identical iterative k-means into a CTE chain; bit-parity end to end
-    (decimal-exact centroid means, tie-broken assignments)."""
+    """IVF ANN: deterministic mini k-means (k = max(8, ⌊√N⌋) cells — the
+    classical IVF sizing, so per-cell occupancy and search work stay ~√N as
+    the corpus grows; 3 Lloyd rounds) as the coarse quantizer, then cosine
+    top-5 probing the 2 nearest cells — the third ANN path (vs. brute force
+    and hyperplane LSH). The oracle unrolls the identical iterative k-means
+    into a CTE chain, deriving the same k via FLOOR(SQRT(COUNT(*)));
+    bit-parity end to end (decimal-exact means, tie-broken assignments)."""
     e = t(spark, sf_dir, "embeddings")
     return ivf_topk(e, _QUERY_FILTER)
 

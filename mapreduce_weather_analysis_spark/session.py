@@ -37,6 +37,11 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as int64; the table loader
     # rebuilds a microsecond timestamp (same truncation DuckDB applies).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Unadjusted-to-UTC parquet µs timestamps (isAdjustedToUTC=false) must
+    # read as TIMESTAMP, not TIMESTAMP_NTZ: with NTZ inference off Spark
+    # reinterprets the raw µs as UTC instants — numerically identical to
+    # DuckDB's naive read, and unix_micros()/watermarks stay applicable.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Right-size shuffles for the host when an external session still runs
     # the 200-partition default (with AQE coalescing this only caps the
     # partition count; results are partitioning-independent by design).

@@ -19,29 +19,35 @@ from pyspark.sql import types as T
 
 from ..session import ensure_session_conf
 
-# Stream schema: ts is TIMESTAMP(NANOS) in the fixture parquet → int64 under
-# spark.sql.legacy.parquet.nanosAsLong (set by ensure_session_conf).
-EVENTS_NANOS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
+    # readStream needs an explicit schema; probe the batch footer so the
+    # stream adapts to either fixture vintage — TIMESTAMP(NANOS) → int64
+    # under nanosAsLong (rebuilt to µs below, DuckDB's truncation), or plain
+    # µs timestamps (read directly; NTZ inference is off per session.py).
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_NANOS)
+        spark.readStream.schema(_events_stream_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_window_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
