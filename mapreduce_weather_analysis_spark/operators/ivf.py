@@ -58,15 +58,46 @@ def _sq_l2(v: str | F.Column, c: str | F.Column) -> F.Column:
 
 def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, v, cluster) — nearest centroid by squared L2, ties → lowest
-    cluster id."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "cluster", _sq_l2("v", "c").alias("dist")
-    )
-    w = W.partitionBy("vec_id").orderBy("dist", "cluster")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "v", "cluster")
+    cluster id.
+
+    Vectorized Arrow kernel (mapInPandas), not the N·k crossJoin: with
+    k ∝ √N the assignment is N^1.5 distance evals and interpreted
+    higher-order functions became the wall (measured 3.6e8 evals / 278 s at
+    the 100× run). The kernel broadcasts the k×DIM centroid matrix (≤ a few
+    hundred KB) inside the closure and accumulates squared diffs
+    DIMENSION-SEQUENTIALLY — ``acc += (x_d − c_d)²`` for d = 0..DIM−1 —
+    which is the exact IEEE op order of the _sq_l2 fold and of the oracle's
+    list_sum(list_transform(...)), so distances are bit-identical and
+    np.argmin's first-minimum rule reproduces the (dist, cluster)
+    tie-break. Zero shuffle: one narrow map over the corpus."""
+    cent = centroids.orderBy("cluster").collect()
+    clusters = [int(r["cluster"]) for r in cent]
+    cmat = [list(r["c"]) for r in cent]
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)  # k × DIM
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # B × DIM
+            acc = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+            for d in range(C.shape[1]):
+                diff = V[:, d, None] - C[None, :, d]
+                acc += diff * diff
+            idx = np.argmin(acc, axis=1)  # first min ⇒ lowest cluster id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cluster": np.asarray(clusters, dtype=np.int32)[idx],
+                }
+            )
+
+    return vecs.mapInPandas(
+        assign_batches, schema="vec_id bigint, v array<double>, cluster int"
     )
 
 
@@ -140,13 +171,25 @@ def ivf_topk(
     queries = assigned.where(F.expr(query_filter)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    # top-nprobe cells per query, same shuffle-light shape as _assign:
+    # partial-agg the k candidate distances down to one sorted nprobe-slice
+    # per query, then re-join qv (collect_list order is nondeterministic but
+    # array_sort over unique (dist, cluster) structs makes it total).
     qc = queries.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", "cluster", _sq_l2("qv", "c").alias("dist")
+        "query_id", _sq_l2("qv", "c").alias("dist"), "cluster"
     )
-    w = W.partitionBy("query_id").orderBy("dist", "cluster")
     probes = (
-        qc.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= nprobe)
+        qc.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
+                1,
+                nprobe,
+            ).alias("near")
+        )
+        .select("query_id", F.explode("near").alias("p"))
+        .select("query_id", F.col("p.cluster").alias("cluster"))
+        .join(queries, "query_id")
         .select("query_id", "qv", "cluster")
     )
     # the probe side is |queries|·nprobe rows — broadcast it so the corpus
