@@ -49,6 +49,7 @@ HEADLINE = [
     "q_text_quality",
     "q_token_count",
     "q_ann_pq_topk",
+    "q_ann_gemm_topk",
     "q_corpus_clean",
     "q_bpe_pair_counts",
     # round-2 late additions: TPC-H flagship, iterative PageRank, blocked
@@ -83,6 +84,9 @@ BASELINE_SEC = {
     "q_text_quality": 0.7,
     "q_token_count": 0.4,
     "q_ann_pq_topk": 3.0,
+    # vectorized GEMM pruner + exact rescore; vs q_ann_cosine_topk's 1.3 —
+    # already ahead at 2k vectors, and the gap is the point at scale
+    "q_ann_gemm_topk": 0.9,
     "q_corpus_clean": 3.9,
     "q_bpe_pair_counts": 0.5,
     "q_shipping_priority": 0.9,

@@ -32,6 +32,10 @@ from ..functions.vectors import as_double, cosine, dot
 
 LSH_PLANES = 6  # 2^6 = 64 buckets
 EMBED_DIM = 64
+# extra per-batch candidates the GEMM pruner keeps beyond k, so float64
+# GEMM-vs-fold rounding at the batch-k boundary cannot drop a true top-k
+# pair (see gemm_topk docstring)
+PRUNE_MARGIN = 8
 
 
 def _plane_sign(j: int, d: int) -> float:
@@ -163,12 +167,15 @@ def gemm_topk(
        self-pairs, keep the per-batch top-k per query with the
        (cosine desc, neighbor_id asc) compound order — a sound pruner:
        any global top-k row is a per-batch top-k row of its batch;
-    3. rescore ONLY the surviving ≈ k·|Q|·n_batches candidate pairs with
-       the JVM fold (`functions/vectors.cosine`) and re-rank — so emitted
-       scores/ranks are bit-identical to the all-JVM plan and the DuckDB
-       oracle (GEMM rounding never reaches the output, it only prunes;
-       a pair can drop only if two cosines collide within GEMM error
-       ~1e-15 at the batch-k boundary — vanishing for real embeddings).
+    3. rescore ONLY the surviving ≈ (k+margin)·|Q|·n_batches candidate
+       pairs with the JVM fold (`functions/vectors.cosine`) and re-rank —
+       so emitted scores/ranks are bit-identical to the all-JVM plan and
+       the DuckDB oracle. The per-batch keep is k + PRUNE_MARGIN, not k:
+       GEMM doubles round differently from the fold, so two pairs within
+       ~1e-15 of the batch's k-th score could order either way — the
+       margin makes the boundary structural (a true top-k pair can only be
+       lost if > margin pairs beat it inside GEMM error — not merely a
+       tie), rather than probabilistic.
 
     Scale: candidates stream through executors batch-by-batch (no
     crossJoin materialization); the GEMM is cache-friendly and SIMD; the
@@ -199,7 +206,7 @@ def gemm_topk(
             c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             scores = c_norm @ q_norm.T  # (batch, |Q|)
             scores[c_ids[:, None] == q_ids[None, :]] = -np.inf  # self
-            kk = min(k, len(pdf))
+            kk = min(k + PRUNE_MARGIN, len(pdf))
             # per-query top-kk by (score desc, neighbor_id asc)
             order = np.lexsort((c_ids[:, None].repeat(len(q_ids), 1), -scores), axis=0)
             top = order[:kk, :]  # row idx per query column
