@@ -32,15 +32,23 @@ def write_bucketed(
     path: str,
     key: str,
     buckets: int = 32,
+    sort_cols: list[str] | None = None,
 ) -> None:
-    """Write ``df`` as an external parquet table bucketed (and sorted)
-    by ``key``. Sorting within buckets lets a downstream sort-merge join
-    skip its sort whenever each bucket lands in a single file."""
+    """Write ``df`` as an external parquet table bucketed by ``key`` and
+    sorted within buckets by ``sort_cols`` (default: the key). The input is
+    pre-repartitioned on the key with the SAME murmur3 mapping bucketing
+    uses, so each bucket lands in exactly ONE file — the condition under
+    which Spark exposes the files' sort order to the planner
+    (``spark.sql.legacy.bucketedTableScan.outputOrdering=true``), letting a
+    downstream sort-merge join or window skip its Sort, not just its
+    Exchange."""
+    sort_cols = sort_cols or [key]
     (
-        df.write.format("parquet")
+        df.repartition(buckets, key)
+        .write.format("parquet")
         .mode("overwrite")
         .bucketBy(buckets, key)
-        .sortBy(key)
+        .sortBy(*sort_cols)
         .option("path", path)
         .saveAsTable(table)
     )

@@ -75,3 +75,58 @@ def test_bucketed_fact_fact_join_has_no_exchange(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b_test")
         spark.sql("DROP TABLE IF EXISTS o_b_test")
+
+
+def test_bucketed_sorted_window_is_a_streaming_pass(spark, tmp_path):
+    """The SCALE.md window posture: lineitem bucketed on l_suppkey and
+    sorted on (l_suppkey, l_shipdate, l_orderkey, l_linenumber) makes the
+    per-supplier running-sum window plan with NO Exchange and NO Sort —
+    the scan's bucket partitioning + file sort order satisfy the window's
+    distribution and ordering requirements outright."""
+    from pyspark.sql import Window as W
+
+    cols = ["l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"]
+    li = load_table(spark, SMOKE_SF, "lineitem").select(*cols)
+    write_bucketed(
+        li,
+        "li_ws_test",
+        str(tmp_path / "li_ws"),
+        "l_suppkey",
+        buckets=4,
+        sort_cols=["l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+    old = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+    def running(df):
+        w = (
+            W.partitionBy("l_suppkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return df.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_qty"),
+        )
+
+    try:
+        windowed = running(spark.table("li_ws_test"))
+        plan = _plan(windowed)
+        assert ") Exchange" not in plan, plan
+        assert ") Sort" not in plan, plan
+        # layout never changes the answer
+        assert sorted(map(tuple, windowed.collect())) == sorted(
+            map(tuple, running(li).collect())
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", old
+        )
+        spark.sql("DROP TABLE IF EXISTS li_ws_test")
