@@ -13,9 +13,12 @@ This is the engine's one genuinely iterative algorithm (driver-side loop,
 each step a distributed job). Lineage is cut with ``localCheckpoint`` per
 round — the standard posture for iterative Spark (GraphX/Pregel
 materialize the same way); without it the plan doubles every round.
-Convergence is detected from a (count, checksum) aggregate over the
-already-checkpointed round output — one tiny job, no extra self-join
-(xxhash64 collision odds ~2^-64 per round; ``max_iter`` bounds even that).
+Convergence detection is two-tier and exact: a (count, checksum)
+aggregate over the already-checkpointed round output filters the common
+not-converged case for one tiny job per round, and a fingerprint match is
+confirmed with an ``exceptAll`` set-equality check before breaking — so a
+checksum collision cannot end the loop early; it only costs one extra
+small job in the (typically single) round where the check fires.
 
 Scale: every step shuffles only the EDGE relation (≪ corpus: only
 near-dup members appear), and the star contraction specifically bounds
@@ -109,10 +112,17 @@ def connected_components(
     fp = _fingerprint(e)
     rounds = 0
     for _ in range(max_iter):
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
         new_fp = _fingerprint(e)
-        if new_fp == fp:
+        # two-tier convergence check, EXACT by construction: the cheap
+        # (count, checksum) fingerprint filters the common not-converged
+        # case; on fingerprint equality an exceptAll confirms true set
+        # equality (both relations are distinct, so equal counts + empty
+        # one-sided difference ⇒ identical) — a checksum collision can
+        # never break the loop early, it only costs one extra tiny job
+        if new_fp == fp and e.exceptAll(prev).isEmpty():
             break
         fp = new_fp
     if stats is not None:

@@ -616,11 +616,14 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates to exact counts (no evictions ever happen), and k covers
     the whole domain, so the result equals the exact top-5 — ranked here
     with a total (count desc, item) tie-break applied identically in both
-    engines."""
+    engines. maxItemsTracked is passed EXPLICITLY (10000, the bound the
+    no-evictions argument depends on — not an implicit library default);
+    tests/test_extensions.py asserts the fixture's distinct-type count
+    stays under it."""
     ev = t(spark, sf_dir, "events")
     ev.createOrReplaceTempView("v_events_hh")
     topk = spark.sql(
-        "SELECT approx_top_k(event_type, 5) AS tk FROM v_events_hh"
+        "SELECT approx_top_k(event_type, 5, 10000) AS tk FROM v_events_hh"
     ).select(F.explode("tk").alias("e"))
     return (
         topk.select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))

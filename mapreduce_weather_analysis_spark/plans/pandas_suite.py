@@ -39,12 +39,14 @@ WITH b AS (
   FROM c GROUP BY 1
 )
 SELECT event_type, n,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0 AS slope,
-       (CAST(sy AS DOUBLE) / 1000.0
-        - CAST(n * sxy - sx * sy AS DOUBLE)
-            / CAST(n * sxx - sx * sx AS DOUBLE)
-            * CAST(sx AS DOUBLE) / 1000.0) / n AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0 END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE) / 1000.0
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE) / 1000.0) / n END AS intercept
 FROM s
 """
 
@@ -76,16 +78,22 @@ def q_group_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxy = sum(a * b for a, b in zip(x, y))
         sxx = sum(a * a for a in x)
         num, den = n * sxy - sx * sy, n * sxx - sx * sx
-        # mirror the oracle's double op order exactly (one op at a time)
-        slope = float(num) / float(den) * 1000.0
-        intercept = (float(sy) / 1000.0
-                     - float(num) / float(den) * float(sx) / 1000.0) / n
+        if den == 0:
+            # degenerate but legal group (single row, or all-identical
+            # timestamps): no defined slope — NULL, mirrored in the oracle's
+            # CASE guard (nullable Float64 so Arrow emits a true null, not NaN)
+            slope = intercept = None
+        else:
+            # mirror the oracle's double op order exactly (one op at a time)
+            slope = float(num) / float(den) * 1000.0
+            intercept = (float(sy) / 1000.0
+                         - float(num) / float(den) * float(sx) / 1000.0) / n
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n": [n],
-                "slope": [slope],
-                "intercept": [intercept],
+                "slope": pd.array([slope], dtype="Float64"),
+                "intercept": pd.array([intercept], dtype="Float64"),
             }
         )
 

@@ -253,11 +253,16 @@ def user_idle_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFram
                 else:
                     n, last = n + 1, max(last, ts) if last is not None else ts
             self._open.update((n, last))
+            # register-new-THEN-delete-old: a crash between the two calls
+            # leaves an extra stale timer (harmless — the expiry==last+gap
+            # guard in handleExpiredTimer ignores it) rather than none,
+            # which would strand a trailing open session forever if no
+            # further events arrive for the key
             new_timer = last + gap_ms
+            self._handle.registerTimer(new_timer)
             for old in list(self._handle.listTimers()):
                 if old != new_timer:
                     self._handle.deleteTimer(old)
-            self._handle.registerTimer(new_timer)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             cur = self._open.get()

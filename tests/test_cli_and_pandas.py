@@ -72,3 +72,58 @@ def test_group_trend_matches_closed_form(spark):
         assert n == r.n
         assert math.isclose(got_slope, slope, rel_tol=1e-6), (got_slope, slope)
         assert math.isclose(got_intercept, intercept, rel_tol=1e-6)
+
+
+def test_group_trend_degenerate_groups_match_oracle(spark, tmp_path):
+    """Groups where the OLS denominator n·Σx² − (Σx)² is 0 (single-row
+    group, or all-identical timestamps) must yield NULL slope/intercept on
+    BOTH engines instead of crashing the whole query (ADVICE r2)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "ts": pa.array(
+                [
+                    t0,  # "solo": single-row group
+                    t0, t0, t0,  # "same": identical timestamps
+                    t0,
+                    t0 + dt.timedelta(seconds=1),
+                    t0 + dt.timedelta(seconds=2),  # "ok": well-posed
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * 7, pa.int64()),
+            "event_type": pa.array(
+                ["solo", "same", "same", "same", "ok", "ok", "ok"]
+            ),
+            "value": pa.array([1.5, 2.0, 3.0, 4.0, 1.0, 2.0, 4.0]),
+            "props": pa.array([None] * 7, pa.string()),
+        }
+    )
+    pq.write_table(table, tmp_path / "events.parquet")
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        from .oracle_harness import compare_query
+
+        compare_query(
+            spark, con, REGISTRY["q_group_trend_pandas"], str(tmp_path)
+        )
+        got = {
+            r.event_type: r
+            for r in REGISTRY["q_group_trend_pandas"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got["solo"].slope is None and got["same"].slope is None
+        assert got["ok"].slope is not None
+    finally:
+        con.close()

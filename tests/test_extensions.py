@@ -640,3 +640,18 @@ def test_corpus_clean_gates_compose(spark):
         assert dropped > 0, f"{gate} dropped nothing"
     survivors = sum(r.keep for r in rows)
     assert 0 < survivors < len(rows)
+
+
+def test_heavy_hitters_no_eviction_bound(spark):
+    """q_heavy_hitters' exactness argument requires the distinct key count
+    to stay under the sketch's explicit maxItemsTracked=10000 — assert it
+    so fixture growth can't silently void the no-evictions guarantee."""
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    n_types = (
+        load_table(spark, SMOKE_SF, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert n_types <= 10_000
