@@ -1032,3 +1032,89 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- vocab application: encode documents to token-id sequences ---------------
+
+_ENCODE_MAX_LEN = 64  # truncation length (the context-window analog)
+
+
+@register(
+    "q_encode_ids",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql('text')}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT tok,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INTEGER) AS id
+      FROM counts
+      QUALIFY id <= {_VOCAB_TOP}
+    ),
+    sliced AS (
+      SELECT doc_id, list_slice({tokens_sql('text')}, 1, {_ENCODE_MAX_LEN}) AS l
+      FROM documents
+    ),
+    pos_toks AS (
+      SELECT doc_id, i AS pos, l[i] AS tok
+      FROM sliced, (SELECT unnest(range(1, {_ENCODE_MAX_LEN} + 1)) AS i)
+      WHERE i <= len(l)
+    ),
+    encoded AS (
+      SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
+      FROM pos_toks p LEFT JOIN vocab v ON p.tok = v.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_used,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           list(id ORDER BY pos) AS ids
+    FROM encoded GROUP BY 1
+    """,
+)
+def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary application — the encode step between vocab induction
+    (q_vocab_coverage / q_bpe_pair_counts) and sequence packing
+    (q_pack_sequences): map each document's first {MAX_LEN} tokens to the
+    top-K unigram vocab's integer ids (rank by count desc, token asc;
+    OOV → 0), emitting the id sequence plus truncated-length and OOV-count
+    audit columns.
+
+    Scale shape: the vocab is a fixed-K head (broadcast to the encode
+    join — at a real 50k-piece vocab still a few MB); documents explode to
+    at most MAX_LEN rows each (truncate-then-explode, never the full
+    text), and the per-doc id array is rebuilt with the deterministic
+    array_sort(collect_list(struct(pos, id))) pattern — no window over
+    corpus-scale data, no Python. Empty documents drop on both engines
+    (no token rows to group)."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = W.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        counts.select(
+            "tok", F.row_number().over(w_rank).cast("int").alias("id")
+        )
+        .where(F.col("id") <= _VOCAB_TOP)
+    )
+    pos_toks = d.select(
+        "doc_id",
+        F.posexplode(F.slice(tokens("text"), 1, _ENCODE_MAX_LEN)).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    encoded = pos_toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_used"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s.id
+        ).alias("ids"),
+    )
