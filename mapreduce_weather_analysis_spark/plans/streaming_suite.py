@@ -275,3 +275,97 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_weight",
     )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+             ]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1 h length, 30 min slide) AS A STREAM:
+    each event expands into its two overlapping windows inside the
+    watermarked stateful agg — the streaming twin of q_events_sliding,
+    sharing its two-bucket-unnest oracle. State per key evicts once the
+    watermark passes the window end, so overlap multiplies state by
+    length/slide (2×), not by time."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("ws"), "event_type", "n_events", "total_value"
+        )
+    )
+    result = run_available_now(agg, spark)
+    return result.select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "q_stream_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) AS A STREAM: dynamic-gap session
+    state merged across micro-batches, drained availableNow — the streaming
+    twin of q_events_session_window, against the same independent
+    lag+cumsum gaps-and-islands oracle. Session state is merge-on-update
+    and evicts when the watermark passes a session's close (the unbounded-
+    session hazard is bounded by the gap + watermark)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, spark)
