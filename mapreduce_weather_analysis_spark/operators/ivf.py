@@ -154,6 +154,41 @@ def ivf_index(emb: DataFrame, k: int | None = None, iters: int = IVF_ITERS):
     return _assign(vecs, centroids).localCheckpoint(), centroids
 
 
+def ivf_probes(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_filter: str,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(query_id, qv, cluster): the nprobe nearest cells per query — the
+    probe-selection stage shared by ivf_topk and the IVF+PQ composite.
+
+    Same shuffle-light shape as _assign: partial-agg the k candidate
+    distances down to one sorted nprobe-slice per query, then re-join qv
+    (collect_list order is nondeterministic but array_sort over unique
+    (dist, cluster) structs makes it total)."""
+    queries = assigned.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id", _sq_l2("qv", "c").alias("dist"), "cluster"
+    )
+    return (
+        qc.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
+                1,
+                nprobe,
+            ).alias("near")
+        )
+        .select("query_id", F.explode("near").alias("p"))
+        .select("query_id", F.col("p.cluster").alias("cluster"))
+        .join(queries, "query_id")
+        .select("query_id", "qv", "cluster")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_filter: str,
@@ -168,30 +203,7 @@ def ivf_topk(
     from ..functions.vectors import cosine
 
     assigned, centroids = ivf_index(emb, k=k, iters=iters)
-    queries = assigned.where(F.expr(query_filter)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    # top-nprobe cells per query, same shuffle-light shape as _assign:
-    # partial-agg the k candidate distances down to one sorted nprobe-slice
-    # per query, then re-join qv (collect_list order is nondeterministic but
-    # array_sort over unique (dist, cluster) structs makes it total).
-    qc = queries.crossJoin(F.broadcast(centroids)).select(
-        "query_id", _sq_l2("qv", "c").alias("dist"), "cluster"
-    )
-    probes = (
-        qc.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
-                1,
-                nprobe,
-            ).alias("near")
-        )
-        .select("query_id", F.explode("near").alias("p"))
-        .select("query_id", F.col("p.cluster").alias("cluster"))
-        .join(queries, "query_id")
-        .select("query_id", "qv", "cluster")
-    )
+    probes = ivf_probes(assigned, centroids, query_filter, nprobe=nprobe)
     # the probe side is |queries|·nprobe rows — broadcast it so the corpus
     # side of the membership join never shuffles
     cand = F.broadcast(probes).join(
@@ -227,6 +239,104 @@ def _sq_l2_sql(v: str, c: str) -> str:
     )
 
 
+def ivf_chain(
+    table: str,
+    query_filter: str,
+    k: int | None = None,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    prefix: str = "",
+) -> list[str]:
+    """The IVF pipeline as a list of CTE definitions ending at
+    ``{prefix}fa`` (final assignments: vec_id, v, cluster) and
+    ``{prefix}probes`` (query_id, qv, cluster) — composable with other
+    chains (the IVF+PQ composite) via the name prefix. ``k=None`` mirrors
+    the ivf_cells(N) policy via a scalar subquery — same FLOOR(SQRT(COUNT))
+    double arithmetic as the Spark side, so the seed set is identical."""
+    P = prefix
+    k_expr = (
+        str(k)
+        if k is not None
+        else (
+            f"(SELECT GREATEST({IVF_K_FLOOR}, "
+            f"CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM {P}vecs)"
+        )
+    )
+    ctes = [
+        f"{P}vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"""{P}c0 AS (
+          SELECT cluster, c FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, v AS c
+            FROM {P}vecs
+          ) WHERE cluster <= {k_expr}
+        )""",
+    ]
+    prev = f"{P}c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""{P}a{i} AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT {P}vecs.vec_id, {P}vecs.v, {prev}.cluster,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY {P}vecs.vec_id
+                         ORDER BY {_sq_l2_sql(f'{P}vecs.v', f'{prev}.c')}, {prev}.cluster
+                       ) AS rn
+                FROM {P}vecs, {prev}
+              ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""{P}m{i} AS (
+              SELECT cluster, dim,
+                     CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+              FROM (
+                SELECT cluster, i AS dim, v[i] AS val
+                FROM {P}a{i}, (SELECT unnest(range(1, {DIM} + 1)) AS i)
+              )
+              GROUP BY cluster, dim
+            )"""
+        )
+        ctes.append(
+            f"""{P}c{i} AS (
+              SELECT {prev}.cluster,
+                     coalesce(agg.c_new, {prev}.c) AS c
+              FROM {prev}
+              LEFT JOIN (
+                SELECT cluster, list(m ORDER BY dim) AS c_new FROM {P}m{i} GROUP BY cluster
+              ) agg ON agg.cluster = {prev}.cluster
+            )"""
+        )
+        prev = f"{P}c{i}"
+    ctes.append(
+        f"""{P}fa AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT {P}vecs.vec_id, {P}vecs.v, {prev}.cluster,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY {P}vecs.vec_id
+                     ORDER BY {_sq_l2_sql(f'{P}vecs.v', f'{prev}.c')}, {prev}.cluster
+                   ) AS rn
+            FROM {P}vecs, {prev}
+          ) WHERE rn = 1
+        )"""
+    )
+    ctes.append(
+        f"""{P}q AS (SELECT vec_id AS query_id, v AS qv FROM {P}fa WHERE {query_filter})"""
+    )
+    ctes.append(
+        f"""{P}probes AS (
+          SELECT query_id, qv, cluster FROM (
+            SELECT {P}q.query_id, {P}q.qv, {prev}.cluster,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY {P}q.query_id
+                     ORDER BY {_sq_l2_sql(f'{P}q.qv', f'{prev}.c')}, {prev}.cluster
+                   ) AS rn
+            FROM {P}q, {prev}
+          ) WHERE rn <= {nprobe}
+        )"""
+    )
+    return ctes
+
+
 def ivf_topk_sql(
     table: str,
     query_filter: str,
@@ -236,91 +346,11 @@ def ivf_topk_sql(
     nprobe: int = IVF_NPROBE,
 ) -> str:
     """Generate the full iterative-k-means + probe search as one DuckDB
-    query (Lloyd rounds unrolled into CTE chains). ``k=None`` mirrors the
-    ivf_cells(N) policy via a scalar subquery — same FLOOR(SQRT(COUNT))
-    double arithmetic as the Spark side, so the seed set is identical."""
-    k_expr = (
-        str(k)
-        if k is not None
-        else (
-            f"(SELECT GREATEST({IVF_K_FLOOR}, "
-            f"CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)"
-        )
-    )
-    ctes = [
-        f"vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
-        f"""c0 AS (
-          SELECT cluster, c FROM (
-            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, v AS c
-            FROM vecs
-          ) WHERE cluster <= {k_expr}
-        )""",
-    ]
-    prev = "c0"
-    for i in range(1, iters + 1):
-        ctes.append(
-            f"""a{i} AS (
-              SELECT vec_id, v, cluster FROM (
-                SELECT vecs.vec_id, vecs.v, {prev}.cluster,
-                       ROW_NUMBER() OVER (
-                         PARTITION BY vecs.vec_id
-                         ORDER BY {_sq_l2_sql('vecs.v', f'{prev}.c')}, {prev}.cluster
-                       ) AS rn
-                FROM vecs, {prev}
-              ) WHERE rn = 1
-            )"""
-        )
-        ctes.append(
-            f"""m{i} AS (
-              SELECT cluster, dim,
-                     CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-              FROM (
-                SELECT cluster, i AS dim, v[i] AS val
-                FROM a{i}, (SELECT unnest(range(1, {DIM} + 1)) AS i)
-              )
-              GROUP BY cluster, dim
-            )"""
-        )
-        ctes.append(
-            f"""c{i} AS (
-              SELECT {prev}.cluster,
-                     coalesce(agg.c_new, {prev}.c) AS c
-              FROM {prev}
-              LEFT JOIN (
-                SELECT cluster, list(m ORDER BY dim) AS c_new FROM m{i} GROUP BY cluster
-              ) agg ON agg.cluster = {prev}.cluster
-            )"""
-        )
-        prev = f"c{i}"
-    final_assign = f"""fa AS (
-      SELECT vec_id, v, cluster FROM (
-        SELECT vecs.vec_id, vecs.v, {prev}.cluster,
-               ROW_NUMBER() OVER (
-                 PARTITION BY vecs.vec_id
-                 ORDER BY {_sq_l2_sql('vecs.v', f'{prev}.c')}, {prev}.cluster
-               ) AS rn
-        FROM vecs, {prev}
-      ) WHERE rn = 1
-    )"""
+    query (Lloyd rounds unrolled into CTE chains via :func:`ivf_chain`)."""
     from ..functions.vectors import cosine_sql
 
     cos = cosine_sql("probes.qv", "fa.v")
-    ctes.append(final_assign)
-    ctes.append(
-        f"""q AS (SELECT vec_id AS query_id, v AS qv FROM fa WHERE {query_filter})"""
-    )
-    ctes.append(
-        f"""probes AS (
-          SELECT query_id, qv, cluster FROM (
-            SELECT q.query_id, q.qv, {prev}.cluster,
-                   ROW_NUMBER() OVER (
-                     PARTITION BY q.query_id
-                     ORDER BY {_sq_l2_sql('q.qv', f'{prev}.c')}, {prev}.cluster
-                   ) AS rn
-            FROM q, {prev}
-          ) WHERE rn <= {nprobe}
-        )"""
-    )
+    ctes = ivf_chain(table, query_filter, k=k, iters=iters, nprobe=nprobe)
     ctes.append(
         f"""scored AS (
           SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,

@@ -1,0 +1,134 @@
+"""IVF+PQ composite approximate nearest neighbour — the canonical
+large-scale vector-index architecture (Jégou et al., TPAMI 2011 §V:
+IVFADC): an IVF coarse quantizer restricts the search to the probed cells'
+members, and PQ asymmetric distance computation scores those candidates
+from their M-byte codes alone.
+
+This composite deliberately reuses the two existing operators unchanged —
+``operators/ivf.py`` for cell assignment + probe selection (k = ⌊√N⌋
+policy, bit-exact Arrow assignment kernel) and ``operators/pq.py`` for
+codebooks/codes/LUT — so the DuckDB oracle is the composition of the two
+proven CTE chains (``ivf_chain`` + ``pq_chain`` under distinct prefixes)
+joined by one candidate-restriction CTE. One simplification vs the paper:
+codes quantize the raw vectors, not the per-cell residuals (residual
+encoding needs per-cell codebooks — a recall refinement, not a structural
+change; documented so the parity surface stays honest).
+
+Scale: query-time work per query is (nprobe·N/k) candidates × M table
+adds — with k = √N that is O(√N·M) instead of the brute force's O(N·D)
+multiplies, and the scan reads the code relation (M bytes/vector), never
+the float embeddings. The probe side broadcasts; the ADC join groups
+(candidate × M) rows with map-side partial sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .ivf import IVF_ITERS, IVF_NPROBE, ivf_chain, ivf_index, ivf_probes
+from .pq import PQ_ITERS, PQ_K, _subvectors, pq_chain, pq_index
+from .ivf import _sq_l2
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adc_dist): ADC-ranked top-k within the
+    nprobe probed IVF cells per query. Deterministic end to end (cell and
+    code assignments tie-break on id; ADC sums route through DECIMAL), so
+    the composed oracle hash-matches bit-for-bit."""
+    assigned, centroids = ivf_index(emb)
+    probes = ivf_probes(assigned, centroids, query_filter, nprobe=nprobe)
+    codes, codebook = pq_index(emb)
+
+    # candidate restriction: members of each query's probed cells. Probe
+    # side is |Q|·nprobe rows — broadcast, so the corpus side never
+    # shuffles; (query, neighbor) pairs are unique (one cell per neighbor,
+    # distinct probe cells per query).
+    cand = (
+        F.broadcast(probes.select("query_id", "cluster"))
+        .join(
+            assigned.select(F.col("vec_id").alias("neighbor_id"), "cluster"),
+            "cluster",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    # ADC: unquantized queries build the M×K LUT; candidates are scored
+    # from codes alone — same shapes as pq_topk, restricted to cand.
+    qsub = _subvectors(emb.where(F.expr(query_filter)), "query_id")
+    lut = qsub.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "code", _sq_l2("v", "c").alias("dd")
+    )
+    adc = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("dd").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivfpq_topk_sql(
+    table: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int = IVF_NPROBE,
+    pq_k: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    ivf_iters: int = IVF_ITERS,
+) -> str:
+    """The composed oracle: the proven IVF and PQ CTE chains under ``i_``
+    / ``p_`` prefixes, a candidate-restriction join, and the ADC ranking
+    over the restricted pairs."""
+    ctes = ivf_chain(
+        table, query_filter, iters=ivf_iters, nprobe=nprobe, prefix="i_"
+    )
+    ctes += pq_chain(table, query_filter, k=pq_k, iters=pq_iters, prefix="p_")
+    ctes.append(
+        """cand AS (
+          SELECT DISTINCT i_probes.query_id, i_fa.vec_id AS neighbor_id
+          FROM i_probes JOIN i_fa ON i_probes.cluster = i_fa.cluster
+          WHERE i_probes.query_id <> i_fa.vec_id
+        )"""
+    )
+    ctes.append(
+        """adc AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 CAST(SUM(CAST(p_lut.dd AS DECIMAL(28,12))) AS DOUBLE) AS adc_dist
+          FROM cand
+          JOIN p_codes ON p_codes.vec_id = cand.neighbor_id
+          JOIN p_lut ON p_lut.query_id = cand.query_id
+                    AND p_lut.m = p_codes.m AND p_lut.code = p_codes.code
+          GROUP BY cand.query_id, cand.neighbor_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+      ) AS rank
+      FROM adc
+    ) WHERE rank <= {k_neighbors}
+    """
+    )

@@ -170,6 +170,100 @@ def _sq_l2_sql(v: str, c: str, dim: int) -> str:
     )
 
 
+def pq_chain(
+    table: str,
+    query_filter: str,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    prefix: str = "",
+) -> list[str]:
+    """The PQ pipeline as a list of CTE definitions ending at
+    ``{prefix}codes`` (vec_id, m, code) and ``{prefix}lut``
+    (query_id, m, code, dd) — composable with other chains (the IVF+PQ
+    composite) via the name prefix. M codebook trainings unroll into CTE
+    chains (subspace is a grouping column, so all M advance per CTE
+    exactly as the Spark job does)."""
+    P = prefix
+    d = PQ_SUBDIM
+    sub_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * d + 1}:{(m + 1) * d}] AS v FROM {P}vecs"
+        for m in range(PQ_M)
+    )
+    ctes = [
+        f"{P}vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"{P}sub AS ({sub_selects})",
+        f"""{P}c0 AS (
+          SELECT m, rn AS code, v AS c FROM (
+            SELECT m, v, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+            FROM {P}sub
+          ) WHERE rn <= {k}
+        )""",
+    ]
+    prev = f"{P}c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""{P}a{i} AS (
+              SELECT vec_id, m, v, code FROM (
+                SELECT {P}sub.vec_id, {P}sub.m, {P}sub.v, {prev}.code,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY {P}sub.vec_id, {P}sub.m
+                         ORDER BY {_sq_l2_sql(f'{P}sub.v', f'{prev}.c', d)}, {prev}.code
+                       ) AS rn
+                FROM {P}sub JOIN {prev} ON {P}sub.m = {prev}.m
+              ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""{P}m{i} AS (
+              SELECT m, code, dim,
+                     CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+              FROM (
+                SELECT m, code, i AS dim, v[i] AS val
+                FROM {P}a{i}, (SELECT unnest(range(1, {d} + 1)) AS i)
+              )
+              GROUP BY m, code, dim
+            )"""
+        )
+        ctes.append(
+            f"""{P}c{i} AS (
+              SELECT {prev}.m, {prev}.code,
+                     coalesce(agg.c_new, {prev}.c) AS c
+              FROM {prev}
+              LEFT JOIN (
+                SELECT m, code, list(mu ORDER BY dim) AS c_new
+                FROM {P}m{i} GROUP BY m, code
+              ) agg ON agg.m = {prev}.m AND agg.code = {prev}.code
+            )"""
+        )
+        prev = f"{P}c{i}"
+    ctes.append(
+        f"""{P}codes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT {P}sub.vec_id, {P}sub.m, {prev}.code,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY {P}sub.vec_id, {P}sub.m
+                     ORDER BY {_sq_l2_sql(f'{P}sub.v', f'{prev}.c', d)}, {prev}.code
+                   ) AS rn
+            FROM {P}sub JOIN {prev} ON {P}sub.m = {prev}.m
+          ) WHERE rn = 1
+        )"""
+    )
+    ctes.append(
+        f"""{P}qsub AS (
+          SELECT vec_id AS query_id, m, v FROM {P}sub
+          WHERE vec_id IN (SELECT vec_id FROM {table} WHERE {query_filter})
+        )"""
+    )
+    ctes.append(
+        f"""{P}lut AS (
+          SELECT query_id, {prev}.m, {prev}.code,
+                 {_sq_l2_sql(f'{P}qsub.v', f'{prev}.c', d)} AS dd
+          FROM {P}qsub JOIN {prev} ON {P}qsub.m = {prev}.m
+        )"""
+    )
+    return ctes
+
+
 def pq_topk_sql(
     table: str,
     query_filter: str,
@@ -177,86 +271,9 @@ def pq_topk_sql(
     iters: int = PQ_ITERS,
     k_neighbors: int = 5,
 ) -> str:
-    """The full PQ pipeline as one DuckDB query: M codebook trainings
-    unrolled into CTE chains (subspace is a grouping column, so all M
-    advance per CTE exactly as the Spark job does), then LUT + ADC scan."""
-    d = PQ_SUBDIM
-    sub_selects = " UNION ALL ".join(
-        f"SELECT vec_id, {m} AS m, v[{m * d + 1}:{(m + 1) * d}] AS v FROM vecs"
-        for m in range(PQ_M)
-    )
-    ctes = [
-        f"vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
-        f"sub AS ({sub_selects})",
-        f"""c0 AS (
-          SELECT m, rn AS code, v AS c FROM (
-            SELECT m, v, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-            FROM sub
-          ) WHERE rn <= {k}
-        )""",
-    ]
-    prev = "c0"
-    for i in range(1, iters + 1):
-        ctes.append(
-            f"""a{i} AS (
-              SELECT vec_id, m, v, code FROM (
-                SELECT sub.vec_id, sub.m, sub.v, {prev}.code,
-                       ROW_NUMBER() OVER (
-                         PARTITION BY sub.vec_id, sub.m
-                         ORDER BY {_sq_l2_sql('sub.v', f'{prev}.c', d)}, {prev}.code
-                       ) AS rn
-                FROM sub JOIN {prev} ON sub.m = {prev}.m
-              ) WHERE rn = 1
-            )"""
-        )
-        ctes.append(
-            f"""m{i} AS (
-              SELECT m, code, dim,
-                     CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
-              FROM (
-                SELECT m, code, i AS dim, v[i] AS val
-                FROM a{i}, (SELECT unnest(range(1, {d} + 1)) AS i)
-              )
-              GROUP BY m, code, dim
-            )"""
-        )
-        ctes.append(
-            f"""c{i} AS (
-              SELECT {prev}.m, {prev}.code,
-                     coalesce(agg.c_new, {prev}.c) AS c
-              FROM {prev}
-              LEFT JOIN (
-                SELECT m, code, list(mu ORDER BY dim) AS c_new
-                FROM m{i} GROUP BY m, code
-              ) agg ON agg.m = {prev}.m AND agg.code = {prev}.code
-            )"""
-        )
-        prev = f"c{i}"
-    ctes.append(
-        f"""codes AS (
-          SELECT vec_id, m, code FROM (
-            SELECT sub.vec_id, sub.m, {prev}.code,
-                   ROW_NUMBER() OVER (
-                     PARTITION BY sub.vec_id, sub.m
-                     ORDER BY {_sq_l2_sql('sub.v', f'{prev}.c', d)}, {prev}.code
-                   ) AS rn
-            FROM sub JOIN {prev} ON sub.m = {prev}.m
-          ) WHERE rn = 1
-        )"""
-    )
-    ctes.append(
-        f"""qsub AS (
-          SELECT vec_id AS query_id, m, v FROM sub
-          WHERE vec_id IN (SELECT vec_id FROM {table} WHERE {query_filter})
-        )"""
-    )
-    ctes.append(
-        f"""lut AS (
-          SELECT query_id, {prev}.m, {prev}.code,
-                 {_sq_l2_sql('qsub.v', f'{prev}.c', d)} AS dd
-          FROM qsub JOIN {prev} ON qsub.m = {prev}.m
-        )"""
-    )
+    """The full PQ pipeline as one DuckDB query (:func:`pq_chain` + the
+    ADC scan over the whole code relation)."""
+    ctes = pq_chain(table, query_filter, k=k, iters=iters)
     ctes.append(
         """adc AS (
           SELECT query_id, codes.vec_id AS neighbor_id,

@@ -307,3 +307,22 @@ def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import gemm_topk
 
     return gemm_topk(q, e, k=5)
+
+
+from ..operators.ivfpq import ivfpq_topk, ivfpq_topk_sql  # noqa: E402
+
+
+@register(
+    "q_ann_ivfpq_topk",
+    oracle=ivfpq_topk_sql("embeddings", _QUERY_FILTER),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite (IVFADC, Jégou TPAMI'11 §V): the IVF coarse
+    quantizer (k = ⌊√N⌋ cells, 2-cell probes) restricts candidates to the
+    probed cells' members, and PQ ADC scores them from M-byte codes — the
+    canonical billion-scale vector-index architecture, expressed as the
+    composition of the two already-proven operators. The oracle composes
+    the IVF and PQ CTE chains under distinct prefixes and hash-matches
+    bit-for-bit (decimal ADC sums, id tie-breaks end to end)."""
+    e = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(e, _QUERY_FILTER)
