@@ -50,6 +50,8 @@ HEADLINE = [
     "q_token_count",
     "q_ann_pq_topk",
     "q_ann_gemm_topk",
+    "q_ann_ivfpq_topk",
+    "q_encode_ids",
     "q_corpus_clean",
     "q_bpe_pair_counts",
     # round-2 late additions: TPC-H flagship, iterative PageRank, blocked
@@ -87,6 +89,9 @@ BASELINE_SEC = {
     # vectorized GEMM pruner + exact rescore; vs q_ann_cosine_topk's 1.3 —
     # already ahead at 2k vectors, and the gap is the point at scale
     "q_ann_gemm_topk": 0.9,
+    # trains both the IVF quantizer and 4 PQ codebooks before searching
+    "q_ann_ivfpq_topk": 5.9,
+    "q_encode_ids": 1.1,
     "q_corpus_clean": 3.9,
     "q_bpe_pair_counts": 0.5,
     "q_shipping_priority": 0.9,
