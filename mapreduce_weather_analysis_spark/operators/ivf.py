@@ -127,17 +127,48 @@ def _recompute(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-def ivf_index(emb: DataFrame, k: int | None = None, iters: int = IVF_ITERS):
+def _sample_mod(n: int, k: int, points_per_cell: int) -> int:
+    """Hash-mod divisor for the training sample: keep ~points_per_cell·k
+    vectors (the FAISS ``max_points_per_centroid`` posture). O(N) scan, no
+    sort; deterministic and engine-portable via the md5-prefix hash."""
+    return max(1, n // (points_per_cell * k))
+
+
+def ivf_index(
+    emb: DataFrame,
+    k: int | None = None,
+    iters: int = IVF_ITERS,
+    sample_points_per_cell: int | None = None,
+):
     """Returns (assignments, centroids) after ``iters`` Lloyd rounds.
     ``k=None`` → the ivf_cells(N) policy (one tiny count job at build time;
-    the corpus is localCheckpointed first so the scan isn't repeated)."""
+    the corpus is localCheckpointed first so the scan isn't repeated).
+
+    ``sample_points_per_cell`` — if set, Lloyd rounds train on a
+    deterministic hash-mod subsample of ~``points_per_cell·k`` vectors
+    (portable_hash32(vec_id) % D = 0) and only the FINAL assignment
+    touches the full corpus: training cost drops from iters·N·k to
+    iters·(points_per_cell·k)·k, which is what makes k-means training
+    tractable when N is 10^9+ — the full corpus is never iterated, exactly
+    FAISS's max_points_per_centroid behavior. Seeds come from the sample,
+    so the whole recipe stays reproducible cross-engine."""
+    from ..functions.compat import portable_hash32
+
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).localCheckpoint()
+    n = vecs.count()
     if k is None:
-        k = ivf_cells(vecs.count())
+        k = ivf_cells(n)
+    train = vecs
+    if sample_points_per_cell is not None:
+        d = _sample_mod(n, k, sample_points_per_cell)
+        if d > 1:
+            train = vecs.where(
+                portable_hash32(F.col("vec_id").cast("string")) % d == 0
+            ).localCheckpoint()
     centroids = (
-        vecs.orderBy("vec_id")
+        train.orderBy("vec_id")
         .limit(k)
         .select(
             F.row_number().over(W.orderBy("vec_id")).alias("cluster"),
@@ -146,7 +177,7 @@ def ivf_index(emb: DataFrame, k: int | None = None, iters: int = IVF_ITERS):
         .localCheckpoint()
     )
     for _ in range(iters):
-        assigned = _assign(vecs, centroids)
+        assigned = _assign(train, centroids)
         centroids = _recompute(assigned, centroids).localCheckpoint()
     # checkpoint the final assignment too: ivf_topk consumes it on both the
     # query and candidate branches — uncached, the corpus×k crossJoin +
@@ -196,13 +227,16 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     k: int | None = None,
     iters: int = IVF_ITERS,
+    sample_points_per_cell: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) searching only the nprobe
     nearest clusters per query. ``k``/``iters`` mirror ivf_topk_sql so
     non-default oracles stay reproducible."""
     from ..functions.vectors import cosine
 
-    assigned, centroids = ivf_index(emb, k=k, iters=iters)
+    assigned, centroids = ivf_index(
+        emb, k=k, iters=iters, sample_points_per_cell=sample_points_per_cell
+    )
     probes = ivf_probes(assigned, centroids, query_filter, nprobe=nprobe)
     # the probe side is |queries|·nprobe rows — broadcast it so the corpus
     # side of the membership join never shuffles
@@ -246,42 +280,62 @@ def ivf_chain(
     iters: int = IVF_ITERS,
     nprobe: int = IVF_NPROBE,
     prefix: str = "",
+    sample_points_per_cell: int | None = None,
 ) -> list[str]:
     """The IVF pipeline as a list of CTE definitions ending at
     ``{prefix}fa`` (final assignments: vec_id, v, cluster) and
     ``{prefix}probes`` (query_id, qv, cluster) — composable with other
     chains (the IVF+PQ composite) via the name prefix. ``k=None`` mirrors
     the ivf_cells(N) policy via a scalar subquery — same FLOOR(SQRT(COUNT))
-    double arithmetic as the Spark side, so the seed set is identical."""
+    double arithmetic as the Spark side, so the seed set is identical.
+    ``sample_points_per_cell`` mirrors ivf_index's hash-mod training
+    subsample (seeds + Lloyd rounds over ``{prefix}tvecs``; the final
+    assignment still covers the full corpus)."""
+    from ..functions.compat import portable_hash32_sql
+
     P = prefix
-    k_expr = (
+    k_inner = (
         str(k)
         if k is not None
-        else (
-            f"(SELECT GREATEST({IVF_K_FLOOR}, "
-            f"CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM {P}vecs)"
-        )
+        else f"GREATEST({IVF_K_FLOOR}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
     )
+    k_expr = str(k) if k is not None else f"(SELECT {k_inner} FROM {P}vecs)"
     ctes = [
         f"{P}vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+    ]
+    train = f"{P}vecs"
+    if sample_points_per_cell is not None:
+        d_expr = (
+            f"(SELECT GREATEST(1, COUNT(*) // "
+            f"({sample_points_per_cell} * {k_inner})) FROM {P}vecs)"
+        )
+        ctes.append(
+            f"""{P}tvecs AS (
+              SELECT vec_id, v FROM {P}vecs
+              WHERE {portable_hash32_sql('CAST(vec_id AS VARCHAR)')}
+                    % {d_expr} = 0
+            )"""
+        )
+        train = f"{P}tvecs"
+    ctes.append(
         f"""{P}c0 AS (
           SELECT cluster, c FROM (
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, v AS c
-            FROM {P}vecs
+            FROM {train}
           ) WHERE cluster <= {k_expr}
-        )""",
-    ]
+        )"""
+    )
     prev = f"{P}c0"
     for i in range(1, iters + 1):
         ctes.append(
             f"""{P}a{i} AS (
               SELECT vec_id, v, cluster FROM (
-                SELECT {P}vecs.vec_id, {P}vecs.v, {prev}.cluster,
+                SELECT {train}.vec_id, {train}.v, {prev}.cluster,
                        ROW_NUMBER() OVER (
-                         PARTITION BY {P}vecs.vec_id
-                         ORDER BY {_sq_l2_sql(f'{P}vecs.v', f'{prev}.c')}, {prev}.cluster
+                         PARTITION BY {train}.vec_id
+                         ORDER BY {_sq_l2_sql(f'{train}.v', f'{prev}.c')}, {prev}.cluster
                        ) AS rn
-                FROM {P}vecs, {prev}
+                FROM {train}, {prev}
               ) WHERE rn = 1
             )"""
         )
@@ -344,13 +398,21 @@ def ivf_topk_sql(
     iters: int = IVF_ITERS,
     k_neighbors: int = 5,
     nprobe: int = IVF_NPROBE,
+    sample_points_per_cell: int | None = None,
 ) -> str:
     """Generate the full iterative-k-means + probe search as one DuckDB
     query (Lloyd rounds unrolled into CTE chains via :func:`ivf_chain`)."""
     from ..functions.vectors import cosine_sql
 
     cos = cosine_sql("probes.qv", "fa.v")
-    ctes = ivf_chain(table, query_filter, k=k, iters=iters, nprobe=nprobe)
+    ctes = ivf_chain(
+        table,
+        query_filter,
+        k=k,
+        iters=iters,
+        nprobe=nprobe,
+        sample_points_per_cell=sample_points_per_cell,
+    )
     ctes.append(
         f"""scored AS (
           SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,

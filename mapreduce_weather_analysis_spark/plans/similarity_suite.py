@@ -326,3 +326,20 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (decimal ADC sums, id tie-breaks end to end)."""
     e = t(spark, sf_dir, "embeddings")
     return ivfpq_topk(e, _QUERY_FILTER)
+
+
+@register(
+    "q_ann_ivf_sampled",
+    oracle=ivf_topk_sql("embeddings", _QUERY_FILTER, sample_points_per_cell=8),
+)
+def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with SAMPLE-TRAINED quantizer (FAISS max_points_per_centroid
+    posture): Lloyd rounds run over a deterministic hash-mod subsample of
+    ~8·k vectors (portable md5-prefix hash, so the sample is identical on
+    every engine and cluster size) and only the final assignment touches
+    the full corpus — training cost drops from iters·N·k to
+    iters·(8k)·k, the difference between "k-means over 10^9 vectors" and
+    "k-means over a bounded sample" at 100 TB. The oracle mirrors the
+    sample predicate, divisor arithmetic, and seed selection exactly."""
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _QUERY_FILTER, sample_points_per_cell=8)
