@@ -117,22 +117,36 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_static_join",
     "q_salted_join",
     "q_prefilter_semi_join",
-    # -- never-checked rows-only (still deserve one driver row each): 2 --
-    "q_approx_count_distinct",
-    "q_multimodal_decode",
-    # -- re-checks: code or oracle text changed this round (WS_CLASS
-    #    tokenizer, hex-slice multimodal oracles, pii concat coalesce): 9 --
+    # -- round-3 additions + changed results: 6. q_ann_ivf_topk's hash
+    #    CHANGED this round (k = ⌊√N⌋ policy), so its r2 green row no
+    #    longer vouches for the current code; the other five are new. --
+    "q_ann_ivf_topk",
+    "q_ann_ivfpq_topk",
+    "q_ann_ivf_sampled",
+    "q_encode_ids",
+    "q_stream_sliding",
+    "q_stream_session_window",
+    # -- re-checks: code or oracle text changed at the end of round 2
+    #    (WS_CLASS tokenizer, hex-slice multimodal oracles, pii concat
+    #    coalesce): one canary per changed family — minhash covers the
+    #    shingle path (ngram_jaccard/dedup_apply share it), fingerprint/
+    #    pii rotate out for the round-3 additions above: 5 --
     "q_dedup_minhash_lsh",
-    "q_ngram_jaccard",
-    "q_dedup_apply",
-    "q_doc_fingerprint",
     "q_tfidf_top_terms",
-    "q_pii_scrub",
     "q_udtf_chunk_text",
     "q_multimodal_meta",
     "q_frame_sample",
     # -- window boundary (slot 50): entries below are first in line if the
-    #    driver's correctness window ever widens --
+    #    driver's correctness window ever widens. The displaced re-checks
+    #    and rows-only entries queue here (all pytest-oracle-green locally;
+    #    the rows-only pair carries stronger pytest accuracy tests than the
+    #    driver's weak check anyway). --
+    "q_ngram_jaccard",
+    "q_dedup_apply",
+    "q_doc_fingerprint",
+    "q_pii_scrub",
+    "q_approx_count_distinct",
+    "q_multimodal_decode",
     "q_dedup_exact",
     "q_dedup_simhash",
 )
