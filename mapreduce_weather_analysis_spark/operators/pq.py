@@ -176,21 +176,34 @@ def pq_chain(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     prefix: str = "",
+    vecs_select: str | None = None,
+    vecs_materialized: bool = False,
 ) -> list[str]:
     """The PQ pipeline as a list of CTE definitions ending at
     ``{prefix}codes`` (vec_id, m, code) and ``{prefix}lut``
     (query_id, m, code, dd) — composable with other chains (the IVF+PQ
     composite) via the name prefix. M codebook trainings unroll into CTE
     chains (subspace is a grouping column, so all M advance per CTE
-    exactly as the Spark job does)."""
+    exactly as the Spark job does). ``vecs_select`` overrides the
+    ``{prefix}vecs`` body (e.g. the residual relation of the IVFADC
+    residual variant) — it must yield (vec_id, v DOUBLE[]).
+    ``vecs_materialized`` emits ``AS MATERIALIZED``: essential when the
+    vecs body embeds another whole chain — DuckDB inlines plain CTEs at
+    every reference, so an expensive base would re-run dozens of times."""
     P = prefix
     d = PQ_SUBDIM
+    vecs_body = (
+        vecs_select
+        if vecs_select is not None
+        else f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}"
+    )
     sub_selects = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, v[{m * d + 1}:{(m + 1) * d}] AS v FROM {P}vecs"
         for m in range(PQ_M)
     )
+    mat = "MATERIALIZED " if vecs_materialized else ""
     ctes = [
-        f"{P}vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"{P}vecs AS {mat}({vecs_body})",
         f"{P}sub AS ({sub_selects})",
         f"""{P}c0 AS (
           SELECT m, rn AS code, v AS c FROM (

@@ -343,3 +343,24 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample predicate, divisor arithmetic, and seed selection exactly."""
     e = t(spark, sf_dir, "embeddings")
     return ivf_topk(e, _QUERY_FILTER, sample_points_per_cell=8)
+
+
+from ..operators.ivfpq import (  # noqa: E402
+    ivfpq_residual_topk,
+    ivfpq_residual_topk_sql,
+)
+
+
+@register(
+    "q_ann_ivfpq_residual",
+    oracle=ivfpq_residual_topk_sql("embeddings", _QUERY_FILTER),
+)
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC with residual encoding (Jégou TPAMI'11 §V exactly): PQ
+    codebooks train on v − centroid[cell] (residual energy ≪ vector
+    energy → finer quantization per code byte) and each query builds a
+    per-probed-cell LUT from its own residual. The oracle retargets the
+    PQ chain at the residual relation and joins the per-cell LUTs —
+    hash-matches bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(e, _QUERY_FILTER)

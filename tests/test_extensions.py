@@ -677,3 +677,23 @@ def test_ivfpq_shape_and_recall_sanity(spark):
     # structurally weak — the check guards collapse, not quality
     recall = len(got & exact) / len(exact)
     assert recall >= 0.1, f"IVFPQ recall collapsed: {recall}"
+
+
+def test_ivfpq_residual_shape_and_recall_sanity(spark):
+    """Residual IVFADC: shape, and non-collapse against the SAME-candidate
+    exact ranking (q_ann_ivf_topk probes the identical cells with exact
+    cosine, so it isolates the ADC approximation from the probing loss;
+    vs global brute force the tiny random corpus is too noisy — 4-subspace
+    codes over 64 near-orthogonal dims carry little rank signal)."""
+    rows = _run(spark, "q_ann_ivfpq_residual").collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    ivf_exact = {
+        (r.query_id, r.neighbor_id)
+        for r in _run(spark, "q_ann_ivf_topk").collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(got & ivf_exact) / len(ivf_exact)
+    assert recall >= 0.1, f"residual IVFADC recall collapsed: {recall}"
