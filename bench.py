@@ -51,6 +51,8 @@ HEADLINE = [
     "q_ann_pq_topk",
     "q_ann_gemm_topk",
     "q_ann_ivfpq_topk",
+    "q_ann_ivfpq_residual",
+    "q_ann_ivf_sampled",
     "q_encode_ids",
     "q_corpus_clean",
     "q_bpe_pair_counts",
@@ -91,6 +93,9 @@ BASELINE_SEC = {
     "q_ann_gemm_topk": 0.9,
     # trains both the IVF quantizer and 4 PQ codebooks before searching
     "q_ann_ivfpq_topk": 5.9,
+    # adds the residual join + per-cell LUTs on top of the raw composite
+    "q_ann_ivfpq_residual": 6.0,
+    "q_ann_ivf_sampled": 2.9,
     "q_encode_ids": 1.1,
     "q_corpus_clean": 3.9,
     "q_bpe_pair_counts": 0.5,
