@@ -168,3 +168,19 @@ def test_quota_sample_single_shuffle(spark):
     plan = _plan(REGISTRY["q_quota_sample"].fn(spark, SMOKE_SF))
     assert _n_ops(plan, "Exchange") == 1
     assert "hashpartitioning(source" in plan
+
+
+def test_encode_ids_broadcasts_vocab(spark):
+    """The encode join must broadcast the fixed-K vocab — a shuffled join
+    on the token column would re-shuffle the exploded corpus at scale."""
+    plan = _plan(REGISTRY["q_encode_ids"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_candidate_join_broadcasts_probes(spark):
+    """The IVFADC probe-restriction and LUT joins must broadcast their
+    small sides (|Q|·nprobe rows and |Q|·M·K LUT entries); only the
+    corpus-sized codes join is allowed to shuffle."""
+    plan = _plan(REGISTRY["q_ann_ivfpq_topk"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 2  # probes + LUT
