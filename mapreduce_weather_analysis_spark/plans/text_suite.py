@@ -1118,3 +1118,144 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s.id
         ).alias("ids"),
     )
+
+
+# --- BPE merge training: the iterative loop above q_bpe_pair_counts ----------
+
+_BPE_ROUNDS = 3
+_BPE_MAXTOK = 64  # per-doc token cap, mirrored in the oracle (list_slice)
+_ML = "\x02"  # token open marker
+_MR = "\x03"  # token close marker
+
+
+def _bpe_oracle() -> str:
+    """Unrolled 3-round BPE trainer (same posture as the CC / PageRank
+    oracles): each round counts adjacent pairs, picks the (count desc,
+    pair asc) argmax, and literal-replaces the marker-delimited pair in
+    every document's encoding."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT doc_id,
+                 chr(2) || array_to_string(toks, chr(3)||chr(2)) || chr(3) AS enc
+          FROM (
+            SELECT doc_id, list_slice({tokens_sql('text')}, 1, {_BPE_MAXTOK}) AS toks
+            FROM documents
+          ) WHERE len(toks) > 0
+        )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"""t{r} AS (
+              SELECT doc_id,
+                     string_split(trim(enc, chr(2)||chr(3)), chr(3)||chr(2)) AS toks
+              FROM e{r - 1}
+            )"""
+        )
+        ctes.append(
+            f"""p{r} AS (
+              SELECT toks[i] AS a, toks[i + 1] AS b, COUNT(*) AS n
+              FROM t{r}, (SELECT unnest(range(1, {_BPE_MAXTOK} + 1)) AS i)
+              WHERE i + 1 <= len(toks)
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+              SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+            )"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+              SELECT doc_id,
+                     replace(enc,
+                             chr(2)||s.a||chr(3)||chr(2)||s.b||chr(3),
+                             chr(2)||s.a||' '||s.b||chr(3)) AS enc
+              FROM e{r - 1}, s{r} s
+            )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS step, a AS pair_a, b AS pair_b, "
+        f"CAST(n AS BIGINT) AS n FROM s{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{finals}"
+
+
+@register("q_bpe_train_merges", oracle=_bpe_oracle())
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING — the iterative loop that q_bpe_pair_counts is
+    one step of: 3 greedy rounds of (count adjacent pairs → take the
+    (count desc, pair asc) argmax → merge every non-overlapping
+    occurrence corpus-wide), emitting the merge table a tokenizer trainer
+    would persist. The engine's third iterative driver-loop algorithm
+    (with star-CC and PageRank), oracle-checked against the unrolled CTE
+    twin.
+
+    Cross-engine exactness: documents encode as marker-delimited token
+    strings (\\x02 tok \\x03, so merges anchor on whole tokens and can
+    never match inside one), merging is literal left-to-right
+    non-overlapping replace on BOTH engines (java.lang.String semantics ==
+    DuckDB replace), and counts are exact ints so the argmax tie-break is
+    total. Docs cap at the first 64 tokens, mirrored by the oracle's
+    list_slice — bounded pair counts per doc, and the fixed-range unnest
+    stays valid.
+
+    Scale: each round is one pair hash-agg (map-side combined) + a 1-row
+    argmax + one narrow map over the encodings; the corpus shuffles ZERO
+    times (encodings stay partition-local; only (a, b, partial-count)
+    rows move). localCheckpoint per round cuts lineage like the other
+    iterative operators. Real trainers run ~30k rounds with the same
+    per-round shape — rounds are latency-bound, not data-bound."""
+    sep = _MR + _ML
+    base = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.slice(tokens("text"), 1, _BPE_MAXTOK).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    enc = base.select(
+        "doc_id",
+        F.concat(
+            F.lit(_ML), F.array_join("toks", sep), F.lit(_MR)
+        ).alias("enc"),
+    ).localCheckpoint()
+    steps = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        toks_r = F.split(F.btrim("enc", F.lit(_ML + _MR)), sep)
+        pairs = (
+            enc.select(toks_r.alias("toks"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "filter(transform(toks, (x, i) -> "
+                        "struct(x AS a, try_element_at(toks, i + 2) AS b)), "
+                        "s -> s.b IS NOT NULL)"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        steps.append((r, a, b, n))
+        enc = enc.select(
+            "doc_id",
+            F.replace(
+                "enc",
+                F.lit(_ML + a + _MR + _ML + b + _MR),
+                F.lit(_ML + a + " " + b + _MR),
+            ).alias("enc"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        steps, "step int, pair_a string, pair_b string, n bigint"
+    )
