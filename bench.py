@@ -56,6 +56,7 @@ HEADLINE = [
     "q_encode_ids",
     "q_corpus_clean",
     "q_bpe_pair_counts",
+    "q_bpe_train_merges",
     # round-2 late additions: TPC-H flagship, iterative PageRank, blocked
     # fuzzy linkage, frequent-items sketch, vocab coverage
     "q_shipping_priority",
@@ -99,6 +100,8 @@ BASELINE_SEC = {
     "q_encode_ids": 1.1,
     "q_corpus_clean": 3.9,
     "q_bpe_pair_counts": 0.5,
+    # 3 merge rounds: pair hash-agg + 1-row argmax + narrow re-encode each
+    "q_bpe_train_merges": 1.7,
     "q_shipping_priority": 0.9,
     "q_pagerank_nations": 2.8,
     "q_fuzzy_match": 0.7,
