@@ -123,17 +123,18 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_topk",
     "q_ann_ivfpq_topk",
     "q_ann_ivf_sampled",
+    "q_ann_ivfpq_residual",
     "q_encode_ids",
+    "q_bpe_train_merges",
     "q_stream_sliding",
     "q_stream_session_window",
     # -- re-checks: code or oracle text changed at the end of round 2
-    #    (WS_CLASS tokenizer, hex-slice multimodal oracles, pii concat
-    #    coalesce): one canary per changed family — minhash covers the
-    #    shingle path (ngram_jaccard/dedup_apply share it), fingerprint/
-    #    pii rotate out for the round-3 additions above: 5 --
+    #    (WS_CLASS tokenizer, hex-slice multimodal oracles): one canary per
+    #    changed family — minhash covers the WS_CLASS tokens() path every
+    #    text query shares (ngram_jaccard/dedup_apply/tfidf/udtf rotate
+    #    past 50 with local parity + the edge-case corpus sweep), the two
+    #    multimodal queries canary the hex-slice oracles: 3 --
     "q_dedup_minhash_lsh",
-    "q_tfidf_top_terms",
-    "q_udtf_chunk_text",
     "q_multimodal_meta",
     "q_frame_sample",
     # -- window boundary (slot 50): entries below are first in line if the
@@ -141,6 +142,8 @@ _PRIORITY: tuple[str, ...] = (
     #    and rows-only entries queue here (all pytest-oracle-green locally;
     #    the rows-only pair carries stronger pytest accuracy tests than the
     #    driver's weak check anyway). --
+    "q_tfidf_top_terms",
+    "q_udtf_chunk_text",
     "q_ngram_jaccard",
     "q_dedup_apply",
     "q_doc_fingerprint",
