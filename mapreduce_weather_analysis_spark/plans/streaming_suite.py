@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.events_stream import (
+    read_documents_stream,
     read_events_stream,
     run_available_now,
     running_user_counts,
@@ -369,3 +370,66 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, spark)
+
+
+def _minhash_sig_sql() -> str:
+    from ..operators.dedup import MINHASH_PERMS, SHINGLE_N
+    from ..functions.compat import HASH_PRIME
+    from ..functions.text import hashed_list_sql, shingles_sql, tokens_sql
+
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hv, x -> (x * {a} + {b}) % {HASH_PRIME}))"
+        for a, b in MINHASH_PERMS
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {shingles_sql('toks', SHINGLE_N)} AS shingles FROM toks
+    ),
+    hs AS (
+      SELECT doc_id, {hashed_list_sql('shingles')} AS hv
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM hs)
+    SELECT array_to_string(sig, ',') AS content_sig,
+           MIN(doc_id) AS first_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sig GROUP BY 1
+    """
+
+
+@register("q_stream_minhash_ledger", oracle=_minhash_sig_sql())
+def q_stream_minhash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-signature dedup ledger AS A STREAM: the MinHash signature
+    (the same 16-perm single-expression form the batch dedup suite uses)
+    computed on a live document feed, keyed into a stateful aggregation —
+    per content signature, the first doc_id seen and the duplicate count.
+    This is the streaming half of incremental corpus dedup: the ledger IS
+    the standing state an ingestion pipeline checks new batches against.
+
+    The signature map is stateless per row (pure JVM expression — the text
+    operators lift onto streams unchanged); state is one row per DISTINCT
+    signature (bounded by corpus diversity, not stream length). Drained
+    availableNow in complete mode; the batch twin is the plain
+    group-by-signature oracle, exact because signature arithmetic is
+    integer end-to-end."""
+    from ..operators.dedup import minhash_signature
+    from ..functions.text import shingles, tokens
+
+    docs = read_documents_stream(spark, sf_dir)
+    sh = shingles(tokens("text"))
+    sig = docs.select("doc_id", sh.alias("shingles")).where(
+        F.size("shingles") > 0
+    ).select(
+        "doc_id",
+        F.concat_ws(",", minhash_signature(F.col("shingles"))).alias(
+            "content_sig"
+        ),
+    )
+    ledger = sig.groupBy("content_sig").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return run_available_now(ledger, spark, mode="complete")

@@ -287,3 +287,27 @@ def user_idle_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFram
         "Append",
         "EventTime",
     )
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded stream over the documents fixture — the ingestion shape of a
+    live corpus feed (the text-pipeline operators are stateless per row, so
+    they lift onto this stream unchanged)."""
+    ensure_session_conf(spark)
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
