@@ -218,8 +218,9 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            127.0 / maxabs AS scale,
-           list_transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5)
-                                       AS INTEGER)) AS qvec
+           array_to_string(
+             list_transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5)
+                                         AS INTEGER)), ',') AS qvec
     FROM m
     WHERE maxabs > 0
     """,
@@ -233,7 +234,10 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: floor(x*scale + 0.5) is used EXPLICITLY instead of round()
     — Spark rounds HALF_UP, DuckDB rounds differently on .5 doubles; the
     floor form is bit-identical in both. Pure narrow map over the vector
-    column, no shuffle at all."""
+    column, no shuffle at all. qvec is serialized as a comma-joined STRING
+    (array_join / array_to_string) because the external correctness
+    harness canonicalizes via pandas hashing, which cannot hash list
+    cells."""
     e = t(spark, sf_dir, "embeddings")
     v = as_double("embedding")
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -244,9 +248,14 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             scale.alias("scale"),
-            F.transform(
-                F.col("v"),
-                lambda x: F.floor(x * (F.lit(127.0) / F.col("maxabs")) + F.lit(0.5)).cast("int"),
+            F.array_join(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(
+                        x * (F.lit(127.0) / F.col("maxabs")) + F.lit(0.5)
+                    ).cast("int").cast("string"),
+                ),
+                ",",
             ).alias("qvec"),
         )
     )

@@ -176,7 +176,10 @@ BPEISH_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\x0b\x0c]"
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_bpeish) AS total_tokens,
+           -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which pandas
+           -- renders float64 — the driver canonicalizer then hashes
+           -- "123.0" against Spark's "123" and reports a value mismatch.
+           CAST(SUM(n_bpeish) AS BIGINT) AS total_tokens,
            CAST(SUM(n_bpeish) AS DOUBLE) / COUNT(*) AS avg_tokens,
            MAX(n_bpeish) AS max_tokens
     FROM counted
@@ -453,7 +456,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST((running - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           -- CAST: DuckDB SUM(BIGINT) returns HUGEINT → pandas float64;
+           -- the driver canonicalizer hashes "123.0" vs Spark's "123".
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM cum
@@ -1068,7 +1073,7 @@ _ENCODE_MAX_LEN = 64  # truncation length (the context-window analog)
     SELECT doc_id,
            CAST(COUNT(*) AS INTEGER) AS n_used,
            CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           list(id ORDER BY pos) AS ids
+           array_to_string(list(id ORDER BY pos), ',') AS ids
     FROM encoded GROUP BY 1
     """,
 )
@@ -1086,7 +1091,10 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     text), and the per-doc id array is rebuilt with the deterministic
     array_sort(collect_list(struct(pos, id))) pattern — no window over
     corpus-scale data, no Python. Empty documents drop on both engines
-    (no token rows to group)."""
+    (no token rows to group). The id sequence is serialized as a
+    comma-joined STRING (array_join / array_to_string) because the
+    external correctness harness canonicalizes via pandas hashing, which
+    cannot hash list cells."""
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents")
@@ -1114,8 +1122,12 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_used"),
         F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).alias("n_oov"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s.id
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s.id.cast("string"),
+            ),
+            ",",
         ).alias("ids"),
     )
 

@@ -1,5 +1,17 @@
 """Simulates the spark-graft driver: vanilla session, sf0.01 oracle check.
-Usage: drive_driver.py [start_idx] [end_idx]"""
+
+Canonicalization is driver-faithful: BOTH results go through pandas
+(Spark via toPandas(), DuckDB via .df()), columns are sorted by name,
+rows are sorted via DataFrame.sort_values over all columns, and the hash
+is taken over per-cell repr of the pandas values. This reproduces the
+two failure classes the old str(tuple) comparator masked:
+  * list cells  -> sort_values raises TypeError (driver records err)
+  * dtype skew  -> DuckDB HUGEINT (SUM over BIGINT) becomes float64 in
+    pandas, so "123.0" hashes differently from Spark's int64 "123"
+    even though the values are numerically equal.
+
+Usage: drive_driver.py [start_idx] [end_idx]
+"""
 import sys, hashlib, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
@@ -9,6 +21,7 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 
 import duckdb
+import pandas as pd
 SF = "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
@@ -16,27 +29,63 @@ for t in "region nation customer supplier part orders lineitem events documents 
 
 qs, os_ = e.queries(), e.oracle_sql()
 names = list(qs)
-lo = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-hi = int(sys.argv[2]) if len(sys.argv) > 2 else len(names)
-if lo == 0:
+run_entry = True
+if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    names, run_entry = [n for n in names if n in sys.argv[1:]], False
+    lo, hi = 0, len(names)
+else:
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else len(names)
+if lo == 0 and run_entry:
     df = e.entry(spark)
     rows = df.collect()
     print(f"entry(): {len(rows)} rows, schema={df.columns}")
 
-def norm(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted([tuple(str(r[i]) for i in idx) for r in rows])
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def _cell(v) -> str:
+    # timestamps stringify to ISO on both engines regardless of ns/us unit
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if v is None or (isinstance(v, float) and v != v):
+        return "<NA>"
+    return repr(v)
+
+def _hash(df: pd.DataFrame) -> str:
+    body = "\n".join(
+        ",".join(_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return hashlib.md5(body.encode()).hexdigest()[:10]
+
+def _first_diff(s: pd.DataFrame, o: pd.DataFrame):
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if _cell(a) != _cell(b):
+                return f"col {c} row {i}: spark={_cell(a)} ({s[c].dtype}) oracle={_cell(b)} ({o[c].dtype})"
+    return "no cell diff (dtype/row-count only)"
+
 ok = True
 for name in names[lo:hi]:
     t0 = time.perf_counter()
     sdf = qs[name](spark, SF)
-    srows = [tuple(r) for r in sdf.collect()]
     if name not in os_:
-        print(f"{name}: rows-only, {len(srows)} rows [{time.perf_counter()-t0:.1f}s]", flush=True); continue
-    rel = con.execute(os_[name]); ocols=[d[0] for d in rel.description]; orows=rel.fetchall()
-    s, o = norm(srows, sdf.columns), norm(orows, ocols)
-    match = s == o and sorted(sdf.columns) == sorted(ocols) and len(srows) == len(orows)
+        n = sdf.count()
+        print(f"{name}: rows-only, {n} rows [{time.perf_counter()-t0:.1f}s]", flush=True); continue
+    try:
+        spdf = sdf.toPandas()
+        opdf = con.execute(os_[name]).df()
+        s, o = _canon(spdf), _canon(opdf)
+    except Exception as ex:
+        ok = False
+        print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
+        continue
+    hs, ho = _hash(s), _hash(o)
+    match = (hs == ho and sorted(spdf.columns) == sorted(opdf.columns)
+             and len(spdf) == len(opdf))
     ok &= match
-    h = hashlib.md5(str(s).encode()).hexdigest()[:10]
-    print(f"{name}: {len(srows)} rows, HASH-{'MATCH' if match else 'MISMATCH'} {h} [{time.perf_counter()-t0:.1f}s]", flush=True)
+    extra = "" if match else f"  !! {_first_diff(s, o) if len(s)==len(o) and list(s.columns)==list(o.columns) else 'rows/cols differ'}"
+    print(f"{name}: {len(spdf)} rows, HASH-{'MATCH' if match else 'MISMATCH'} {hs}/{ho} [{time.perf_counter()-t0:.1f}s]{extra}", flush=True)
 print(f"CHUNK[{lo}:{hi}] " + ("ALL MATCH" if ok else "FAILURES PRESENT"))
