@@ -281,6 +281,7 @@ def ivf_chain(
     nprobe: int = IVF_NPROBE,
     prefix: str = "",
     sample_points_per_cell: int | None = None,
+    materialize: bool = False,
 ) -> list[str]:
     """The IVF pipeline as a list of CTE definitions ending at
     ``{prefix}fa`` (final assignments: vec_id, v, cluster) and
@@ -290,7 +291,14 @@ def ivf_chain(
     double arithmetic as the Spark side, so the seed set is identical.
     ``sample_points_per_cell`` mirrors ivf_index's hash-mod training
     subsample (seeds + Lloyd rounds over ``{prefix}tvecs``; the final
-    assignment still covers the full corpus)."""
+    assignment still covers the full corpus).
+
+    ``materialize=True`` emits ``{prefix}fa`` / ``{prefix}probes`` as
+    ``AS MATERIALIZED``: composed oracles (IVFADC, residual IVFADC)
+    reference them from several downstream CTEs, and DuckDB inlines plain
+    CTEs per reference — without the flag the whole Lloyd chain can
+    re-execute per reference (the 92s→16s failure mode previously
+    measured on pq_chain)."""
     from ..functions.compat import portable_hash32_sql
 
     P = prefix
@@ -361,8 +369,9 @@ def ivf_chain(
             )"""
         )
         prev = f"{P}c{i}"
+    mat = "AS MATERIALIZED" if materialize else "AS"
     ctes.append(
-        f"""{P}fa AS (
+        f"""{P}fa {mat} (
           SELECT vec_id, v, cluster FROM (
             SELECT {P}vecs.vec_id, {P}vecs.v, {prev}.cluster,
                    ROW_NUMBER() OVER (
@@ -377,7 +386,7 @@ def ivf_chain(
         f"""{P}q AS (SELECT vec_id AS query_id, v AS qv FROM {P}fa WHERE {query_filter})"""
     )
     ctes.append(
-        f"""{P}probes AS (
+        f"""{P}probes {mat} (
           SELECT query_id, qv, cluster FROM (
             SELECT {P}q.query_id, {P}q.qv, {prev}.cluster,
                    ROW_NUMBER() OVER (

@@ -99,7 +99,12 @@ def ivfpq_topk_sql(
     / ``p_`` prefixes, a candidate-restriction join, and the ADC ranking
     over the restricted pairs."""
     ctes = ivf_chain(
-        table, query_filter, iters=ivf_iters, nprobe=nprobe, prefix="i_"
+        table,
+        query_filter,
+        iters=ivf_iters,
+        nprobe=nprobe,
+        prefix="i_",
+        materialize=True,
     )
     ctes += pq_chain(table, query_filter, k=pq_k, iters=pq_iters, prefix="p_")
     ctes.append(
@@ -235,7 +240,12 @@ def ivfpq_residual_topk_sql(
     cent = f"i_c{ivf_iters}"  # the IVF chain's final centroid relation
     cbook = f"p_c{pq_iters}"  # the PQ chain's final codebook relation
     ctes = ivf_chain(
-        table, query_filter, iters=ivf_iters, nprobe=nprobe, prefix="i_"
+        table,
+        query_filter,
+        iters=ivf_iters,
+        nprobe=nprobe,
+        prefix="i_",
+        materialize=True,
     )
     resid_select = (
         f"SELECT fa.vec_id, list_transform(range(1, {DIM} + 1), "

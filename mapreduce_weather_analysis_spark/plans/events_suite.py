@@ -96,7 +96,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                        OR lag(epoch_us(ts)) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -120,7 +120,10 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via lag + cumulative-sum of
     session starts — the batch form of streaming session windows. Timestamps
-    compared as epoch microseconds (exact integers, engine-agnostic)."""
+    compared as epoch microseconds (exact integers, engine-agnostic).
+    Boundary matches native session_window's end-EXCLUSIVE interval
+    [start, last+gap): an event arriving exactly gap after the previous
+    one starts a NEW session (predicate >=, both engines)."""
     e = t(spark, sf_dir, "events")
     ts_us = F.unix_micros("ts")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -130,7 +133,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         ts_us.alias("ts_us"),
         F.when(
-            (ts_us - F.lag(ts_us).over(w) > 1_800_000_000)
+            (ts_us - F.lag(ts_us).over(w) >= 1_800_000_000)
             | F.lag(ts_us).over(w).isNull(),
             1,
         )
@@ -178,7 +181,7 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, value, epoch_us(ts) AS ts_us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                        OR lag(epoch_us(ts)) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -500,7 +503,7 @@ def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                        OR lag(epoch_us(ts)) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -548,7 +551,7 @@ def q_events_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         ts_us.alias("ts_us"),
         F.when(
-            (ts_us - F.lag(ts_us).over(w) > 1_800_000_000)
+            (ts_us - F.lag(ts_us).over(w) >= 1_800_000_000)
             | F.lag(ts_us).over(w).isNull(),
             1,
         )

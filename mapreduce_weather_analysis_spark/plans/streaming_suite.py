@@ -330,7 +330,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, epoch_us(ts) AS ts_us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                        OR lag(epoch_us(ts)) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events

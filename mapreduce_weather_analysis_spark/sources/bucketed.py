@@ -41,8 +41,14 @@ def write_bucketed(
     which Spark exposes the files' sort order to the planner
     (``spark.sql.legacy.bucketedTableScan.outputOrdering=true``), letting a
     downstream sort-merge join or window skip its Sort, not just its
-    Exchange."""
+    Exchange. That conf is session-level and off by default, so it is set
+    here at write time (readers in the same session inherit it; external
+    readers must set it themselves to get Sort elision — without it the
+    layout still elides the Exchange, just not the Sort)."""
     sort_cols = sort_cols or [key]
+    df.sparkSession.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     (
         df.repartition(buckets, key)
         .write.format("parquet")
@@ -65,6 +71,11 @@ def big_orders_bucketed(
     orders. Over bucketed inputs BOTH the pre-aggregation exchange and the
     join exchanges vanish — the scans' bucket partitioning satisfies every
     downstream distribution requirement."""
+    # one-file-per-bucket layouts (write_bucketed) also expose their sort
+    # order when this is on — required for Sort elision, harmless otherwise
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     li_qty = (
         spark.table(li_table)
         .groupBy("l_orderkey")

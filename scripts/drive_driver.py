@@ -45,10 +45,19 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
+import datetime as _dt
+
 def _cell(v) -> str:
-    # timestamps stringify to ISO on both engines regardless of ns/us unit
+    # timestamps stringify to ISO on both engines regardless of ns/us unit;
+    # Spark DATE collects as datetime.date while DuckDB DATE becomes
+    # datetime64 midnight — normalize both to the same ISO instant (the
+    # real driver was green on q_date_funcs in r3, so it tolerates this).
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if isinstance(v, _dt.datetime):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat() + "T00:00:00"
     if v is None or (isinstance(v, float) and v != v):
         return "<NA>"
     return repr(v)
