@@ -1,0 +1,157 @@
+"""Persisted IVF+PQ index: build-once / search-many ANN serving.
+
+At 100 TB nobody retrains a quantizer per query — FAISS and every vector
+store separate ``train/add`` (build the coarse quantizer + codebooks,
+encode the corpus) from ``search`` (probe cells, ADC-score codes). The
+in-repo composites (``q_ann_ivfpq_topk``) deliberately time build+search
+as one query; this module is the steady-state half: the index artifacts
+persist as parquet and a search-only query runs against them.
+
+Artifact layout (all deterministic, so a rebuilt index is bit-identical):
+
+* ``cells/``      — the inverted lists: (vec_id, m, code) PARTITIONED BY
+  cluster. Search joins broadcast(probes) on cluster, so Spark's dynamic
+  partition pruning skips every unprobed cell's files — the on-disk
+  analog of "read only the probed inverted lists", which is the entire
+  I/O story of IVF at scale (nprobe/k of the corpus, and only the M-byte
+  codes, never the float vectors).
+* ``centroids/``  — (cluster, c): k = ⌊√N⌋ rows, broadcast at probe time.
+* ``codebook/``   — (m, code, c): M·K rows, broadcast at LUT-build time.
+
+The index key embeds a fingerprint of the embeddings file (size +
+mtime), so regenerated fixtures rebuild instead of serving stale lists;
+a real deployment would version through a catalog instead.
+
+Search math is identical to :func:`operators.ivfpq.ivfpq_topk` (same
+Lloyd rounds, same decimal ADC sums, same tie-breaks), so the composed
+``ivfpq_topk_sql`` oracle verifies the persisted path end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .ivf import IVF_NPROBE, _sq_l2, ivf_index
+from .pq import _subvectors, pq_index
+
+INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_index")
+
+
+def _fingerprint(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return hashlib.md5(
+        f"{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+
+
+def ivfpq_index_path(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(INDEX_ROOT, f"{base}-{_fingerprint(sf_dir)}")
+
+
+def ivfpq_write(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVF+PQ index for ``sf_dir``'s embeddings and persist it;
+    idempotent (a completed index is reused via a marker file). Returns
+    the index path."""
+    path = ivfpq_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb)
+    codes, _codebook = pq_index(emb)
+    # inverted lists: each vector's M codes co-located with its cell.
+    # repartition(cluster) first so every cell is exactly one file — the
+    # read side then maps one probed cell to one task.
+    cells = assigned.select("vec_id", "cluster").join(codes, "vec_id")
+    (
+        cells.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "cells"))
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    _codebook.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return path
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Search-only IVFADC over persisted artifacts: probe selection against
+    the k-row centroid relation, per-query LUT from the M·K-row codebook,
+    ADC over the probed cells' code lists. No training, no pass over the
+    float corpus — query-time I/O is nprobe cells × M bytes/vector plus
+    the query vectors themselves."""
+    centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    cells = spark.read.parquet(os.path.join(index_path, "cells"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(query_filter))
+
+    # probes: |Q| × k broadcast distance map → nprobe-slice per query
+    # (same sorted-struct slice as ivf_probes — total order, id-free)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qc = qv.crossJoin(F.broadcast(centroids)).select(
+        "query_id", _sq_l2("qv", "c").alias("dist"), "cluster"
+    )
+    probes = (
+        qc.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
+                1,
+                nprobe,
+            ).alias("near")
+        )
+        .select("query_id", F.explode("near").alias("p"))
+        .select("query_id", F.col("p.cluster").alias("cluster"))
+    )
+
+    # LUT: unquantized query subvectors × broadcast codebook
+    lut = _subvectors(queries, "query_id").join(
+        F.broadcast(codebook), "m"
+    ).select("query_id", "m", "code", _sq_l2("v", "c").alias("dd"))
+
+    # candidate codes straight off the inverted lists: broadcast(probes)
+    # joins the cluster-partitioned cells relation, so dynamic partition
+    # pruning drops every unprobed cell before any file is read
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cluster")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "m", "code")
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("dd").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -354,6 +354,27 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, _QUERY_FILTER, sample_points_per_cell=8)
 
 
+@register(
+    "q_ann_ivfpq_search",
+    oracle=ivfpq_topk_sql("embeddings", _QUERY_FILTER),
+)
+def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE IVFADC search over a PERSISTED index
+    (operators/ann_store.py): the build half (quantizer training + corpus
+    encoding) runs once and lands as parquet artifacts — inverted lists
+    partitioned by cell, centroid and codebook relations — and this query
+    is only the search half: probe selection, per-query LUT, ADC over the
+    probed cells' codes. Same math as q_ann_ivfpq_topk (the oracle is the
+    identical composed CTE chain), but the bench number is the per-query
+    serving cost a real deployment pays, with index build amortized.
+    Dynamic partition pruning on the cluster-partitioned cells relation
+    means unprobed inverted lists are never read from disk."""
+    from ..operators.ann_store import ivfpq_search, ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    return ivfpq_search(spark, sf_dir, path, _QUERY_FILTER)
+
+
 from ..operators.ivfpq import (  # noqa: E402
     ivfpq_residual_topk,
     ivfpq_residual_topk_sql,

@@ -697,3 +697,29 @@ def test_ivfpq_residual_shape_and_recall_sanity(spark):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(got & ivf_exact) / len(ivf_exact)
     assert recall >= 0.1, f"residual IVFADC recall collapsed: {recall}"
+
+
+def test_ivfpq_persisted_search_matches_composite(spark, tmp_path, monkeypatch):
+    """The persisted-index search path (operators/ann_store.py) must be
+    bit-identical to the build+search composite — same Lloyd rounds, same
+    decimal ADC sums, round-tripped through parquet artifacts — and its
+    plan must dynamically prune the cluster-partitioned inverted lists
+    (only probed cells' files are read: the IVF I/O story at scale)."""
+    import mapreduce_weather_analysis_spark.operators.ann_store as store
+
+    monkeypatch.setattr(store, "INDEX_ROOT", str(tmp_path))
+    from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+        _QUERY_FILTER,
+    )
+
+    path = store.ivfpq_write(spark, SMOKE_SF)
+    searched = store.ivfpq_search(spark, SMOKE_SF, path, _QUERY_FILTER)
+    composite = _run(spark, "q_ann_ivfpq_topk")
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    got = {key(r): (r.neighbor_id, r.adc_dist) for r in searched.collect()}
+    want = {key(r): (r.neighbor_id, r.adc_dist) for r in composite.collect()}
+    assert got == want
+    plan = searched._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # second build call must reuse the completed artifacts (marker file)
+    assert store.ivfpq_write(spark, SMOKE_SF) == path
