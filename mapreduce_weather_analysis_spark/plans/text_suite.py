@@ -1136,15 +1136,20 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ROUNDS = 3
 _BPE_MAXTOK = 64  # per-doc token cap, mirrored in the oracle (list_slice)
+_BPE_POOL = 64  # per-round candidate pool (rank by count desc, pair asc)
+_BPE_BATCH = 8  # max merges applied per round
 _ML = "\x02"  # token open marker
 _MR = "\x03"  # token close marker
 
 
 def _bpe_oracle() -> str:
-    """Unrolled 3-round BPE trainer (same posture as the CC / PageRank
-    oracles): each round counts adjacent pairs, picks the (count desc,
-    pair asc) argmax, and literal-replaces the marker-delimited pair in
-    every document's encoding."""
+    """Unrolled 3-round BATCHED BPE trainer (same posture as the CC /
+    PageRank oracles): each round counts adjacent pairs once, ranks the
+    top-{POOL} by (count desc, pair asc), selects the CONFLICT-FREE batch
+    — a pair is selected iff no strictly higher-ranked pool pair shares a
+    token with it (order-free, so the selected merges touch disjoint
+    symbols and commute) — capped at {BATCH}, and applies them all with
+    one pass over the encodings."""
     ctes = [
         f"""e0 AS MATERIALIZED (
           SELECT doc_id,
@@ -1172,52 +1177,92 @@ def _bpe_oracle() -> str:
             )"""
         )
         ctes.append(
-            f"""s{r} AS (
-              SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+            f"""rk{r} AS MATERIALIZED (
+              SELECT a, b, n, rk FROM (
+                SELECT a, b, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, a ASC, b ASC) AS rk
+                FROM p{r}
+              ) WHERE rk <= {_BPE_POOL}
             )"""
         )
         ctes.append(
-            f"""e{r} AS MATERIALIZED (
-              SELECT doc_id,
-                     replace(enc,
-                             chr(2)||s.a||chr(3)||chr(2)||s.b||chr(3),
-                             chr(2)||s.a||' '||s.b||chr(3)) AS enc
-              FROM e{r - 1}, s{r} s
+            f"""s{r} AS (
+              SELECT a, b, n, rk FROM rk{r} p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM rk{r} q
+                WHERE q.rk < p.rk
+                  AND (q.a = p.a OR q.a = p.b OR q.b = p.a OR q.b = p.b)
+              )
+              ORDER BY rk LIMIT {_BPE_BATCH}
             )"""
         )
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({r} AS INTEGER) AS step, a AS pair_a, b AS pair_b, "
-        f"CAST(n AS BIGINT) AS n FROM s{r}"
+        ctes.append(
+            f"""sel{r} AS (
+              SELECT list(struct_pack(a := a, b := b) ORDER BY rk) AS ps
+              FROM s{r}
+            )"""
+        )
+        # unrolled nested replace: merge i applies only when the batch has
+        # an i-th selection; disjoint tokens make the order immaterial
+        body = "enc"
+        for i in range(1, _BPE_BATCH + 1):
+            body = f"""CASE WHEN len(ps) >= {i} THEN
+              replace({body},
+                      chr(2)||ps[{i}].a||chr(3)||chr(2)||ps[{i}].b||chr(3),
+                      chr(2)||ps[{i}].a||' '||ps[{i}].b||chr(3))
+              ELSE {body} END"""
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+              SELECT doc_id, {body} AS enc
+              FROM e{r - 1}, sel{r}
+            )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, rk, a, b, n FROM s{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    return "WITH " + ",\n".join(ctes) + f"\n{finals}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    all_s AS ({unions})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, rk) AS INTEGER) AS step,
+           CAST(round AS INTEGER) AS round,
+           a AS pair_a, b AS pair_b, CAST(n AS BIGINT) AS n
+    FROM all_s"""
+    )
 
 
 @register("q_bpe_train_merges", oracle=_bpe_oracle())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge TRAINING — the iterative loop that q_bpe_pair_counts is
-    one step of: 3 greedy rounds of (count adjacent pairs → take the
-    (count desc, pair asc) argmax → merge every non-overlapping
-    occurrence corpus-wide), emitting the merge table a tokenizer trainer
-    would persist. The engine's third iterative driver-loop algorithm
-    (with star-CC and PageRank), oracle-checked against the unrolled CTE
-    twin.
+    """BATCHED BPE merge TRAINING — the iterative loop that
+    q_bpe_pair_counts is one step of: 3 rounds of (count adjacent pairs →
+    rank the top-{POOL} by (count desc, pair asc) → select the
+    CONFLICT-FREE batch → apply all selected merges corpus-wide in one
+    pass), emitting the merge table a tokenizer trainer would persist.
+    The conflict-free rule — a pair is selected iff NO strictly
+    higher-ranked pool pair shares a token with it, capped at {BATCH} —
+    is order-free: selected pairs touch pairwise-disjoint symbols, so
+    their replaces commute and "count once, apply batch" equals applying
+    them sequentially. This is how production trainers amortize the
+    per-merge pass (real vocabularies need ~30k merges; one corpus pass
+    per merge is the naive trainer's scaling wall).
 
     Cross-engine exactness: documents encode as marker-delimited token
     strings (\\x02 tok \\x03, so merges anchor on whole tokens and can
     never match inside one), merging is literal left-to-right
     non-overlapping replace on BOTH engines (java.lang.String semantics ==
-    DuckDB replace), and counts are exact ints so the argmax tie-break is
-    total. Docs cap at the first 64 tokens, mirrored by the oracle's
-    list_slice — bounded pair counts per doc, and the fixed-range unnest
-    stays valid.
+    DuckDB replace), counts are exact ints so ranking is total, and the
+    batch selection is the same set-expressible predicate on both engines
+    (NOT EXISTS over the ranked pool). Docs cap at the first 64 tokens,
+    mirrored by the oracle's list_slice.
 
-    Scale: each round is one pair hash-agg (map-side combined) + a 1-row
-    argmax + one narrow map over the encodings; the corpus shuffles ZERO
-    times (encodings stay partition-local; only (a, b, partial-count)
-    rows move). localCheckpoint per round cuts lineage like the other
-    iterative operators. Real trainers run ~30k rounds with the same
-    per-round shape — rounds are latency-bound, not data-bound."""
+    Scale: each round is one pair hash-agg (map-side combined) + a
+    {POOL}-row collect (the batched argmax — still driver-side metadata,
+    not data) + ONE narrow map applying all {BATCH} merges; the corpus
+    shuffles ZERO times. Batching divides the number of corpus passes by
+    the batch yield (~8× here). localCheckpoint per round cuts lineage
+    like the other iterative operators."""
     sep = _MR + _ML
     base = (
         t(spark, sf_dir, "documents")
@@ -1233,8 +1278,9 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_ML), F.array_join("toks", sep), F.lit(_MR)
         ).alias("enc"),
     ).localCheckpoint()
-    steps = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    steps: list[tuple[int, str, str, int]] = []
+    step = 0
+    for _r in range(1, _BPE_ROUNDS + 1):
         toks_r = F.split(F.btrim("enc", F.lit(_ML + _MR)), sep)
         pairs = (
             enc.select(toks_r.alias("toks"))
@@ -1249,25 +1295,35 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("p.a", "p.b")
         )
-        top = (
+        pool = (
             pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(_BPE_POOL)
             .collect()
         )
-        if not top:
+        # conflict-free batch: same predicate as the oracle's NOT EXISTS —
+        # selected iff no higher-ranked POOL pair (selected or not) shares
+        # a token; order-free, so the batch's replaces commute
+        batch: list[tuple[str, str, int]] = []
+        for i, r in enumerate(pool):
+            mine = {r["a"], r["b"]}
+            if all(not ({q["a"], q["b"]} & mine) for q in pool[:i]):
+                batch.append((r["a"], r["b"], int(r["n"])))
+                if len(batch) == _BPE_BATCH:
+                    break
+        if not batch:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        steps.append((r, a, b, n))
-        enc = enc.select(
-            "doc_id",
-            F.replace(
-                "enc",
+        col = F.col("enc")
+        for a, b, n in batch:
+            step += 1
+            steps.append((step, _r, a, b, n))
+            col = F.replace(
+                col,
                 F.lit(_ML + a + _MR + _ML + b + _MR),
                 F.lit(_ML + a + " " + b + _MR),
-            ).alias("enc"),
-        ).localCheckpoint()
+            )
+        enc = enc.select("doc_id", col.alias("enc")).localCheckpoint()
     return spark.createDataFrame(
-        steps, "step int, pair_a string, pair_b string, n bigint"
+        steps, "step int, round int, pair_a string, pair_b string, n bigint"
     )

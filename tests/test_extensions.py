@@ -723,3 +723,30 @@ def test_ivfpq_persisted_search_matches_composite(spark, tmp_path, monkeypatch):
     assert "dynamicpruning" in plan.lower()
     # second build call must reuse the completed artifacts (marker file)
     assert store.ivfpq_write(spark, SMOKE_SF) == path
+
+
+def test_bpe_batched_training_yield_and_disjointness(spark):
+    """Batched BPE: the conflict-free rule must actually batch (≥2 merges
+    per round on the fixture corpus — the point of batching is dividing
+    corpus passes by the yield), steps must be globally sequential, and
+    within a round no token may appear in two selected pairs (the
+    disjointness that makes the batch's replaces commute)."""
+    from mapreduce_weather_analysis_spark.plans.text_suite import (
+        _BPE_BATCH,
+        _BPE_ROUNDS,
+    )
+
+    rows = _run(spark, "q_bpe_train_merges").collect()
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) > _BPE_ROUNDS  # strictly more than one merge/round
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r.round, []).append(r)
+    for rnd, block in by_round.items():
+        assert len(block) <= _BPE_BATCH
+        # ACROSS-pair disjointness (self-pairs (a,a) are legal): no token
+        # may appear in two different selected pairs of the same round
+        pair_toks = [{r.pair_a, r.pair_b} for r in block]
+        for i, s in enumerate(pair_toks):
+            for other in pair_toks[:i]:
+                assert not (s & other), f"token overlap in round {rnd}"
