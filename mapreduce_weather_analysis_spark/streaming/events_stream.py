@@ -32,6 +32,24 @@ def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+def _stream_table(
+    spark: SparkSession, sf_dir: str, name: str, schema: T.StructType
+) -> DataFrame:
+    """File-source stream over ``{sf_dir}/{name}.parquet`` in either
+    layout: a single parquet FILE (the testdata fixtures — streamed via a
+    pathGlobFilter from the parent, since the streaming source requires a
+    directory basePath) or a DIRECTORY of part files (scaled corpora, any
+    Spark-written table — streamed directly). Real deployments are always
+    the directory branch."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     # readStream needs an explicit schema; probe the batch footer so the
@@ -39,11 +57,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under nanosAsLong (rebuilt to µs below, DuckDB's truncation), or plain
     # µs timestamps (read directly; NTZ inference is off per session.py).
     ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    raw = (
-        spark.readStream.schema(_events_stream_schema(ts_type))
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    raw = _stream_table(
+        spark, sf_dir, "events", _events_stream_schema(ts_type)
     )
     if isinstance(ts_type, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -305,9 +320,4 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     live corpus feed (the text-pipeline operators are stateless per row, so
     they lift onto this stream unchanged)."""
     ensure_session_conf(spark)
-    return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    return _stream_table(spark, sf_dir, "documents", DOCUMENTS_SCHEMA)

@@ -13,9 +13,10 @@ Replication preserves workload character instead of exploding it:
 - embeddings: replica r shifts ids and adds a tiny deterministic bias to
   one coordinate — corpus size scales, geometry stays ANN-shaped.
 
-Usage: python scripts/ext_scale_stress.py [MULT] [OUT_DIR]
+Usage: python scripts/ext_scale_stress.py [MULT] [OUT_DIR] [ONLY]
 Writes {documents,embeddings}.parquet to OUT_DIR (default /tmp/ext10x)
 then times registry queries with sf_dir=OUT_DIR vs /root/testdata/sf0.1.
+ONLY: optional comma-separated query-name subset.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ QUERIES = [
     "q_text_quality",
     "q_tfidf_top_terms",
     "q_pack_sequences",
+    "q_stream_minhash_ledger",
 ]
 
 
@@ -102,6 +104,9 @@ def main() -> None:
           f"embeddings {n_emb}->{n_emb * mult}")
 
     queries = list(QUERIES)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        queries = [q for q in queries if q in only]
     if mult >= 30 and "q_ann_cosine_topk" in queries:
         # the documented-quadratic baseline scales as mult^2 (both |Q| and
         # |N| grow) — 10,000x work at 100x; the LSH/IVF scale paths stand in
