@@ -59,16 +59,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Driver-facing emission order. The correctness driver verifies registry
-# entries front-to-back with a bounded budget (50 in rounds 1-2), so the
-# dict order below is load-bearing. Round-3 rotation (VERDICT_r2 ask #2):
-# keep the 9 reference-surface queries and the 2 round-2 hash failures
-# (fixed this round) in-window, pull in the 30 queries that had no driver
-# row from any round (TPC-H pack, PageRank, PQ/GEMM ANN, canonical/
-# incremental dedup, the round-2 text queries, salted/semi joins,
-# stream-static join), and spend the remaining slots re-checking queries
-# whose tokenizer / oracle text changed this round. Double-green r1+r2
-# entries and the 3 no-oracle sketches rotate past slot 50 — by design,
-# not regression (they remain pytest-oracle-green locally).
+# entries front-to-back with a bounded budget (50 in rounds 1-3), so the
+# dict order below is load-bearing. Round-4 rotation (VERDICT_r3 asks
+# #1/#2/#4): the four round-3 reds return with their fixes (HUGEINT
+# oracle casts, string-serialized array outputs); everything whose code
+# or oracle text changed this round is re-checked (IVFADC materialized
+# CTEs, session-gap boundary, the batched BPE trainer, every streaming
+# query via the _stream_table reader change); the never-checked entries
+# get their first rows (q_stream_minhash_ledger, the new
+# q_ann_ivfpq_search, and the two rows-only sketch/decode entries that
+# never received even the weak check); and the remaining slots
+# re-confirm round-1-only greens (relational/window/join family) whose
+# last driver row is three fixture regenerations old. Triple-green r2/r3
+# families rotate past slot 50 — by design, not regression (they remain
+# pytest-oracle-green locally and in the round-4 full driver-sim).
 _PRIORITY: tuple[str, ...] = (
     # -- reference surface (O1-O13 per VERDICT coverage table): 9 --
     "q_max_month",
@@ -80,78 +84,79 @@ _PRIORITY: tuple[str, ...] = (
     "q_case_coalesce",
     "q_topk_global",
     "q_sql_api_shipping",
-    # -- the two round-2 hash failures, fixed (dialect-proof regexes): 2 --
+    # -- the four round-3 reds, fixed this round (CAST(SUM) AS BIGINT in
+    #    the oracles; array outputs serialized via array_join): 4 --
     "q_token_count",
     "q_pack_sequences",
-    # -- never-checked: TPC-H pack: 6 --
-    "q_shipping_priority",
-    "q_nation_volume",
-    "q_returned_items",
-    "q_promo_revenue",
-    "q_big_orders",
-    "q_brand_revenue",
-    # -- never-checked: events: 2 --
-    "q_heavy_hitters",
-    "q_event_transitions",
-    # -- never-checked: dedup: 4 --
-    "q_simhash_pairs",
-    "q_dedup_canonical",
-    "q_dedup_incremental",
-    "q_corpus_clean",
-    # -- never-checked: graph + similarity: 4 --
-    "q_pagerank_nations",
     "q_embed_quantize",
-    "q_ann_pq_topk",
-    "q_ann_gemm_topk",
-    # -- never-checked: round-2 text additions: 9 --
-    "q_text_repetition",
-    "q_mixing_weights",
-    "q_bpe_pair_counts",
-    "q_corpus_shuffle",
-    "q_quota_sample",
-    "q_corpus_stats",
-    "q_fuzzy_match",
-    "q_token_budget",
-    "q_vocab_coverage",
-    # -- never-checked: joins + streaming: 3 --
-    "q_stream_static_join",
-    "q_salted_join",
-    "q_prefilter_semi_join",
-    # -- round-3 additions + changed results: 6. q_ann_ivf_topk's hash
-    #    CHANGED this round (k = ⌊√N⌋ policy), so its r2 green row no
-    #    longer vouches for the current code; the other five are new. --
-    "q_ann_ivf_topk",
-    "q_ann_ivfpq_topk",
-    "q_ann_ivf_sampled",
-    "q_ann_ivfpq_residual",
     "q_encode_ids",
-    "q_bpe_train_merges",
-    "q_stream_sliding",
+    # -- new this round + never-checked: 3 --
+    "q_ann_ivfpq_search",
+    "q_stream_minhash_ledger",
+    "q_bpe_train_merges",  # output/semantics changed: batched merges
+    # -- oracle text changed (AS MATERIALIZED IVF chain): 2 --
+    "q_ann_ivfpq_topk",
+    "q_ann_ivfpq_residual",
+    # -- session-gap boundary changed on both engines (>= not >): 4 --
+    "q_events_sessionize",
+    "q_events_session_window",
+    "q_events_funnel_sessionized",
     "q_stream_session_window",
-    # -- re-checks: code or oracle text changed at the end of round 2
-    #    (WS_CLASS tokenizer, hex-slice multimodal oracles): one canary per
-    #    changed family — minhash covers the WS_CLASS tokens() path every
-    #    text query shares (ngram_jaccard/dedup_apply/tfidf/udtf rotate
-    #    past 50 with local parity + the edge-case corpus sweep), the two
-    #    multimodal queries canary the hex-slice oracles: 3 --
-    "q_dedup_minhash_lsh",
-    "q_multimodal_meta",
-    "q_frame_sample",
-    # -- window boundary (slot 50): entries below are first in line if the
-    #    driver's correctness window ever widens. The displaced re-checks
-    #    and rows-only entries queue here (all pytest-oracle-green locally;
-    #    the rows-only pair carries stronger pytest accuracy tests than the
-    #    driver's weak check anyway). --
+    # -- streaming reader changed (_stream_table layout branch): 6 --
+    "q_stream_tumbling",
+    "q_stream_stateful_counts",
+    "q_stream_stream_join",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_sliding",
+    # -- rows-only entries that never received even the weak check: 2 --
+    "q_approx_count_distinct",
+    "q_multimodal_decode",
+    # -- r1-only greens: last driver row predates three fixture
+    #    regenerations; re-confirm a representative spread: 20 --
     "q_tfidf_top_terms",
     "q_udtf_chunk_text",
     "q_ngram_jaccard",
     "q_dedup_apply",
     "q_doc_fingerprint",
     "q_pii_scrub",
-    "q_approx_count_distinct",
-    "q_multimodal_decode",
     "q_dedup_exact",
     "q_dedup_simhash",
+    "q_join_left",
+    "q_agg_pricing_summary",
+    "q_window_topk_per_group",
+    "q_window_running_sum",
+    "q_agg_rollup",
+    "q_pivot",
+    "q_asof_join",
+    "q_range_join",
+    "q_gapfill_daily",
+    "q_latest_per_key",
+    "q_percentiles",
+    "q_json_extract",
+    # -- window boundary (slot 50): entries below are first in line if
+    #    the driver's correctness window ever widens; all are r2/r3
+    #    driver-green and round-4 sim-green. --
+    "q_shipping_priority",
+    "q_nation_volume",
+    "q_returned_items",
+    "q_promo_revenue",
+    "q_big_orders",
+    "q_brand_revenue",
+    "q_heavy_hitters",
+    "q_event_transitions",
+    "q_simhash_pairs",
+    "q_dedup_canonical",
+    "q_dedup_incremental",
+    "q_corpus_clean",
+    "q_pagerank_nations",
+    "q_ann_pq_topk",
+    "q_ann_gemm_topk",
+    "q_dedup_minhash_lsh",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_ann_ivf_topk",
+    "q_ann_ivf_sampled",
 )
 
 

@@ -1142,14 +1142,16 @@ _ML = "\x02"  # token open marker
 _MR = "\x03"  # token close marker
 
 
-def _bpe_oracle() -> str:
-    """Unrolled 3-round BATCHED BPE trainer (same posture as the CC /
-    PageRank oracles): each round counts adjacent pairs once, ranks the
-    top-{POOL} by (count desc, pair asc), selects the CONFLICT-FREE batch
-    — a pair is selected iff no strictly higher-ranked pool pair shares a
-    token with it (order-free, so the selected merges touch disjoint
-    symbols and commute) — capped at {BATCH}, and applies them all with
-    one pass over the encodings."""
+def _bpe_ctes() -> list[str]:
+    """Unrolled 3-round BATCHED BPE trainer CTE chain (same posture as
+    the CC / PageRank oracles): each round counts adjacent pairs once,
+    ranks the top-{POOL} by (count desc, pair asc), selects the
+    CONFLICT-FREE batch — a pair is selected iff no strictly
+    higher-ranked pool pair shares a token with it (order-free, so the
+    selected merges touch disjoint symbols and commute) — capped at
+    {BATCH}, and applies them all with one pass over the encodings.
+    Shared by the trainer oracle (selects the merge table) and the
+    apply oracle (selects per-doc stats of e{ROUNDS})."""
     ctes = [
         f"""e0 AS MATERIALIZED (
           SELECT doc_id,
@@ -1217,13 +1219,17 @@ def _bpe_oracle() -> str:
               FROM e{r - 1}, sel{r}
             )"""
         )
+    return ctes
+
+
+def _bpe_oracle() -> str:
     unions = " UNION ALL ".join(
         f"SELECT {r} AS round, rk, a, b, n FROM s{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_ctes())
         + f""",
     all_s AS ({unions})
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, rk) AS INTEGER) AS step,
@@ -1263,6 +1269,18 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles ZERO times. Batching divides the number of corpus passes by
     the batch yield (~8× here). localCheckpoint per round cuts lineage
     like the other iterative operators."""
+    steps, _enc = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        steps, "step int, round int, pair_a string, pair_b string, n bigint"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, int, str, str, int]], DataFrame]:
+    """The batched trainer loop shared by q_bpe_train_merges (returns the
+    merge table) and q_bpe_apply (returns per-doc stats of the final
+    encodings): (steps, final-encodings)."""
     sep = _MR + _ML
     base = (
         t(spark, sf_dir, "documents")
@@ -1324,6 +1342,59 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_ML + a + " " + b + _MR),
             )
         enc = enc.select("doc_id", col.alias("enc")).localCheckpoint()
-    return spark.createDataFrame(
-        steps, "step int, round int, pair_a string, pair_b string, n bigint"
+    return steps, enc
+
+
+@register(
+    "q_bpe_apply",
+    oracle="WITH "
+    + ",\n".join(_bpe_ctes())
+    + f""",
+    final AS (
+      SELECT doc_id,
+             string_split(trim(enc, chr(2)||chr(3)), chr(3)||chr(2)) AS toks
+      FROM e{_BPE_ROUNDS}
+    ),
+    before AS (
+      SELECT doc_id, LEAST(len({tokens_sql('text')}), {_BPE_MAXTOK}) AS n_before
+      FROM documents WHERE len({tokens_sql('text')}) > 0
+    )
+    SELECT f.doc_id,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(len(f.toks) AS BIGINT) AS n_after,
+           CAST(b.n_before - len(f.toks) AS BIGINT) AS n_merged
+    FROM final f JOIN before b ON f.doc_id = b.doc_id""",
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary APPLICATION — encode every document with the merge
+    table q_bpe_train_merges learns, emitting per-doc token counts before
+    and after merging (n_merged = merge hits = compression won by the
+    learned vocab). This is the tokenize-with-trained-vocab step between
+    trainer and sequence packing; composed from the trainer's final
+    encodings, so the oracle is the trainer chain's e{{ROUNDS}} relation
+    re-split into tokens.
+
+    Scale: application is the trainer's per-round narrow map without the
+    pair counting — one pass, zero shuffles (the before-counts join is
+    doc_id-keyed and co-partitioned with the encodings in practice; at
+    100 TB you'd emit n_before alongside enc at encode time and skip the
+    join entirely, which the composed plan here keeps explicit for the
+    oracle's benefit)."""
+    _steps, enc = _bpe_train(spark, sf_dir)
+    sep = _MR + _ML
+    after = enc.select(
+        "doc_id",
+        F.size(F.split(F.btrim("enc", F.lit(_ML + _MR)), sep)).alias("n_after"),
+    )
+    toks = tokens("text")
+    before = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.least(F.size(toks), F.lit(_BPE_MAXTOK)).alias("nb"))
+        .where(F.size(toks) > 0)
+    )
+    return after.join(before, "doc_id").select(
+        "doc_id",
+        F.col("nb").cast("bigint").alias("n_before"),
+        F.col("n_after").cast("bigint").alias("n_after"),
+        (F.col("nb") - F.col("n_after")).cast("bigint").alias("n_merged"),
     )
