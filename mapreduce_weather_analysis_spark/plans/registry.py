@@ -90,10 +90,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_pack_sequences",
     "q_embed_quantize",
     "q_encode_ids",
-    # -- new this round + never-checked: 3 --
+    # -- new this round + never-checked: 6 --
     "q_ann_ivfpq_search",
     "q_stream_minhash_ledger",
     "q_bpe_train_merges",  # output/semantics changed: batched merges
+    "q_bpe_apply",
+    "q_segment_dedup",
+    "q_ngram_lm_counts",
     # -- oracle text changed (AS MATERIALIZED IVF chain): 2 --
     "q_ann_ivfpq_topk",
     "q_ann_ivfpq_residual",
@@ -131,12 +134,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_asof_join",
     "q_range_join",
     "q_gapfill_daily",
-    "q_latest_per_key",
-    "q_percentiles",
-    "q_json_extract",
     # -- window boundary (slot 50): entries below are first in line if
     #    the driver's correctness window ever widens; all are r2/r3
     #    driver-green and round-4 sim-green. --
+    "q_latest_per_key",
+    "q_percentiles",
+    "q_json_extract",
     "q_shipping_priority",
     "q_nation_volume",
     "q_returned_items",

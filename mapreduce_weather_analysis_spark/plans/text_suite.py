@@ -1398,3 +1398,178 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_after").cast("bigint").alias("n_after"),
         (F.col("nb") - F.col("n_after")).cast("bigint").alias("n_merged"),
     )
+
+
+# --- segment-level dedup: C4's line-dedup shape over token segments ----------
+
+_SEG_LEN = 8  # tokens per segment (the "line" unit for this corpus)
+_SEG_BOILER_DF = 3  # segment appearing in >= this many docs = boilerplate
+_SEG_MAX = 16  # oracle unnest bound: ceil(max doc tokens / _SEG_LEN)
+
+
+@register(
+    "q_segment_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             array_to_string(toks[(i*{_SEG_LEN}+1):(i*{_SEG_LEN}+{_SEG_LEN})], ' ') AS seg,
+             len(toks[(i*{_SEG_LEN}+1):(i*{_SEG_LEN}+{_SEG_LEN})]) AS seg_len
+      FROM toks, (SELECT unnest(range(0, {_SEG_MAX})) AS i)
+      WHERE i * {_SEG_LEN} < len(toks)
+    ),
+    dfc AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+    SELECT s.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN d.df >= {_SEG_BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           CAST(SUM(CASE WHEN d.df < {_SEG_BOILER_DF} THEN s.seg_len ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept
+    FROM segs s JOIN dfc d USING (seg)
+    GROUP BY 1
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup — the C4 pipeline's line-level dedup re-expressed
+    for a corpus without line structure: split each document into
+    consecutive {SEG_LEN}-token segments, count each exact segment's
+    document frequency corpus-wide, flag segments appearing in
+    >= {BOILER_DF} distinct docs as boilerplate, and report per doc how
+    many tokens survive boilerplate removal. (C4 removed any line occurring
+    3+ times in the corpus; this is that exact computation with a token
+    window standing in for the line.)
+
+    Scale shape: segments explode ~N_tokens/{SEG_LEN} rows; the df count is
+    one map-side-combined hash agg keyed by segment text, and the
+    boilerplate re-join is segment-keyed — the same two-shuffle profile C4
+    ran over hundreds of TB. At real scale the segment key would be a
+    64-bit hash instead of the text (collision-safe enough at 3+ df and
+    8x cheaper to shuffle); the text key here keeps the oracle exact."""
+    toks = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    seg_slice = F.slice("toks", F.col("i") * _SEG_LEN + 1, F.lit(_SEG_LEN))
+    segs = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("toks") - 1) / _SEG_LEN).cast("int"),
+            )
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", seg_slice).alias("seg"),
+        F.size(seg_slice).alias("seg_len"),
+    )
+    dfc = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        segs.join(dfc, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                F.when(F.col("df") >= _SEG_BOILER_DF, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+            F.sum(
+                F.when(F.col("df") < _SEG_BOILER_DF, F.col("seg_len")).otherwise(0)
+            ).alias("n_tokens_kept"),
+        )
+    )
+
+
+# --- n-gram LM counts: the KenLM-style language-model data-prep stage --------
+
+_LM_TOPK = 20
+
+
+@register(
+    "q_ngram_lm_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+      FROM toks, (SELECT unnest(range(1, 101)) AS i)
+      WHERE i + 2 <= len(toks)
+    ),
+    counts AS (
+      SELECT w1, w2, w3, COUNT(*) AS n FROM tri GROUP BY 1, 2, 3
+    ),
+    cont AS (
+      -- Kneser-Ney continuation count N1+(. w2 w3): distinct left contexts
+      SELECT w2, w3, COUNT(DISTINCT w1) AS n_left FROM counts GROUP BY 1, 2
+    )
+    SELECT c.w1, c.w2, c.w3, c.n,
+           CAST(ct.n_left AS BIGINT) AS left_continuations,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT w1, w2, w3, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, w1, w2, w3) AS rnk
+      FROM counts
+    ) c JOIN cont ct ON c.w2 = ct.w2 AND c.w3 = ct.w3
+    WHERE rnk <= {_LM_TOPK}
+    """,
+)
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model counts with Kneser-Ney continuation
+    statistics — the data-prep stage a KenLM-style n-gram LM build runs
+    over a corpus: raw trigram counts plus, for each trigram's bigram
+    suffix, the number of DISTINCT left contexts (N1+(.w2w3), the
+    numerator of the Kneser-Ney continuation probability). Emits the
+    top-{TOPK} trigrams with their continuation counts; everything is
+    exact-integer so the oracle matches bit-for-bit.
+
+    Scale shape: trigram explode (~N_tokens rows) -> one map-side-combined
+    hash agg for counts -> a second agg over the DISTINCT (w1,w2,w3)
+    relation (already deduplicated, orders of magnitude smaller than the
+    corpus) for continuations; the top-k is a tiny global sort of the
+    count relation's head. No window over corpus-scale data, no Python."""
+    toks = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+    )
+    tri = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                    F.element_at("toks", i + 2).alias("w3"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2", "g.w3")
+    counts = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()  # feeds the top-k AND the continuation branch
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"), F.asc("w3"))
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _LM_TOPK)
+    )
+    # continuation counts ONLY for the top-k suffixes: the full (w2,w3)
+    # continuation relation is vocab²-sized at scale — never broadcast it;
+    # instead broadcast the k suffix pairs into the counts scan and agg
+    # the handful of surviving groups
+    suffixes = top.select("w2", "w3").distinct()
+    cont = (
+        counts.join(F.broadcast(suffixes), ["w2", "w3"])
+        .groupBy("w2", "w3")
+        .agg(F.countDistinct("w1").alias("left_continuations"))
+    )
+    return top.join(F.broadcast(cont), ["w2", "w3"]).select(
+        "w1", "w2", "w3", "n", "left_continuations", "rnk"
+    )
