@@ -58,6 +58,9 @@ HEADLINE = [
     "q_corpus_clean",
     "q_bpe_pair_counts",
     "q_bpe_train_merges",
+    "q_bpe_apply",
+    "q_segment_dedup",
+    "q_ngram_lm_counts",
     # round-2 late additions: TPC-H flagship, iterative PageRank, blocked
     # fuzzy linkage, frequent-items sketch, vocab coverage
     "q_shipping_priority",
@@ -101,6 +104,9 @@ BASELINE_SEC = {
     # steady-state search over the persisted index (build amortized: run 1
     # of best-of-2 builds if needed, run 2 is pure search)
     "q_ann_ivfpq_search": 1.0,
+    "q_bpe_apply": 1.6,
+    "q_segment_dedup": 0.7,
+    "q_ngram_lm_counts": 0.8,
     "q_encode_ids": 1.1,
     "q_corpus_clean": 3.9,
     "q_bpe_pair_counts": 0.5,
