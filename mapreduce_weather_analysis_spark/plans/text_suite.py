@@ -1555,10 +1555,17 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # feeds the top-k AND the continuation branch
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"), F.asc("w3"))
+    # distributed top-k (TakeOrderedAndProject: per-partition heads +
+    # tiny driver merge), NOT a global row_number window — a
+    # single-partition window over every distinct trigram is the classic
+    # top-k scale-killer. The 20 survivors then rank in a trivial window.
+    order = [F.desc("n"), F.asc("w1"), F.asc("w2"), F.asc("w3")]
     top = (
-        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= _LM_TOPK)
+        counts.orderBy(*order)
+        .limit(_LM_TOPK)
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(*order)).cast("int")
+        )
     )
     # continuation counts ONLY for the top-k suffixes: the full (w2,w3)
     # continuation relation is vocab²-sized at scale — never broadcast it;
