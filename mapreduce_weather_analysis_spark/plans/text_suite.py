@@ -683,10 +683,13 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat_ws(" ", "tok", "nxt").alias("pair"))
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
-    wr = W.orderBy(F.desc("n"), F.asc("pair"))
+    # distributed top-k (TakeOrderedAndProject), then rank the survivors —
+    # never a global row_number window over every distinct pair
+    order = [F.desc("n"), F.asc("pair")]
     return (
-        counts.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= _BPE_TOP)
+        counts.orderBy(*order)
+        .limit(_BPE_TOP)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
         .select("pair", "n", "rank")
     )
 
@@ -1020,10 +1023,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total"))
-    w_rank = W.orderBy(F.desc("n"), F.asc("tok"))
+    # distributed top-k, then rank the K survivors (see q_ngram_lm_counts)
+    order = [F.desc("n"), F.asc("tok")]
     top = (
-        counts.withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= _VOCAB_TOP)
+        counts.orderBy(*order)
+        .limit(_VOCAB_TOP)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
     )
     w_cum = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
@@ -1103,12 +1108,16 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w_rank = W.orderBy(F.desc("n"), F.asc("tok"))
+    # distributed top-K vocab head (TakeOrdered), ids assigned over the K
+    # survivors — not a corpus-vocab-wide row_number window
+    order = [F.desc("n"), F.asc("tok")]
     vocab = (
-        counts.select(
-            "tok", F.row_number().over(w_rank).cast("int").alias("id")
+        counts.orderBy(*order)
+        .limit(_VOCAB_TOP)
+        .select(
+            "tok",
+            F.row_number().over(W.orderBy(*order)).cast("int").alias("id"),
         )
-        .where(F.col("id") <= _VOCAB_TOP)
     )
     pos_toks = d.select(
         "doc_id",
