@@ -54,6 +54,7 @@ HEADLINE = [
     "q_ann_ivfpq_residual",
     "q_ann_ivf_sampled",
     "q_ann_ivfpq_search",
+    "q_semdedup",
     "q_encode_ids",
     "q_corpus_clean",
     "q_bpe_pair_counts",
@@ -104,6 +105,8 @@ BASELINE_SEC = {
     # steady-state search over the persisted index (build amortized: run 1
     # of best-of-2 builds if needed, run 2 is pure search)
     "q_ann_ivfpq_search": 1.0,
+    # trains the IVF quantizer, then within-cell pairwise cosine
+    "q_semdedup": 3.9,
     "q_bpe_apply": 1.6,
     "q_segment_dedup": 0.7,
     "q_ngram_lm_counts": 0.8,

@@ -394,3 +394,91 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches bit-for-bit."""
     e = t(spark, sf_dir, "embeddings")
     return ivfpq_residual_topk(e, _QUERY_FILTER)
+
+
+# --- SemDeDup: semantic dedup via cluster-restricted embedding cosine --------
+
+_SEMDEDUP_THRESH = 0.45  # fixture-calibrated; production corpora use ~0.95+
+
+
+def _semdedup_oracle() -> str:
+    from ..operators.ivf import IVF_ITERS, ivf_chain
+
+    cos = cosine_sql("a.v", "b.v")
+    ctes = ivf_chain(
+        "embeddings", _QUERY_FILTER, iters=IVF_ITERS, prefix="i_",
+        materialize=True,
+    )
+    ctes.append(
+        f"""near AS (
+          SELECT a.vec_id AS keeper_id, b.vec_id AS dropped_id,
+                 b.cluster AS cluster, {cos} AS cosine
+          FROM i_fa a JOIN i_fa b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE {cos} >= {_SEMDEDUP_THRESH}
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT dropped_id, keeper_id, CAST(cluster AS INTEGER) AS cluster, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY dropped_id ORDER BY keeper_id ASC
+      ) AS rn FROM near
+    ) WHERE rn = 1
+    """
+    )
+
+
+@register("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — k-means-cluster the embeddings
+    (the existing deterministic IVF quantizer, k = ⌊√N⌋), then WITHIN each
+    cluster drop any vector with a higher-similarity-than-threshold
+    neighbor of smaller id, reporting (dropped, keeper, cluster, cosine)
+    with the smallest-id keeper. Cluster restriction is the paper's exact
+    trick: pairwise cosine only inside cells, never corpus-wide — O(Σ
+    cell²) ≈ O(N^1.5) at k = √N instead of O(N²), and at 100 TB each
+    cell's members co-locate in one task (the cells relation partitions by
+    cluster, as operators/ann_store.py persists it).
+
+    The threshold is fixture-calibrated (random 64-d vectors peak at
+    cosine ≈ 0.51; production corpora deduplicate at ~0.95+) — the
+    parameter, not the value, is the operator. Cosine folds are
+    order-identical across engines, so the threshold comparison and all
+    output values hash-match exactly."""
+    from pyspark.sql import Window as W
+
+    from ..operators.ivf import ivf_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, _centroids = ivf_index(emb)
+    a = assigned.select(
+        F.col("vec_id").alias("keeper_id"),
+        F.col("v").alias("av"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("dropped_id"),
+        F.col("v").alias("bv"),
+        F.col("cluster").alias("cluster_b"),
+    )
+    near = (
+        a.join(b, (a.cluster == b.cluster_b) & (a.keeper_id < b.dropped_id))
+        .select(
+            "dropped_id",
+            "keeper_id",
+            "cluster",
+            cosine(F.col("av"), F.col("bv")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _SEMDEDUP_THRESH)
+    )
+    w = W.partitionBy("dropped_id").orderBy(F.asc("keeper_id"))
+    return (
+        near.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dropped_id", "keeper_id", F.col("cluster").cast("int").alias("cluster"), "cosine")
+    )
