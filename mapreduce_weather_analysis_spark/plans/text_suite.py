@@ -1413,7 +1413,6 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEG_LEN = 8  # tokens per segment (the "line" unit for this corpus)
 _SEG_BOILER_DF = 3  # segment appearing in >= this many docs = boilerplate
-_SEG_MAX = 16  # oracle unnest bound: ceil(max doc tokens / _SEG_LEN)
 
 
 @register(
@@ -1422,12 +1421,19 @@ _SEG_MAX = 16  # oracle unnest bound: ceil(max doc tokens / _SEG_LEN)
     WITH toks AS (
       SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
     ),
+    idx AS (
+      -- correlated unnest: bound derives from each doc's own length, so
+      -- arbitrarily long documents segment fully (a fixed range constant
+      -- silently truncates — caught by the edge-case corpus sweep)
+      SELECT doc_id, toks,
+             unnest(range(0, (len(toks) + {_SEG_LEN} - 1) // {_SEG_LEN})) AS i
+      FROM toks
+    ),
     segs AS (
       SELECT doc_id,
              array_to_string(toks[(i*{_SEG_LEN}+1):(i*{_SEG_LEN}+{_SEG_LEN})], ' ') AS seg,
              len(toks[(i*{_SEG_LEN}+1):(i*{_SEG_LEN}+{_SEG_LEN})]) AS seg_len
-      FROM toks, (SELECT unnest(range(0, {_SEG_MAX})) AS i)
-      WHERE i * {_SEG_LEN} < len(toks)
+      FROM idx
     ),
     dfc AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
     SELECT s.doc_id,
@@ -1504,10 +1510,14 @@ _LM_TOPK = 20
     WITH toks AS (
       SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
     ),
+    idx AS (
+      -- correlated unnest (see q_segment_dedup): per-doc bound, no
+      -- silent truncation of long documents
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM toks WHERE len(toks) >= 3
+    ),
     tri AS (
-      SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
-      FROM toks, (SELECT unnest(range(1, 101)) AS i)
-      WHERE i + 2 <= len(toks)
+      SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3 FROM idx
     ),
     counts AS (
       SELECT w1, w2, w3, COUNT(*) AS n FROM tri GROUP BY 1, 2, 3
