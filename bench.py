@@ -62,6 +62,7 @@ HEADLINE = [
     "q_bpe_apply",
     "q_segment_dedup",
     "q_ngram_lm_counts",
+    "q_dup_span_fraction",
     # round-2 late additions: TPC-H flagship, iterative PageRank, blocked
     # fuzzy linkage, frequent-items sketch, vocab coverage
     "q_shipping_priority",
@@ -110,6 +111,8 @@ BASELINE_SEC = {
     "q_bpe_apply": 1.6,
     "q_segment_dedup": 0.7,
     "q_ngram_lm_counts": 0.8,
+    # 13-gram explode + df hash-agg + gram-keyed re-join
+    "q_dup_span_fraction": 2.6,
     "q_encode_ids": 1.1,
     "q_corpus_clean": 3.9,
     "q_bpe_pair_counts": 0.5,

@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_segment_dedup",
     "q_ngram_lm_counts",
     "q_semdedup",
+    "q_dup_span_fraction",
     # -- oracle text changed (AS MATERIALIZED IVF chain): 2 --
     "q_ann_ivfpq_topk",
     "q_ann_ivfpq_residual",
@@ -133,10 +134,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_rollup",
     "q_pivot",
     "q_asof_join",
-    "q_range_join",
     # -- window boundary (slot 50): entries below are first in line if
     #    the driver's correctness window ever widens; all are r2/r3
     #    driver-green and round-4 sim-green. --
+    "q_range_join",
     "q_gapfill_daily",
     "q_latest_per_key",
     "q_percentiles",

@@ -1599,3 +1599,76 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(cont), ["w2", "w3"]).select(
         "w1", "w2", "w3", "n", "left_continuations", "rnk"
     )
+
+
+# --- duplicated-span measurement: exact-substring dedup's unit signal --------
+
+_DUP_N = 13  # token-gram length (the ExactSubstr literature's span unit)
+
+
+@register(
+    "q_dup_span_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - {_DUP_N - 2}),
+                                   i -> array_to_string(toks[i:i+{_DUP_N - 1}], ' '))) AS ng
+      FROM toks WHERE len(toks) >= {_DUP_N}
+    ),
+    dfc AS (SELECT ng, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_ngrams,
+           CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+             / COUNT(*) AS dup_fraction
+    FROM g JOIN dfc USING (ng)
+    GROUP BY 1
+    """,
+)
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span measurement — the per-document signal behind
+    exact-substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499: spans of ~50
+    BPE tokens duplicated verbatim across documents): for each document,
+    the fraction of its {N}-token-grams that appear verbatim in at least
+    one OTHER document. High-fraction docs are templated/near-copied
+    content an exact-substring pass would cut.
+
+    Scale shape: same two-shuffle profile as q_segment_dedup (gram
+    hash-agg for document frequency + gram-keyed re-join), over ~N_tokens
+    rows; real deployments hash the gram text to 64 bits before the
+    shuffle (8× cheaper) and/or use the suffix-array formulation for
+    arbitrary-length spans — this relation-friendly fixed-n form is what
+    the literature actually measures with."""
+    toks = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= _DUP_N)
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_DUP_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, _DUP_N)),
+            )
+        ).alias("ng"),
+    )
+    dfc = g.groupBy("ng").agg(F.countDistinct("doc_id").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        g.join(dfc, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            dup.cast("bigint").alias("n_dup_ngrams"),
+            (dup.cast("bigint") * F.lit(1.0) / F.count(F.lit(1))).alias(
+                "dup_fraction"
+            ),
+        )
+    )
