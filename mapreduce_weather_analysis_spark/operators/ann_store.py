@@ -41,6 +41,10 @@ from .pq import _subvectors, pq_index
 
 INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_index")
 
+# bumped whenever the artifact layout changes (v2: + vecs/ full-precision
+# lists) so stale-layout indexes rebuild instead of half-serving
+_LAYOUT_VERSION = "v2"
+
 
 def _fingerprint(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
@@ -51,7 +55,9 @@ def _fingerprint(sf_dir: str) -> str:
 
 def ivfpq_index_path(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(INDEX_ROOT, f"{base}-{_fingerprint(sf_dir)}")
+    return os.path.join(
+        INDEX_ROOT, f"{base}-{_fingerprint(sf_dir)}-{_LAYOUT_VERSION}"
+    )
 
 
 def ivfpq_write(spark: SparkSession, sf_dir: str) -> str:
@@ -74,6 +80,16 @@ def ivfpq_write(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(os.path.join(path, "cells"))
+    )
+    # full-precision inverted lists too: (vec_id, v) per cell — the exact
+    # serving path (q_ann_ivf_search) and the rescore relation an ADC
+    # shortlist would refine against. Written once beside the codes.
+    (
+        assigned.select("vec_id", "v", "cluster")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "vecs"))
     )
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     _codebook.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
@@ -154,4 +170,64 @@ def ivfpq_search(
         adc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Search-only EXACT-cosine IVF over the persisted full-precision
+    inverted lists (``vecs/``): probe selection against the centroid
+    relation, then cosine ranking within the probed cells — identical
+    math to operators/ivf.ivf_topk, index build amortized away. Dynamic
+    partition pruning keeps unprobed cells unread, and only nprobe/k of
+    the float corpus is scanned per query batch."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+
+    centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
+    vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qc = qv.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", _sq_l2("qv", "c").alias("dist"), "cluster"
+    )
+    probes = (
+        qc.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
+                1,
+                nprobe,
+            ).alias("near"),
+            F.first("qv").alias("qv"),
+        )
+        .select("query_id", "qv", F.explode("near").alias("p"))
+        .select("query_id", "qv", F.col("p.cluster").alias("cluster"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(vecs, "cluster")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )

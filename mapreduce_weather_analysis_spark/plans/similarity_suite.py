@@ -375,6 +375,24 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(spark, sf_dir, path, _QUERY_FILTER)
 
 
+@register(
+    "q_ann_ivf_search",
+    oracle=ivf_topk_sql("embeddings", _QUERY_FILTER),
+)
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE exact-cosine IVF search over the PERSISTED index's
+    full-precision inverted lists (operators/ann_store.py ``vecs/``):
+    probe the centroid relation, cosine-rank within the probed cells —
+    q_ann_ivf_topk's search half with the quantizer training amortized
+    into the one-time index build. Reads nprobe/k of the float corpus
+    per query batch (dynamic partition pruning skips the rest); the
+    same oracle as the build+search IVF verifies it bit-for-bit."""
+    from ..operators.ann_store import ivf_search, ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    return ivf_search(spark, sf_dir, path, _QUERY_FILTER)
+
+
 from ..operators.ivfpq import (  # noqa: E402
     ivfpq_residual_topk,
     ivfpq_residual_topk_sql,

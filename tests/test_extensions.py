@@ -723,6 +723,15 @@ def test_ivfpq_persisted_search_matches_composite(spark, tmp_path, monkeypatch):
     assert "dynamicpruning" in plan.lower()
     # second build call must reuse the completed artifacts (marker file)
     assert store.ivfpq_write(spark, SMOKE_SF) == path
+    # exact-cosine serving over the same index must equal the build+search
+    # IVF composite (same centroids round-tripped through parquet)
+    exact = store.ivf_search(spark, SMOKE_SF, path, _QUERY_FILTER)
+    got_e = {key(r): (r.neighbor_id, r.cosine) for r in exact.collect()}
+    want_e = {
+        key(r): (r.neighbor_id, r.cosine)
+        for r in _run(spark, "q_ann_ivf_topk").collect()
+    }
+    assert got_e == want_e
 
 
 def test_bpe_batched_training_yield_and_disjointness(spark):
