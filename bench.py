@@ -55,6 +55,7 @@ HEADLINE = [
     "q_ann_ivf_sampled",
     "q_ann_ivfpq_search",
     "q_ann_ivf_search",
+    "q_ann_ivfpq_rerank",
     "q_semdedup",
     "q_encode_ids",
     "q_corpus_clean",
@@ -109,6 +110,8 @@ BASELINE_SEC = {
     "q_ann_ivfpq_search": 1.0,
     # exact-cosine serving over the persisted full-precision lists
     "q_ann_ivf_search": 0.8,
+    # ADC shortlist (k*4) + exact-cosine rescore of shortlist only
+    "q_ann_ivfpq_rerank": 2.1,
     # trains the IVF quantizer, then within-cell pairwise cosine
     "q_semdedup": 3.9,
     "q_bpe_apply": 1.6,

@@ -231,3 +231,55 @@ def ivf_search(
         .where(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivfpq_rerank_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    shortlist: int = 20,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Two-stage serving (Jégou TPAMI'11 §V-D re-ranking, what production
+    IVFADC deployments actually run): stage 1 scores the probed cells'
+    M-byte codes with ADC and keeps a per-query SHORTLIST (k·4 here);
+    stage 2 rescores only those shortlist candidates with exact cosine
+    against the full-precision lists and emits the final top-k. The
+    expensive float reads shrink from nprobe cells × corpus width to
+    |Q|·shortlist rows — ADC does the winnowing, floats only confirm."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+
+    sl = ivfpq_search(
+        spark, sf_dir, index_path, query_filter,
+        k_neighbors=shortlist, nprobe=nprobe,
+    ).select("query_id", "neighbor_id")
+    vecs = spark.read.parquet(os.path.join(index_path, "vecs")).select(
+        "vec_id", "v"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    # shortlist is |Q|·shortlist rows — broadcast it against the vector
+    # relation so the float corpus never shuffles for the rescore join
+    rescored = (
+        F.broadcast(sl)
+        .join(vecs.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

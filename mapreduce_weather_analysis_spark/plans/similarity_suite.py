@@ -375,6 +375,48 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(spark, sf_dir, path, _QUERY_FILTER)
 
 
+_RERANK_SHORTLIST = 20
+
+
+@register(
+    "q_ann_ivfpq_rerank",
+    oracle=f"""
+    WITH shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM ({ivfpq_topk_sql("embeddings", _QUERY_FILTER, k_neighbors=_RERANK_SHORTLIST)})
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {cosine_sql('q.v', 'n.v')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {cosine_sql('q.v', 'n.v')} DESC, s.neighbor_id ASC
+             ) AS rank
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e n ON n.vec_id = s.neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE serving over the persisted index (Jégou TPAMI'11 §V-D
+    re-ranking — the flow production IVFADC deployments actually run):
+    ADC over the probed cells' M-byte codes keeps a 4k-deep shortlist per
+    query, then ONLY those candidates are rescored with exact cosine
+    against the full-precision lists. Float reads shrink from nprobe
+    cells × corpus width to |Q|·shortlist rows; ADC winnows, floats
+    confirm — recovering exact-rank quality at code-scan cost. The
+    oracle nests the composed IVFADC chain as the shortlist and reranks
+    it with the brute-force cosine expression."""
+    from ..operators.ann_store import ivfpq_rerank_search, ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    return ivfpq_rerank_search(
+        spark, sf_dir, path, _QUERY_FILTER, shortlist=_RERANK_SHORTLIST
+    )
+
+
 @register(
     "q_ann_ivf_search",
     oracle=ivf_topk_sql("embeddings", _QUERY_FILTER),
