@@ -321,3 +321,44 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     they lift onto this stream unchanged)."""
     ensure_session_conf(spark)
     return _stream_table(spark, sf_dir, "documents", DOCUMENTS_SCHEMA)
+
+
+def run_foreach_batch_merge(
+    updates_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    ts: str,
+) -> None:
+    """Streaming MERGE sink: each micro-batch upserts into a parquet
+    target via operators/merge.merge_upsert (anti-join + union — the
+    lakehouse-less MERGE). Whole-row MERGE is naturally idempotent: a
+    replayed batch (restart between target write and checkpoint commit)
+    re-merges to the identical target, so checkpointed offsets + an
+    idempotent merge give effective exactly-once without a transactional
+    table format. At scale the target would be Delta/Iceberg MERGE INTO
+    with the same batch function shape; the plain-parquet form keeps the
+    demo dependency-free (localCheckpoint materializes the merge result
+    before the overwrite so the target is never read and clobbered in
+    one job)."""
+    import os
+
+    from ..operators.merge import merge_upsert
+
+    def apply_merge(batch_df: DataFrame, _epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(target_dir):
+            base = spark.read.parquet(target_dir)
+        else:
+            base = batch_df.limit(0)
+        merged = merge_upsert(base, batch_df, key, ts).localCheckpoint()
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    q = (
+        updates_stream.writeStream.outputMode("append")
+        .foreachBatch(apply_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -250,3 +250,58 @@ def test_tws_idle_sessions_timer_path(spark):
     }
     assert closed_by_data <= got <= all_sessions
     assert len(closed_by_data) > 0
+
+
+def test_foreach_batch_merge_sink(spark, tmp_path):
+    """Streaming MERGE sink: draining the events stream through
+    foreachBatch merge_upsert must leave the target holding exactly the
+    latest row per user (batch semantics), and a REPLAY of the same
+    stream from a fresh checkpoint must leave the target unchanged —
+    whole-row MERGE is idempotent, which is the exactly-once argument."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+    from mapreduce_weather_analysis_spark.streaming.events_stream import (
+        read_events_stream,
+        run_foreach_batch_merge,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    target = str(tmp_path / "target")
+
+    def updates():
+        return read_events_stream(spark, SF).select(
+            "user_id",
+            F.struct("ts", "event_id").alias("ts_key"),
+            "value",
+        )
+
+    run_foreach_batch_merge(
+        updates(), target, str(tmp_path / "cp1"), "user_id", "ts_key"
+    )
+    got = {
+        (r.user_id, r.ts_key.event_id, r.value)
+        for r in spark.read.parquet(target).collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = {
+        (r.user_id, r.event_id, r.value)
+        for r in load_table(spark, SF, "events")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want
+    # replay from a fresh checkpoint: idempotent merge, identical target
+    run_foreach_batch_merge(
+        updates(), target, str(tmp_path / "cp2"), "user_id", "ts_key"
+    )
+    got2 = {
+        (r.user_id, r.ts_key.event_id, r.value)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got2 == want
