@@ -184,3 +184,15 @@ def test_ivfpq_candidate_join_broadcasts_probes(spark):
     corpus-sized codes join is allowed to shuffle."""
     plan = _plan(REGISTRY["q_ann_ivfpq_topk"].fn(spark, SMOKE_SF))
     assert _n_ops(plan, "BroadcastHashJoin") >= 2  # probes + LUT
+
+
+def test_persisted_serving_broadcasts_and_prunes(spark):
+    """The three persisted-index serving queries must broadcast every
+    query-side relation (probes/shortlist/queries — the corpus never
+    shuffles for serving) and dynamically prune the cell-partitioned
+    inverted lists."""
+    for name in ("q_ann_ivf_search", "q_ann_ivfpq_rerank"):
+        plan = _plan(REGISTRY[name].fn(spark, SMOKE_SF))
+        assert _n_ops(plan, "BroadcastHashJoin") >= 1, name
+        assert "SortMergeJoin" not in plan, name
+        assert "dynamicpruning" in plan.lower(), name
