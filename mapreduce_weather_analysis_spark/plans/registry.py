@@ -90,10 +90,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_pack_sequences",
     "q_embed_quantize",
     "q_encode_ids",
-    # -- new this round + never-checked: 9 --
+    # -- new this round + never-checked: 10 --
     "q_ann_ivfpq_search",
     "q_ann_ivf_search",
     "q_ann_ivfpq_rerank",
+    "q_ann_index_stats",
     "q_stream_minhash_ledger",
     "q_bpe_train_merges",  # output/semantics changed: batched merges
     "q_bpe_apply",
@@ -133,10 +134,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_pricing_summary",
     "q_window_topk_per_group",
     "q_window_running_sum",
-    "q_agg_rollup",
     # -- window boundary (slot 50): entries below are first in line if
     #    the driver's correctness window ever widens; all are r2/r3
     #    driver-green and round-4 sim-green. --
+    "q_agg_rollup",
     "q_pivot",
     "q_asof_join",
     "q_range_join",

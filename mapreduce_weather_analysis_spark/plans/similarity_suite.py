@@ -542,3 +542,52 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("dropped_id", "keeper_id", F.col("cluster").cast("int").alias("cluster"), "cosine")
     )
+
+
+def _index_stats_oracle() -> str:
+    from ..operators.ivf import IVF_ITERS, ivf_chain
+
+    ctes = ivf_chain(
+        "embeddings", _QUERY_FILTER, iters=IVF_ITERS, prefix="i_",
+        materialize=True,
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """,
+    occ AS (SELECT cluster, COUNT(*) AS n FROM i_fa GROUP BY 1)
+    SELECT COUNT(*) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           MIN(n) AS min_occupancy,
+           MAX(n) AS max_occupancy,
+           CAST(SUM(n) AS BIGINT) * 1.0 / COUNT(*) AS avg_occupancy
+    FROM occ
+    """
+    )
+
+
+@register("q_ann_index_stats", oracle=_index_stats_oracle())
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health profile over the PERSISTED inverted lists: cell count
+    and occupancy min/max/mean — the monitoring query a serving fleet
+    runs to catch quantizer imbalance (a hot cell turns nprobe pruning
+    into a full scan for every query that probes it; FAISS documents the
+    same imbalance metric). Reads the persisted full-precision lists
+    (one narrow agg over (cluster) — no corpus shuffle since the lists
+    are cluster-partitioned); the oracle recomputes the identical
+    assignment from scratch, so a green row also certifies the persisted
+    artifacts match the deterministic build bit-for-bit."""
+    from ..operators.ann_store import ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    import os
+
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    occ = vecs.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_occupancy"),
+        F.max("n").alias("max_occupancy"),
+        (F.sum("n") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_occupancy"),
+    )
