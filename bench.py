@@ -57,14 +57,19 @@ HEADLINE = [
     "q_ann_ivf_search",
     "q_ann_ivfpq_rerank",
     "q_semdedup",
+    "q_semdedup_persisted",
     "q_encode_ids",
     "q_corpus_clean",
     "q_bpe_pair_counts",
     "q_bpe_train_merges",
     "q_bpe_apply",
     "q_segment_dedup",
+    "q_segment_dedup_hashed",
     "q_ngram_lm_counts",
     "q_dup_span_fraction",
+    "q_dup_span_fraction_hashed",
+    "q_dsir_weights",
+    "q_lm_quality",
     # round-2 late additions: TPC-H flagship, iterative PageRank, blocked
     # fuzzy linkage, frequent-items sketch, vocab coverage
     "q_shipping_priority",
@@ -114,11 +119,19 @@ BASELINE_SEC = {
     "q_ann_ivfpq_rerank": 2.1,
     # trains the IVF quantizer, then within-cell pairwise cosine
     "q_semdedup": 3.9,
+    # same dedup over the PERSISTED cell assignment (build amortized)
+    "q_semdedup_persisted": 0.5,
     "q_bpe_apply": 1.6,
     "q_segment_dedup": 0.7,
+    # xxhash64 segment keys: 8-byte shuffle, string-oracle-verified
+    "q_segment_dedup_hashed": 0.6,
     "q_ngram_lm_counts": 0.8,
     # 13-gram explode + df hash-agg + gram-keyed re-join
     "q_dup_span_fraction": 2.6,
+    "q_dup_span_fraction_hashed": 1.7,
+    # DSIR 2-pass hashed-bucket scorer; LM-quality bigram NLL
+    "q_dsir_weights": 1.0,
+    "q_lm_quality": 1.3,
     "q_encode_ids": 1.1,
     "q_corpus_clean": 3.9,
     "q_bpe_pair_counts": 0.5,

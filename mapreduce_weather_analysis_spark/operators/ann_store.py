@@ -46,10 +46,25 @@ INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_index")
 _LAYOUT_VERSION = "v2"
 
 
+def _build_signature() -> str:
+    """Every constant the build math depends on, folded into the cache key —
+    changing IVF/PQ parameters (or the k=⌊√N⌋ policy) must invalidate
+    persisted artifacts WITHOUT anyone remembering to bump
+    ``_LAYOUT_VERSION``; a stale index would silently diverge from the
+    freshly-recomputed oracle and read as a code bug in the driver row."""
+    from .ivf import IVF_ITERS, IVF_K_FLOOR, IVF_NPROBE
+    from .pq import PQ_ITERS, PQ_K, PQ_M
+
+    return (
+        f"ivf_iters={IVF_ITERS}:ivf_k_floor={IVF_K_FLOOR}:k=isqrt:"
+        f"nprobe={IVF_NPROBE}:pq_m={PQ_M}:pq_k={PQ_K}:pq_iters={PQ_ITERS}"
+    )
+
+
 def _fingerprint(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     return hashlib.md5(
-        f"{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{st.st_size}:{st.st_mtime_ns}:{_build_signature()}".encode()
     ).hexdigest()[:12]
 
 

@@ -69,7 +69,11 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                # null payloads decode as empty (a real decoder must not
+                # crash on a missing blob; geometry degenerates to 1x1)
+                data = np.frombuffer(
+                    bytes(blob) if blob is not None else b"", dtype=np.uint8
+                )
                 n = int(data.size)
                 width = max(int(n**0.5), 1)
                 height = max(n // width, 1)
@@ -165,7 +169,9 @@ def fake_decode_features_arrow(blobs: DataFrame) -> DataFrame:
             ids = batch.column("doc_id").to_pylist()
             rows = []
             for doc_id, blob in zip(ids, batch.column("blob").to_pylist()):
-                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                data = np.frombuffer(
+                    bytes(blob) if blob is not None else b"", dtype=np.uint8
+                )
                 n = int(data.size)
                 width = max(int(n**0.5), 1)
                 height = max(n // width, 1)

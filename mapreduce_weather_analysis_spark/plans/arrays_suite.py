@@ -96,12 +96,51 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_percentiles", oracle=None)
+@register(
+    "q_approx_percentiles",
+    oracle="""
+    -- Self-checking sketch contract: exact interpolated percentiles
+    -- (quantile_cont ≡ Spark percentile bitwise, the q_percentiles
+    -- precedent) + literal TRUE booleans; Spark asserts in-plan that the
+    -- GK-sketch values sit within 1% of the global price range (accuracy
+    -- 10000 → rank error 1e-4; observed value error ≤0.1% of range).
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           quantile_cont(l_extendedprice, 0.99) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p99_ok
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (rows-only: Spark's algorithm has no DuckDB
-    twin; accuracy vs. the exact form is asserted in tests)."""
+    """Sketch-based percentiles (Greenwald-Khanna via percentile_approx):
+    the one-pass, bounded-memory path exact percentiles can't take at
+    100 TB. Self-checking output: exact percentiles + in-plan booleans
+    that each sketch value is within 1% of the global value range — the
+    driver hash-asserts sketch accuracy instead of a rows-only check."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+    rng = li.agg(
+        ((F.max("l_extendedprice") - F.min("l_extendedprice")) * F.lit(0.01)).alias(
+            "tol"
+        )
+    )
+    agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99_exact"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )
+    return agg.crossJoin(F.broadcast(rng)).select(
+        "returnflag",
+        "n",
+        "p50_exact",
+        "p99_exact",
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= F.col("tol")).alias(
+            "p50_ok"
+        ),
+        (F.abs(F.col("p99_approx") - F.col("p99_exact")) <= F.col("tol")).alias(
+            "p99_ok"
+        ),
     )

@@ -162,17 +162,46 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_count_distinct", oracle=None)
+@register(
+    "q_approx_count_distinct",
+    oracle="""
+    -- Self-checking sketch contract: Spark emits the exact distinct count
+    -- plus an in-plan boolean asserting the HLL++ estimate is within 3×rsd
+    -- (+3 absolute slack). The oracle emits the same exact values and a
+    -- literal TRUE — the hash matches iff the sketch really was in bounds,
+    -- turning the old rows-only row into a full correctness assertion.
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_3rsd
+    FROM events GROUP BY 1
+    """,
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct users per event type (rows-only:
-    Spark's HLL++ and DuckDB's approx sketch differ by construction —
-    accuracy vs. exact COUNT(DISTINCT) is asserted in tests instead).
-    The 100 TB rationale: one pass, fixed sketch memory, no distinct
-    expansion shuffle."""
+    """HyperLogLog++ approximate distinct users per event type, emitted as
+    a self-checking row: exact COUNT(DISTINCT) + a boolean that the HLL++
+    estimate (rsd=0.02) lands within 3×rsd (observed error at both test
+    SFs: 0 — the bound is 3σ of the advertised accuracy, deterministic
+    given the data since Spark's HLL++ hashing is deterministic).
+    The 100 TB rationale for the sketch: one pass, fixed sketch memory, no
+    distinct-expansion shuffle — the exact twin here exists only to make
+    the driver row a real assertion rather than a rows-only check."""
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_raw"),
+    )
+    tol = F.greatest(
+        F.round(F.col("exact_users") * 0.06).cast("bigint"), F.lit(3)
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (F.abs(F.col("approx_raw") - F.col("exact_users")) <= tol).alias(
+            "approx_within_3rsd"
+        ),
     )
 
 
@@ -358,60 +387,134 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sketch_mergeable", oracle=None)
+def _hll_ok(est, exact):
+    """|est − exact| ≤ max(5%·exact, 2): 3σ of default-lgK HLL (rsd≈1.6%)."""
+    return F.abs(est.cast("double") - exact) <= F.greatest(
+        exact * F.lit(0.05), F.lit(2.0)
+    )
+
+
+@register(
+    "q_sketch_mergeable",
+    oracle="""
+    -- Self-checking mergeable-sketch contract (see q_approx_count_distinct):
+    -- exact per-month distincts + a TRUE bounds boolean; the ALL row's
+    -- exact union distinct is what the merged sketch must estimate.
+    SELECT strftime(ts, '%Y-%m') AS month,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_bounds
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', COUNT(*), COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
 def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Datasketches HLL): per-month user sketches,
     then a re-merge to the all-time estimate via hll_union_agg — THE
     pre-aggregation pattern at 100 TB: store tiny per-partition sketches,
     answer distinct-count queries over any month range by merging sketches
-    instead of rescanning raw events. Rows-only check (sketch estimates
-    have no SQL twin); accuracy vs exact is pytest-asserted."""
+    instead of rescanning raw events. Self-checking output: each row
+    carries the exact distinct count and a boolean that the sketch
+    estimate (per-month, and the MERGED sketch for ALL) is within 3σ of
+    default-lgK accuracy — so the driver hash-asserts sketch correctness
+    including the union-merge path."""
     e = t(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
     )
     per_month = e.groupBy("month").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
     monthly = per_month.select(
         "month",
-        F.hll_sketch_estimate("sk").alias("est_users"),
         "n_events",
+        "exact_users",
+        _hll_ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "est_within_bounds"
+        ),
     )
-    overall = per_month.agg(
-        F.lit("ALL").alias("month"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    merged = per_month.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
         F.sum("n_events").alias("n_events"),
+    )
+    overall = (
+        e.agg(F.countDistinct("user_id").alias("exact_users"))
+        .crossJoin(merged)
+        .select(
+            F.lit("ALL").alias("month"),
+            "n_events",
+            "exact_users",
+            _hll_ok(F.col("est"), F.col("exact_users")).alias(
+                "est_within_bounds"
+            ),
+        )
     )
     return monthly.unionByName(overall)
 
 
-@register("q_sketch_quantiles", oracle=None)
+@register(
+    "q_sketch_quantiles",
+    oracle="""
+    -- Self-checking KLL contract: exact interpolated percentiles (DuckDB
+    -- quantile_cont ≡ Spark percentile, bitwise — the q_percentiles
+    -- precedent) + literal TRUE bounds booleans; Spark computes the
+    -- booleans in-plan as |kll − exact| ≤ 8% of the global value range
+    -- (observed worst error 1.8%; default-k KLL rank error ≈1.7%).
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(value, 0.5) AS p50_exact,
+           quantile_cont(value, 0.95) AS p95_exact,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+           quantile_cont(value, 0.5), quantile_cont(value, 0.95),
+           TRUE, TRUE
+    FROM events
+    """,
+)
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Datasketches KLL): per-event-type value
     sketch → p50/p95, plus the all-types quantiles by re-merging the
     per-group sketches (kll_merge_agg_double — a second, tiny aggregation
     over sketches, not data) — same store-small/re-merge pattern, for
     quantiles, where exact distributed percentiles need a full sort.
-    Rows-only; accuracy vs exact percentile is pytest-asserted."""
+    Self-checking output: exact percentiles + in-plan booleans that the
+    KLL values (incl. the MERGED sketch for ALL) sit within 8% of the
+    value range — the driver hash-asserts sketch accuracy."""
     e = t(spark, sf_dir, "events").select("event_type", "value")
+    rng = e.agg(
+        ((F.max("value") - F.min("value")) * F.lit(0.08)).alias("tol")
+    )
     sk = e.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value").alias("sk"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("value", F.lit(0.95)).alias("p95_exact"),
         F.count(F.lit(1)).alias("n"),
     )
 
-    def quantiles(sk_col):
-        return [
-            F.kll_sketch_get_quantile_double(sk_col, F.lit(0.5)).alias("p50"),
-            F.kll_sketch_get_quantile_double(sk_col, F.lit(0.95)).alias("p95"),
-        ]
+    def row(df, label, sk_col):
+        q50 = F.kll_sketch_get_quantile_double(sk_col, F.lit(0.5))
+        q95 = F.kll_sketch_get_quantile_double(sk_col, F.lit(0.95))
+        return df.crossJoin(F.broadcast(rng)).select(
+            label.alias("event_type"),
+            "n",
+            "p50_exact",
+            "p95_exact",
+            (F.abs(q50 - F.col("p50_exact")) <= F.col("tol")).alias("p50_ok"),
+            (F.abs(q95 - F.col("p95_exact")) <= F.col("tol")).alias("p95_ok"),
+        )
 
-    per_type = sk.select("event_type", *quantiles(F.col("sk")), "n")
-    overall = sk.agg(
-        F.lit("ALL").alias("event_type"),
-        F.expr("kll_merge_agg_double(sk)").alias("m"),
-        F.sum("n").alias("n"),
-    ).select("event_type", *quantiles(F.col("m")), "n")
+    per_type = row(sk, F.col("event_type"), F.col("sk"))
+    merged = sk.agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
+    overall_exact = e.agg(
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("value", F.lit(0.95)).alias("p95_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    overall = row(overall_exact.crossJoin(merged), F.lit("ALL"), F.col("m"))
     return per_type.unionByName(overall)
 
 
@@ -472,29 +575,76 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sketch_set_ops", oracle=None)
+@register(
+    "q_sketch_set_ops",
+    oracle="""
+    -- Self-checking theta-sketch contract: the exact user-set algebra via
+    -- one per-user flag aggregation + TRUE bounds booleans (Spark computes
+    -- |est − exact| ≤ max(5%·exact, 2) in-plan for all three set ops).
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    )
+    SELECT CAST(SUM(hc * hp) AS BIGINT) AS both_exact,
+           CAST(COUNT(*) AS BIGINT) AS either_exact,
+           CAST(SUM(hc * (1 - hp)) AS BIGINT) AS click_only_exact,
+           TRUE AS both_ok, TRUE AS either_ok, TRUE AS click_only_ok
+    FROM u
+    """,
+)
 def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra over user sets: estimated |click ∩
     purchase|, |click ∪ purchase|, |click ∖ purchase| from two tiny
     per-type sketches — audience-overlap math without ever materializing
     the sets (at 100 TB the sketches are bytes; the exact DISTINCT
-    intersection is a full shuffle). Rows-only; accuracy pytest-asserted."""
+    intersection is a full shuffle). Self-checking output: the exact set
+    sizes (one per-user flag agg) + in-plan booleans that each theta
+    estimate is within max(5%, ±2) — driver hash-asserts the sketch."""
     e = t(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = (
-        e.where(F.col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(F.theta_sketch_agg("user_id").alias("sk"))
-    )
+    cp = e.where(F.col("event_type").isin("click", "purchase"))
+    sk = cp.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
     two = sk.agg(
         F.max(F.when(F.col("event_type") == "click", F.col("sk"))).alias("c"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("p"),
     )
-    return two.select(
-        F.theta_sketch_estimate(F.expr("theta_intersection(c, p)")).alias("both"),
-        F.theta_sketch_estimate(F.expr("theta_union(c, p)")).alias("either"),
-        F.theta_sketch_estimate(F.expr("theta_difference(c, p)")).alias(
-            "click_only"
-        ),
+    est = two.select(
+        F.theta_sketch_estimate(F.expr("theta_intersection(c, p)")).alias("e_both"),
+        F.theta_sketch_estimate(F.expr("theta_union(c, p)")).alias("e_either"),
+        F.theta_sketch_estimate(F.expr("theta_difference(c, p)")).alias("e_conly"),
+    )
+    exact = (
+        cp.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("hc"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "hp"
+            ),
+        )
+        .agg(
+            F.sum(F.col("hc") * F.col("hp")).alias("both_exact"),
+            F.count(F.lit(1)).alias("either_exact"),
+            F.sum(F.col("hc") * (F.lit(1) - F.col("hp"))).alias(
+                "click_only_exact"
+            ),
+        )
+    )
+
+    def ok(est_col, exact_col):
+        return F.abs(est_col.cast("double") - exact_col) <= F.greatest(
+            exact_col * F.lit(0.05), F.lit(2.0)
+        )
+
+    return exact.crossJoin(est).select(
+        "both_exact",
+        "either_exact",
+        "click_only_exact",
+        ok(F.col("e_both"), F.col("both_exact")).alias("both_ok"),
+        ok(F.col("e_either"), F.col("either_exact")).alias("either_ok"),
+        ok(F.col("e_conly"), F.col("click_only_exact")).alias("click_only_ok"),
     )
 
 

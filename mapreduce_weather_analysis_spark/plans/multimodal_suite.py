@@ -42,14 +42,77 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_decode", oracle=None)
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    -- SQL twin of the deterministic fake codec (operators/multimodal.py):
+    -- byte%8 depends only on the low hex nibble, so the 8-bin histogram is
+    -- a count over the low-nibble chars of the blob's hex string (byte i's
+    -- low nibble sits at 1-indexed char 2i+2). width = max(floor(sqrt(n)),1)
+    -- and height = max(n // width, 1) — IEEE sqrt is correctly rounded on
+    -- both engines, so floor agrees bit-exactly (incl. perfect squares).
+    WITH b AS (
+      -- null payloads decode as empty (the decoder's contract): n = 0,
+      -- degenerate 1x1 geometry, all-zero histogram
+      SELECT doc_id, lower(hex(encode(COALESCE(text, '')))) AS hx,
+             CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef',
+                     substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1) % 8 AS bin
+      FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM b WHERE n > 0)
+    ),
+    h AS (
+      SELECT doc_id,
+             concat_ws(',',
+               SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END)) AS hist_csv
+      FROM e GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n AS n_bytes,
+           CAST(greatest(CAST(floor(sqrt(b.n)) AS BIGINT), 1) AS INT) AS width,
+           CAST(greatest(
+                 b.n // greatest(CAST(floor(sqrt(b.n)) AS BIGINT), 1),
+                 1) AS INT) AS height,
+           COALESCE(h.hist_csv, '0,0,0,0,0,0,0,0') AS hist_csv
+    FROM b LEFT JOIN h USING (doc_id)
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode + feature extraction (mapInPandas; deterministic
-    fake codec — see operators/multimodal.py). Rows-only check: the Python
-    stage has no SQL twin; determinism is asserted in tests."""
+    fake codec — see operators/multimodal.py). The feature vector is
+    re-serialized to its exact integer byte-histogram (``round(x*n)``
+    inverts the ``hist/n`` normalization bit-exactly: the fp error of one
+    divide+multiply is ≪ 0.5) so the output is hashable by the driver's
+    pandas canonicalizer AND oracle-pairable — the fake codec's geometry
+    and histogram are SQL-expressible over hex pairs, the same posture as
+    q_frame_sample. (Round 4's driver row crashed the weak check on the
+    raw ``array<double>`` column; this closes that class for good.)"""
     d = t(spark, sf_dir, "documents")
     blobs = attach_blob(d, "text", "doc_id")
-    return fake_decode_features(blobs)
+    dec = fake_decode_features(blobs)
+    n1 = F.greatest(F.col("n_bytes"), F.lit(1))
+    return dec.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.array_join(
+            F.transform(
+                "features", lambda x: F.round(x * n1).cast("bigint")
+            ),
+            ",",
+        ).alias("hist_csv"),
+    )
 
 
 @register(

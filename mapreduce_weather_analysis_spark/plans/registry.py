@@ -59,20 +59,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Driver-facing emission order. The correctness driver verifies registry
-# entries front-to-back with a bounded budget (50 in rounds 1-3), so the
-# dict order below is load-bearing. Round-4 rotation (VERDICT_r3 asks
-# #1/#2/#4): the four round-3 reds return with their fixes (HUGEINT
-# oracle casts, string-serialized array outputs); everything whose code
-# or oracle text changed this round is re-checked (IVFADC materialized
-# CTEs, session-gap boundary, the batched BPE trainer, every streaming
-# query via the _stream_table reader change); the never-checked entries
-# get their first rows (q_stream_minhash_ledger, the new
-# q_ann_ivfpq_search, and the two rows-only sketch/decode entries that
-# never received even the weak check); and the remaining slots
-# re-confirm round-1-only greens (relational/window/join family) whose
-# last driver row is three fixture regenerations old. Triple-green r2/r3
-# families rotate past slot 50 — by design, not regression (they remain
-# pytest-oracle-green locally and in the round-4 full driver-sim).
+# entries front-to-back with a bounded budget (50 slots), so the dict
+# order below is load-bearing. Round-5 rotation (VERDICT_r4 asks #1/#2/#4):
+# the six ex-rows-only entries return with full oracles (self-checking
+# sketch outputs; SQL-twinned fake codec for multimodal decode), the three
+# new queries get first rows, and the rest of the window re-confirms the
+# ENTIRE r1-only cohort — every entry whose last driver row predates the
+# three fixture regenerations. r2/r3/r4-green families rotate past slot 50
+# by design, not regression (they remain pytest-oracle-green locally and
+# in this round's full driver-sim).
 _PRIORITY: tuple[str, ...] = (
     # -- reference surface (O1-O13 per VERDICT coverage table): 9 --
     "q_max_month",
@@ -84,59 +79,23 @@ _PRIORITY: tuple[str, ...] = (
     "q_case_coalesce",
     "q_topk_global",
     "q_sql_api_shipping",
-    # -- the four round-3 reds, fixed this round (CAST(SUM) AS BIGINT in
-    #    the oracles; array outputs serialized via array_join): 4 --
-    "q_token_count",
-    "q_pack_sequences",
-    "q_embed_quantize",
-    "q_encode_ids",
-    # -- new this round + never-checked: 10 --
-    "q_ann_ivfpq_search",
-    "q_ann_ivf_search",
-    "q_ann_ivfpq_rerank",
-    "q_ann_index_stats",
-    "q_stream_minhash_ledger",
-    "q_bpe_train_merges",  # output/semantics changed: batched merges
-    "q_bpe_apply",
-    "q_segment_dedup",
-    "q_ngram_lm_counts",
-    "q_semdedup",
-    "q_dup_span_fraction",
-    # -- oracle text changed (AS MATERIALIZED IVF chain): 2 --
-    "q_ann_ivfpq_topk",
-    "q_ann_ivfpq_residual",
-    # -- session-gap boundary changed on both engines (>= not >): 4 --
-    "q_events_sessionize",
-    "q_events_session_window",
-    "q_events_funnel_sessionized",
-    "q_stream_session_window",
-    # -- streaming reader changed (_stream_table layout branch): 6 --
-    "q_stream_tumbling",
-    "q_stream_stateful_counts",
-    "q_stream_stream_join",
-    "q_stream_dedup",
-    "q_stream_static_join",
-    "q_stream_sliding",
-    # -- rows-only entries that never received even the weak check: 2 --
-    "q_approx_count_distinct",
+    # -- outputs/oracles changed this round (rows-only family made
+    #    oracle-pairable via self-checking exact+bounds outputs): 6 --
     "q_multimodal_decode",
-    # -- r1-only greens: last driver row predates three fixture
-    #    regenerations; re-confirm a representative spread: 20 --
-    "q_tfidf_top_terms",
-    "q_udtf_chunk_text",
-    "q_ngram_jaccard",
-    "q_dedup_apply",
-    "q_doc_fingerprint",
-    "q_pii_scrub",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_join_left",
-    "q_agg_pricing_summary",
-    "q_window_topk_per_group",
-    "q_window_running_sum",
-    # -- window boundary (slot 50): entries below are first in line if
-    #    the driver's correctness window ever widens; all are r2/r3
-    #    driver-green and round-4 sim-green. --
+    "q_approx_count_distinct",
+    "q_sketch_mergeable",
+    "q_sketch_quantiles",
+    "q_sketch_set_ops",
+    "q_approx_percentiles",
+    # -- new this round (hashed-gram shuffle variants, persisted-index
+    #    SemDeDup, DSIR importance weights, LM-perplexity quality): 5 --
+    "q_segment_dedup_hashed",
+    "q_dup_span_fraction_hashed",
+    "q_semdedup_persisted",
+    "q_dsir_weights",
+    "q_lm_quality",
+    # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
+    #    row predates three fixture regenerations: 8 --
     "q_agg_rollup",
     "q_pivot",
     "q_asof_join",
@@ -145,26 +104,122 @@ _PRIORITY: tuple[str, ...] = (
     "q_latest_per_key",
     "q_percentiles",
     "q_json_extract",
-    "q_shipping_priority",
-    "q_nation_volume",
-    "q_returned_items",
-    "q_promo_revenue",
+    # -- remaining r1-only greens (stalest driver rows in the registry;
+    #    locally pytest-oracle-green + r5 full-sim-green): 24 --
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_array_funcs",
+    "q_except",
+    "q_grouping_sets",
+    "q_having_cte",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_local_supplier_volume",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_order_priority_count",
+    "q_pandas_udaf",
+    "q_salted_agg",
+    "q_split_explode",
+    "q_string_funcs",
+    "q_subquery_scalar",
+    "q_union_all",
+    "q_unpivot",
+    "q_window_lag_delta",
+    # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
+    #    r3, then round-4 re-confirmed families last) --
+    "q_window_range_frame",
+    "q_window_rank_family",
+    "q_events_tumbling",
+    "q_ann_cosine_topk",
+    "q_ann_filtered_topk",
+    "q_ann_lsh_topk",
+    "q_corpus_split",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_embed_neardup",
+    "q_events_funnel",
+    "q_events_funnel_windowed",
+    "q_events_sliding",
+    "q_group_trend_pandas",
+    "q_lang_id",
+    "q_pandas_udf_cosine",
+    "q_retention_cohorts",
+    "q_scd2_history",
+    "q_stratified_sample",
+    "q_text_quality",
+    "q_ann_gemm_topk",
+    "q_ann_ivf_sampled",
+    "q_ann_ivf_topk",
+    "q_ann_pq_topk",
     "q_big_orders",
+    "q_bpe_pair_counts",
     "q_brand_revenue",
-    "q_heavy_hitters",
-    "q_event_transitions",
-    "q_simhash_pairs",
+    "q_corpus_clean",
+    "q_corpus_shuffle",
+    "q_corpus_stats",
     "q_dedup_canonical",
     "q_dedup_incremental",
-    "q_corpus_clean",
-    "q_pagerank_nations",
-    "q_ann_pq_topk",
-    "q_ann_gemm_topk",
     "q_dedup_minhash_lsh",
-    "q_multimodal_meta",
+    "q_event_transitions",
     "q_frame_sample",
-    "q_ann_ivf_topk",
-    "q_ann_ivf_sampled",
+    "q_fuzzy_match",
+    "q_heavy_hitters",
+    "q_mixing_weights",
+    "q_multimodal_meta",
+    "q_nation_volume",
+    "q_pagerank_nations",
+    "q_prefilter_semi_join",
+    "q_promo_revenue",
+    "q_quota_sample",
+    "q_returned_items",
+    "q_salted_join",
+    "q_shipping_priority",
+    "q_simhash_pairs",
+    "q_text_repetition",
+    "q_token_budget",
+    "q_vocab_coverage",
+    "q_agg_pricing_summary",
+    "q_ann_index_stats",
+    "q_ann_ivf_search",
+    "q_ann_ivfpq_rerank",
+    "q_ann_ivfpq_residual",
+    "q_ann_ivfpq_search",
+    "q_ann_ivfpq_topk",
+    "q_bpe_apply",
+    "q_bpe_train_merges",
+    "q_dedup_apply",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_doc_fingerprint",
+    "q_dup_span_fraction",
+    "q_embed_quantize",
+    "q_encode_ids",
+    "q_events_funnel_sessionized",
+    "q_events_session_window",
+    "q_events_sessionize",
+    "q_join_left",
+    "q_ngram_jaccard",
+    "q_ngram_lm_counts",
+    "q_pack_sequences",
+    "q_pii_scrub",
+    "q_segment_dedup",
+    "q_semdedup",
+    "q_stream_dedup",
+    "q_stream_minhash_ledger",
+    "q_stream_session_window",
+    "q_stream_sliding",
+    "q_stream_stateful_counts",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_tfidf_top_terms",
+    "q_token_count",
+    "q_udtf_chunk_text",
+    "q_window_running_sum",
+    "q_window_topk_per_group",
 )
 
 

@@ -591,3 +591,55 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_occupancy"),
         (F.sum("n") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_occupancy"),
     )
+
+
+@register("q_semdedup_persisted", oracle=_semdedup_oracle())
+def q_semdedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the PERSISTED cell assignment (operators/ann_store.py
+    ``vecs/``): identical semantics to q_semdedup, but the ⌊√N⌋-cell
+    quantizer is NOT retrained — the within-cell pairwise pass reads the
+    cluster-partitioned full-precision lists the ANN serving path already
+    maintains. This is the build/search split applied to dedup: at 100 TB
+    the corpus is assigned once (the same artifacts serve ANN queries and
+    dedup sweeps), each cell's members co-locate in one task via the
+    partitioned layout, and the pairwise cosine stays O(Σcell²) ≈ O(N^1.5).
+    The oracle recomputes the assignment from scratch, so a green row also
+    certifies persisted-assignment ≡ deterministic rebuild (the
+    q_ann_index_stats posture, extended to the dedup output)."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.ann_store import ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    a = vecs.select(
+        F.col("vec_id").alias("keeper_id"), F.col("v").alias("av"), "cluster"
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("dropped_id"),
+        F.col("v").alias("bv"),
+        F.col("cluster").alias("cluster_b"),
+    )
+    near = (
+        a.join(b, (a.cluster == b.cluster_b) & (a.keeper_id < b.dropped_id))
+        .select(
+            "dropped_id",
+            "keeper_id",
+            "cluster",
+            cosine(F.col("av"), F.col("bv")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _SEMDEDUP_THRESH)
+    )
+    w = W.partitionBy("dropped_id").orderBy(F.asc("keeper_id"))
+    return (
+        near.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "dropped_id",
+            "keeper_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            "cosine",
+        )
+    )

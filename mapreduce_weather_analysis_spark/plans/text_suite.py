@@ -1468,6 +1468,12 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") > 0)
     )
+    return _segment_dedup_plan(d, lambda seg: seg)
+
+
+def _segment_dedup_plan(d: DataFrame, key_fn) -> DataFrame:
+    """Shared segment-dedup body: ``key_fn(seg_string_col)`` picks the
+    shuffle key (raw segment text, or its 64-bit hash)."""
     seg_slice = F.slice("toks", F.col("i") * _SEG_LEN + 1, F.lit(_SEG_LEN))
     segs = d.select(
         "doc_id",
@@ -1480,7 +1486,7 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("i"),
     ).select(
         "doc_id",
-        F.concat_ws(" ", seg_slice).alias("seg"),
+        key_fn(F.concat_ws(" ", seg_slice)).alias("seg"),
         F.size(seg_slice).alias("seg_len"),
     )
     dfc = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
@@ -1497,6 +1503,55 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_tokens_kept"),
         )
     )
+
+
+@register(
+    "q_segment_dedup_hashed",
+    oracle=f"""
+    -- Same oracle as q_segment_dedup: the output aggregates never expose
+    -- the shuffle key, so the 64-bit-hashed plan must produce IDENTICAL
+    -- per-doc counts unless xxhash64 collides on this corpus's segments
+    -- (P ≈ n²/2^65 — vanishing, and deterministic if it ever happened).
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (len(toks) + {_SEG_LEN} - 1) // {_SEG_LEN})) AS i
+      FROM toks
+    ),
+    segs AS (
+      SELECT doc_id,
+             array_to_string(toks[(i*{_SEG_LEN}+1):(i*{_SEG_LEN}+{_SEG_LEN})], ' ') AS seg,
+             len(toks[(i*{_SEG_LEN}+1):(i*{_SEG_LEN}+{_SEG_LEN})]) AS seg_len
+      FROM idx
+    ),
+    dfc AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+    SELECT s.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN d.df >= {_SEG_BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           CAST(SUM(CASE WHEN d.df < {_SEG_BOILER_DF} THEN s.seg_len ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept
+    FROM segs s JOIN dfc d USING (seg)
+    GROUP BY 1
+    """,
+)
+def q_segment_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_segment_dedup's production form: the segment SHUFFLE KEY is
+    xxhash64(segment text) — 8 bytes instead of a ~40-byte string through
+    both the df-count hash agg and the boilerplate re-join, the 8×-narrower
+    shuffle the string version's docstring promises for 100 TB. The oracle
+    is the STRING version's SQL verbatim: per-doc counts are key-agnostic,
+    so hash-green means the hashed plan is count-identical to the exact
+    one (xxhash64 collision odds at corpus scale: n²/2^65)."""
+    toks = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    return _segment_dedup_plan(d, lambda seg: F.xxhash64(seg))
 
 
 # --- n-gram LM counts: the KenLM-style language-model data-prep stage --------
@@ -1644,6 +1699,12 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (8× cheaper) and/or use the suffix-array formulation for
     arbitrary-length spans — this relation-friendly fixed-n form is what
     the literature actually measures with."""
+    return _dup_span_plan(spark, sf_dir, lambda ng: ng)
+
+
+def _dup_span_plan(spark: SparkSession, sf_dir: str, key_fn) -> DataFrame:
+    """Shared dup-span body: ``key_fn(gram_string_col)`` picks the shuffle
+    key (raw gram text, or its 64-bit hash)."""
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
@@ -1655,7 +1716,7 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - (_DUP_N - 1)),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, _DUP_N)),
+                lambda i: key_fn(F.concat_ws(" ", F.slice("toks", i, _DUP_N))),
             )
         ).alias("ng"),
     )
@@ -1671,4 +1732,230 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup_fraction"
             ),
         )
+    )
+
+
+@register(
+    "q_dup_span_fraction_hashed",
+    oracle=f"""
+    -- Same oracle as q_dup_span_fraction: per-doc fractions never expose
+    -- the gram key, so the 64-bit-hashed plan must match the exact-string
+    -- plan value-for-value barring an xxhash64 collision (P ≈ n²/2^65).
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - {_DUP_N - 2}),
+                                   i -> array_to_string(toks[i:i+{_DUP_N - 1}], ' '))) AS ng
+      FROM toks WHERE len(toks) >= {_DUP_N}
+    ),
+    dfc AS (SELECT ng, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_ngrams,
+           CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+             / COUNT(*) AS dup_fraction
+    FROM g JOIN dfc USING (ng)
+    GROUP BY 1
+    """,
+)
+def q_dup_span_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dup_span_fraction's production form: gram shuffle key is
+    xxhash64(gram text) — the {_DUP_N}-token gram string (~80 bytes) becomes
+    an 8-byte long through BOTH wide stages (df hash-agg + re-join), the
+    ~10× shuffle-width cut the string version's docstring names as the
+    at-scale refinement (Lee et al. 2021 hash spans the same way). Oracle =
+    the exact string-gram SQL: outputs are key-agnostic, so the driver
+    hash-asserts count-equivalence of the hashed plan."""
+    return _dup_span_plan(spark, sf_dir, lambda ng: F.xxhash64(ng))
+
+
+# --- DSIR-style importance weighting: data selection for a target domain ----
+
+_DSIR_B = 256  # hashed-feature buckets (DSIR uses 10k; scaled to fixture)
+
+
+def _dsir_oracle() -> str:
+    from ..functions.compat import dround_sql, portable_hash32_sql, psum_sql
+
+    lr = dround_sql(
+        f"ln((COALESCE(ct, 0) + 1.0) / (nt + {_DSIR_B}.0)) - "
+        f"ln((cr + 1.0) / (nr + {_DSIR_B}.0))",
+        8,
+    )
+    return f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.lang, unnest({tokens_sql('d.text')}) AS term
+      FROM documents d
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             {portable_hash32_sql('term')} % {_DSIR_B} AS b
+      FROM toks
+    ),
+    bt AS (
+      SELECT b, COUNT(*) AS cr,
+             COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+      FROM f GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bt),
+    lr AS (SELECT bt.b, {lr} AS lr FROM bt, tot),
+    db AS (SELECT doc_id, b, COUNT(*) AS n FROM f GROUP BY 1, 2)
+    SELECT db.doc_id,
+           CAST(SUM(db.n) AS BIGINT) AS n_toks,
+           {psum_sql('db.n * lr.lr', 6)} AS logw
+    FROM db JOIN lr USING (b)
+    GROUP BY 1
+    """
+
+
+@register("q_dsir_weights", oracle=_dsir_oracle())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169): score every
+    document by how target-like its hashed-n-gram feature distribution is
+    — log w(d) = Σ_features n_f·(ln p_target[f] − ln q_raw[f]) with
+    Laplace-smoothed bucket unigram models (B={B} hashed buckets; the
+    target slice here is lang='en', standing in for "looks like
+    Wikipedia"). Selecting by these weights is THE data-selection recipe
+    for pretraining mixes.
+
+    Scale shape: exactly two corpus passes — one token explode → bucket
+    hash-agg building BOTH models at once (conditional count; map-side
+    combined, ≤B groups — tiny; totals re-aggregate the B-row relation,
+    not the corpus), and one per-(doc, bucket) agg (~unique-tokens-per-doc
+    rows) joined against the BROADCAST ≤B-row log-ratio relation: the
+    corpus never shuffles on anything wider than (doc_id, bucket). At
+    100 TB the bucket models are KB-sized.
+    Cross-engine determinism: per-bucket log-ratios go through the
+    shortest-repr decimal round (dround, ulp-drift-proof) and the
+    per-doc sum through psum's exact decimal accumulation."""
+    from ..functions.compat import dround, portable_hash32, psum
+
+    d = t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens("text")).alias("term"),
+    ).select(
+        "doc_id", "lang", (portable_hash32("term") % _DSIR_B).alias("b")
+    )
+    # one pass builds BOTH bucket models (raw + target via conditional
+    # count); totals re-aggregate the ≤B-row bt relation, not the corpus
+    bt = f.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    tot = bt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lr = bt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        dround(
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                / (F.col("nt") + float(_DSIR_B))
+            )
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(_DSIR_B))),
+            8,
+        ).alias("lr"),
+    )
+    db = f.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_toks"),
+            psum(F.col("n") * F.col("lr"), 6, alias="logw"),
+        )
+    )
+
+
+q_dsir_weights.__doc__ = q_dsir_weights.__doc__.format(B=_DSIR_B)
+
+
+# --- LM-perplexity quality scoring: the CCNet filter signal -----------------
+
+
+def _lm_quality_oracle() -> str:
+    from ..functions.compat import dround_sql, psum_sql
+
+    nll = dround_sql("-ln((c2 + 1.0) / (c1 + v))", 8)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM toks WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) * 1.0 AS v FROM bg),
+    scored AS (
+      SELECT bg.doc_id, {nll} AS nll
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           {dround_sql(f"{psum_sql('nll', 6)} / COUNT(*)", 6)} AS avg_nll
+    FROM scored
+    GROUP BY 1
+    """
+
+
+@register("q_lm_quality", oracle=_lm_quality_oracle())
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality scoring (the CCNet recipe — Wenzek et al.,
+    arXiv:1911.00359 — filters CommonCrawl by a KenLM perplexity; here
+    the LM is the corpus's own add-1-smoothed bigram model): per-doc
+    average negative log-likelihood −(1/n)·Σ ln((c(w1,w2)+1)/(c(w1)+V)).
+    Low avg_nll = fluent/common text; high = gibberish or boilerplate-free
+    rare content — the standard quality axis a mix designer thresholds.
+
+    Scale shape: bigram explode (~N_tokens rows) → two gram-keyed
+    hash-aggs (c2 sized ~distinct bigrams, c1 vocab-sized) and a re-join
+    on the bigram key — the q_segment_dedup shuffle profile; at scale the
+    gram keys hash to 64 bits first (the q_segment_dedup_hashed trick
+    applies verbatim) and c1/V broadcast. Determinism: per-bigram NLL
+    terms dround-rounded, per-doc sum via psum, final division one IEEE
+    op then dround."""
+    from ..functions.compat import dround, psum
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bg.agg((F.countDistinct("w2") * F.lit(1.0)).alias("v"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            dround(
+                -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 8
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        dround(
+            psum(F.col("nll"), 6) / F.count(F.lit(1)), 6
+        ).alias("avg_nll"),
     )

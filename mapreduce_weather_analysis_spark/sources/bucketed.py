@@ -41,14 +41,13 @@ def write_bucketed(
     which Spark exposes the files' sort order to the planner
     (``spark.sql.legacy.bucketedTableScan.outputOrdering=true``), letting a
     downstream sort-merge join or window skip its Sort, not just its
-    Exchange. That conf is session-level and off by default, so it is set
-    here at write time (readers in the same session inherit it; external
-    readers must set it themselves to get Sort elision — without it the
-    layout still elides the Exchange, just not the Sort)."""
+    Exchange. That conf is session-level, off by default, and changes PLAN
+    behavior for every bucketed scan — so this WRITE helper does not touch
+    it: the read/plan helpers that rely on Sort elision set it themselves
+    (``big_orders_bucketed`` does), and external readers opt in the same
+    way. (Earlier versions set it here as a write side effect, silently
+    reconfiguring the caller's whole session.)"""
     sort_cols = sort_cols or [key]
-    df.sparkSession.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
     (
         df.repartition(buckets, key)
         .write.format("parquet")

@@ -323,6 +323,31 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_table(spark, sf_dir, "documents", DOCUMENTS_SCHEMA)
 
 
+def _merge_snapshot(target_dir: str) -> tuple[int, str | None]:
+    """Resolve the merge target's current (version, snapshot-dir) from the
+    ``_LATEST`` pointer file; (0, None) for an empty/new target."""
+    import os
+
+    ptr = os.path.join(target_dir, "_LATEST")
+    if os.path.exists(ptr):
+        with open(ptr, encoding="utf-8") as f:
+            snap = f.read().strip()
+        return int(snap.rsplit("-", 1)[1]), snap
+    return 0, None
+
+
+def merge_read(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read the merge sink's current state (the snapshot ``_LATEST`` points
+    at). Readers never see a mid-write state: the pointer only ever names
+    a fully-written snapshot."""
+    import os
+
+    _, snap = _merge_snapshot(target_dir)
+    if snap is None:
+        raise FileNotFoundError(f"no _LATEST pointer under {target_dir}")
+    return spark.read.parquet(os.path.join(target_dir, snap))
+
+
 def run_foreach_batch_merge(
     updates_stream: DataFrame,
     target_dir: str,
@@ -336,23 +361,41 @@ def run_foreach_batch_merge(
     replayed batch (restart between target write and checkpoint commit)
     re-merges to the identical target, so checkpointed offsets + an
     idempotent merge give effective exactly-once without a transactional
-    table format. At scale the target would be Delta/Iceberg MERGE INTO
-    with the same batch function shape; the plain-parquet form keeps the
-    demo dependency-free (localCheckpoint materializes the merge result
-    before the overwrite so the target is never read and clobbered in
-    one job)."""
+    table format — PROVIDED the target swap itself is atomic. A plain
+    ``mode("overwrite")`` of the target is not: a crash mid-overwrite
+    leaves a truncated base that a replayed batch would merge against,
+    permanently losing earlier batches' rows. So the target is a
+    SNAPSHOT STORE: each batch writes a fresh ``snap-N`` directory and
+    then atomically repoints the ``_LATEST`` file (``os.replace``);
+    readers (:func:`merge_read`) and the next batch's base read always
+    resolve the pointer, which only ever names a complete snapshot. The
+    previous snapshot is retained (crash insurance), older ones pruned.
+    At scale the target would be Delta/Iceberg MERGE INTO — whose commit
+    protocol is exactly this pointer swap, done by the table format."""
     import os
+    import shutil
 
     from ..operators.merge import merge_upsert
 
     def apply_merge(batch_df: DataFrame, _epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(target_dir):
-            base = spark.read.parquet(target_dir)
+        ver, snap = _merge_snapshot(target_dir)
+        if snap is not None:
+            base = spark.read.parquet(os.path.join(target_dir, snap))
         else:
             base = batch_df.limit(0)
         merged = merge_upsert(base, batch_df, key, ts).localCheckpoint()
-        merged.write.mode("overwrite").parquet(target_dir)
+        new_snap = f"snap-{ver + 1:06d}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target_dir, new_snap)
+        )
+        tmp = os.path.join(target_dir, "_LATEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(new_snap)
+        os.replace(tmp, os.path.join(target_dir, "_LATEST"))
+        for d in os.listdir(target_dir):
+            if d.startswith("snap-") and d not in (new_snap, snap):
+                shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
 
     q = (
         updates_stream.writeStream.outputMode("append")

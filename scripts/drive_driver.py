@@ -81,8 +81,21 @@ for name in names[lo:hi]:
     t0 = time.perf_counter()
     sdf = qs[name](spark, SF)
     if name not in os_:
-        n = sdf.count()
-        print(f"{name}: rows-only, {n} rows [{time.perf_counter()-t0:.1f}s]", flush=True); continue
+        # Driver-faithful weak check: the real driver pulls rows-only
+        # results through the same pandas canonicalizer before recording
+        # the row count, so an unhashable cell type (list/map/struct)
+        # crashes there — reproduce that here instead of a bare count()
+        # (round 4's q_multimodal_decode burned a driver slot on exactly
+        # this; the old sim's count() path couldn't see it).
+        try:
+            spdf = sdf.toPandas()
+            s = _canon(spdf)
+            hs = _hash(s)
+        except Exception as ex:
+            ok = False
+            print(f"{name}: ERROR in weak check {type(ex).__name__}: {str(ex)[:160]}", flush=True)
+            continue
+        print(f"{name}: rows-only, {len(spdf)} rows, weak-hash {hs} [{time.perf_counter()-t0:.1f}s]", flush=True); continue
     try:
         spdf = sdf.toPandas()
         opdf = con.execute(os_[name]).df()

@@ -77,13 +77,23 @@ def main() -> int:
     qs, os_ = e.queries(), e.oracle_sql()
     flagged = []
     for name in qs:
-        if name not in os_:
-            continue
         try:
             sdf = qs[name](spark, SF)
             sclasses = {f.name: spark_class(f.dataType) for f in sdf.schema.fields}
         except Exception as ex:  # noqa: BLE001
             flagged.append((name, f"SPARK BUILD ERROR: {ex}"))
+            continue
+        if name not in os_:
+            # rows-only entries still go through the driver's pandas
+            # canonicalizer (weak check) — list/map/struct cells crash its
+            # sort_values (round 4's q_multimodal_decode), so flag them
+            # here before they burn a driver slot.
+            for c, sc in sclasses.items():
+                if sc in ("list", "decimal") or sc.endswith("Type"):
+                    flagged.append(
+                        (name, f"{c}: rows-only but spark-side {sc} "
+                               "(driver weak-check canonicalizer cannot hash)")
+                    )
             continue
         try:
             odf = con.execute(

