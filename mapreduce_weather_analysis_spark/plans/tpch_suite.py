@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import dsum, psum, psum_sql
+from ..functions.compat import dround_sql, dsum, dsum_sql, psum, psum_sql
 from .registry import register, t
 
 
@@ -308,4 +308,336 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(psum(rev, alias="revenue"))
+    )
+
+
+# --- Round-5 widening: the subquery/exists/anti-join TPC-H shapes ----------
+#
+# Q13/Q15/Q17/Q4/Q21/Q22 adapted to the fixture schema (TESTDATA.md: no
+# partsupp table, no c_phone/o_comment/l_commitdate/l_receiptdate columns —
+# each adaptation keeps the query's REASON to exist: the plan shape).
+# "late" stands in for commit/receipt lateness as shipdate > orderdate+90d.
+
+
+@register(
+    "q_cust_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ) t
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count (including
+    zero-order customers via the left join).
+
+    Plan: aggregate the orders FACT by custkey first (map-side combine →
+    the shuffle carries one pre-combined row per customer, not |orders|),
+    then LEFT join customer on custkey — both sides keyed on custkey, so
+    bucketed layouts make it exchange-free at 100 TB. The second agg groups
+    a |customer|-sized relation by a small-cardinality count value; the
+    final sort is O(distinct counts) on the driver-bound result."""
+    o_counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = c.join(
+        o_counts, c.c_custkey == o_counts.o_custkey, "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l.l_suppkey,
+             {psum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, rev.total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY suppkey
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one quarter
+    (scalar agg subquery over a derived view).
+
+    Plan: one lineitem scan with the quarter filter pushed down, grouped by
+    suppkey (map-side combined, |supplier|-sized result); the MAX is a 1-row
+    agg of that small relation, broadcast back for the equality filter, and
+    supplier is a broadcast dim — no second fact scan, no shuffle beyond
+    the one grouped agg. Revenue uses psum (exact decimal accumulation), so
+    the MAX-equality predicate is deterministic cross-engine — with plain
+    double sums, ties at the top would be engine-dependent."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(psum(rev_expr, alias="total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle=f"""
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+    li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+    ),
+    av AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM li GROUP BY 1
+    )
+    SELECT {dround_sql(f"{dsum_sql('li.l_extendedprice')} / 7.0", 6)} AS avg_yearly
+    FROM li JOIN av USING (l_partkey)
+    WHERE li.l_quantity < 0.2 * av.avg_qty
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if small-quantity orders (below 20% of
+    the part's average order quantity) for one brand moved to bulk.
+
+    Plan: the brand filter makes part a tiny broadcast semi-filter BEFORE
+    the correlated-subquery work, so the per-part AVG runs over only the
+    brand's lineitems (identical semantics — the correlation key is
+    partkey). The per-part averages are |brand parts|-sized → broadcast
+    back for the threshold predicate; the fact table is scanned once and
+    shuffled once (the partkey agg). Both the AVG (decimal sum / count) and
+    the final SUM (dsum) are order-independent, so the threshold comparison
+    and the result hash cross-engine."""
+    from ..functions.compat import davg, dround
+
+    bp = F.broadcast(
+        t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(bp, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    av = li.groupBy("l_partkey").agg(davg("l_quantity", alias="avg_qty"))
+    return (
+        li.join(F.broadcast(av), "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(dround(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count of one quarter's orders, by priority, having at
+    least one late lineitem ("late" = shipped >90 days after order date —
+    the fixture has no commit/receipt dates, TESTDATA.md).
+
+    Plan: LEFT SEMI join — the exists probe never duplicates orders however
+    many lineitems are late, and Spark keeps only the join keys of the
+    probe side in the hash relation. The equi-key is orderkey (bucketable
+    fact-fact at scale) with the lateness range predicate evaluated as a
+    residual join condition; the quarter filter prunes orders before the
+    join (partition pruning on an orderdate-partitioned layout)."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "q_solo_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    po AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM li GROUP BY 1
+    ),
+    solo AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM li JOIN po USING (l_orderkey)
+      WHERE li.late AND po.n_supp >= 2 AND po.n_late = 1
+    )
+    SELECT s.s_name AS name, COUNT(*) AS numwait
+    FROM solo JOIN supplier s ON solo.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    ORDER BY numwait DESC, name
+    LIMIT 20
+    """,
+)
+def q_solo_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+    multi-supplier finished orders ("waiting suppliers").
+
+    Plan: the textbook form is two correlated self-joins on lineitem
+    (EXISTS other-supplier + NOT EXISTS other-late-supplier) — two extra
+    fact-fact shuffles. The equivalent aggregate formulation used here
+    (and mirrored verbatim in the oracle) groups the fact ONCE per
+    orderkey, counting distinct suppliers and distinct LATE suppliers:
+    a row is a "solo late" exactly when it is late, n_supp >= 2, and
+    n_late = 1 (the late set is {self}). That turns O(fact²-join) into
+    one grouped agg + one orderkey re-join — the same shuffle the join
+    already needs, so at 100 TB it is strictly cheaper than the EXISTS
+    pair. Top-20 via TakeOrdered on a total order (numwait desc, name)."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    po = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    solo = (
+        li.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(po.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)), "l_orderkey")
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        solo.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_idle_customers",
+    oracle=f"""
+    WITH ab AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS numcust,
+           {dsum_sql('c.c_acctbal')} AS totacctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, ab
+    WHERE c.c_acctbal > ab.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-idle customers — above-average positive
+    account balance and no orders since a cutoff — grouped by nation (the
+    fixture has no c_phone, so nation replaces the phone-prefix country
+    code; the recency cutoff replaces Q22's "no orders at all", which is
+    vacuous on the fixture where every customer has ordered).
+
+    Plan: the global average is a 1-row agg broadcast into the filter (the
+    scalar subquery); the NOT EXISTS is a LEFT ANTI join of customer
+    against the DISTINCT custkeys of recent orders — the cutoff prunes the
+    orders scan first, pre-distincting shrinks the build side to one row
+    per active customer, and both sides key on custkey (bucketable).
+    nation broadcasts. dsum/davg keep the threshold and the output sums
+    order-independent."""
+    from ..functions.compat import davg
+
+    c = t(spark, sf_dir, "customer")
+    ab = c.where(F.col("c_acctbal") > 0).agg(davg("c_acctbal", alias="ab"))
+    buyers = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    n = F.broadcast(t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(buyers, c.c_custkey == buyers.o_custkey, "left_anti")
+        .join(n, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", alias="totacctbal"),
+        )
+        .orderBy("nation")
     )
