@@ -1,0 +1,428 @@
+"""Corpus-curation suite: the document-level gates a pretraining data
+pipeline runs between raw scrape and tokenizer — rule-based quality
+(Gopher), LM-perplexity bucketing (CCNet), winnowing fingerprints (MOSS),
+and temperature-scaled mixture weights (multilingual sampling).
+
+All pure JVM expressions; every rule threshold and float op mirrors the
+DuckDB oracle exactly (dround/psum posture, see functions/compat.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import (
+    HASH_PRIME,
+    dround,
+    dround_sql,
+    portable_hash32,
+    portable_hash32_sql,
+    psum,
+    psum_sql,
+)
+from ..functions.text import tokens, tokens_sql
+from .registry import register, t
+
+# --- Gopher rule gate -------------------------------------------------------
+#
+# Rae et al. 2021 (arXiv:2112.11446, A1.1) filter docs by word count, mean
+# word length, symbol-to-word ratio, alphabetic-word fraction, and stopword
+# presence. Bounds below keep the rule STRUCTURE but are calibrated to the
+# fixture corpus (10-99-token synthetic docs) so the keep flag actually
+# varies; production would use the paper's [50, 100k] etc.
+
+_G_MIN_WORDS, _G_MAX_WORDS = 20, 80
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MAX_SYMBOL_RATIO = 0.1
+_G_MIN_ALPHA_FRAC = 0.8
+_G_MIN_STOPWORDS = 2
+_G_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
+_ALPHA_RE = "[a-z]"  # tokens() lowercases first
+
+
+@register(
+    "q_gopher_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
+               AS mean_word_len,
+             (length(text) - length(replace(replace(text, '#', ''), '...', '')))
+               * 1.0 / len(toks) AS symbol_ratio,
+             len(list_filter(toks, w -> regexp_matches(w, '{_ALPHA_RE}')))
+               * 1.0 / len(toks) AS alpha_word_frac,
+             len(list_distinct(list_filter(toks,
+               w -> list_contains({'[' + ', '.join(chr(39) + w + chr(39) for w in _G_STOPWORDS) + ']'}, w))))
+               AS n_distinct_stopwords
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           symbol_ratio, alpha_word_frac,
+           CAST(n_distinct_stopwords AS BIGINT) AS n_distinct_stopwords,
+           (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+            AND mean_word_len >= {_G_MIN_MWL} AND mean_word_len <= {_G_MAX_MWL}
+            AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO}
+            AND alpha_word_frac >= {_G_MIN_ALPHA_FRAC}
+            AND n_distinct_stopwords >= {_G_MIN_STOPWORDS}) AS keep
+    FROM sig
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al., "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446
+    §A1.1): per-document word count, mean word length, symbol-to-word
+    ratio, alphabetic-word fraction, and distinct-stopword presence, plus
+    the conjunctive keep flag. This is the cheap first gate of every
+    production corpus — it runs BEFORE any model-based scoring because it
+    is a single narrow projection.
+
+    Scale shape: one scan, zero shuffles — every signal is a per-row array
+    expression, so the gate streams at parquet-read speed and fuses into
+    whole-stage codegen. Ratios are single exact integer divisions →
+    bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select("doc_id", "text", toks.alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    stop_lits = F.array(*[F.lit(w) for w in _G_STOPWORDS])
+    symbol_chars = F.length("text") - F.length(
+        F.replace(F.replace(F.col("text"), F.lit("#"), F.lit("")), F.lit("..."), F.lit(""))
+    )
+    sig = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(F.col("toks"), lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(1.0)
+            / n
+        ).alias("mean_word_len"),
+        (symbol_chars * F.lit(1.0) / n).alias("symbol_ratio"),
+        (
+            F.size(F.filter(F.col("toks"), lambda w: w.rlike(_ALPHA_RE)))
+            * F.lit(1.0)
+            / n
+        ).alias("alpha_word_frac"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.col("toks"), lambda w: F.array_contains(stop_lits, w))
+            )
+        )
+        .cast("bigint")
+        .alias("n_distinct_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & (F.col("mean_word_len") >= _G_MIN_MWL)
+        & (F.col("mean_word_len") <= _G_MAX_MWL)
+        & (F.col("symbol_ratio") <= _G_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_frac") >= _G_MIN_ALPHA_FRAC)
+        & (F.col("n_distinct_stopwords") >= _G_MIN_STOPWORDS)
+    )
+    return sig.select("*", keep.alias("keep"))
+
+
+# --- CCNet perplexity buckets ----------------------------------------------
+
+
+def _ccnet_oracle() -> str:
+    nll = dround_sql("-ln(c * 1.0 / nn)", 8)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({tokens_sql('text')}) AS term
+      FROM documents
+    ),
+    vc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+    nn AS (SELECT COUNT(*) * 1.0 AS nn FROM toks),
+    scored AS (
+      SELECT toks.doc_id, toks.lang, {nll} AS nll
+      FROM toks JOIN vc USING (term), nn
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_toks,
+             {dround_sql(f"{psum_sql('nll', 6)} / COUNT(*)", 6)} AS avg_nll
+      FROM scored GROUP BY 1, 2
+    ),
+    cuts AS (
+      SELECT lang, list_sort(list(avg_nll)) AS arr, COUNT(*) AS n
+      FROM per_doc GROUP BY 1
+    ),
+    c AS (
+      SELECT lang,
+             arr[CAST(ceil(n / 3.0) AS BIGINT)] AS t1,
+             arr[CAST(ceil(2 * n / 3.0) AS BIGINT)] AS t2
+      FROM cuts
+    )
+    SELECT d.doc_id, d.lang, d.n_toks, d.avg_nll,
+           CASE WHEN d.avg_nll <= c.t1 THEN 'head'
+                WHEN d.avg_nll <= c.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM per_doc d JOIN c USING (lang)
+    """
+
+
+@register("q_ccnet_buckets", oracle=_ccnet_oracle())
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.,
+    arXiv:1911.00359 §4.3: score each document with an LM, split every
+    language into head/middle/tail thirds by perplexity, keep head+middle
+    for pretraining). LM here = the corpus's own unigram MLE (every
+    in-corpus term has count ≥ 1, so no smoothing is needed); score =
+    per-doc average negative log-likelihood.
+
+    Scale shape — the part CCNet gets right and a naive ntile gets wrong:
+    bucket boundaries are per-language CUTOFF VALUES computed once and
+    broadcast back as thresholds, NOT a per-language global sort (an ntile
+    window would drag an entire language — terabytes — through one
+    reducer). Corpus passes: token explode → term-count hash-agg
+    (vocab-sized, map-side combined) → term-keyed re-join (hash the term
+    key 64-bit at scale, the q_segment_dedup_hashed trick) → per-doc agg;
+    cutoffs are a ≤|langs|-row broadcast. The cutoff is the exact k-th
+    smallest score (k=⌈n/3⌉) via a per-lang sorted collect — exact order
+    statistics, not interpolated quantiles, because an interpolated cutoff
+    that lands ON a data value flips buckets on the engines' last-ulp
+    disagreement (observed at sf0.001); production computes the same
+    cutoffs on a fixed-size sample exactly as CCNet does, so the collect
+    is bounded there. Determinism: NLL terms dround-rounded, per-doc sums
+    via psum; bucket compares rounded score vs copied-from-data cutoff."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("term")
+    )
+    vc = d.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    nn = d.agg((F.count(F.lit(1)) * F.lit(1.0)).alias("nn"))
+    scored = (
+        d.join(vc, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "lang",
+            dround(-F.log(F.col("c") * F.lit(1.0) / F.col("nn")), 8).alias(
+                "nll"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        dround(psum(F.col("nll"), 6) / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
+    cuts = (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sort_array(F.collect_list("avg_nll")).alias("arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "lang",
+            F.element_at("arr", F.ceil(F.col("n") / 3.0).cast("int")).alias("t1"),
+            F.element_at("arr", F.ceil(2 * F.col("n") / 3.0).cast("int")).alias("t2"),
+        )
+    )
+    return per_doc.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("t1"), "head")
+        .when(F.col("avg_nll") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# --- Winnowing fingerprints -------------------------------------------------
+
+_WIN_K = 3  # tokens per gram
+_WIN_W = 4  # grams per window
+# Combined key h*2^21 - pos: h < 2^31 (portable_hash32 % HASH_PRIME) and
+# pos < 2^21, so the key fits in 52 bits — min(key) selects the minimal
+# hash and, among equal hashes, the RIGHTMOST position (the winnowing
+# tie rule, Schleimer et al. §2.2).
+_WIN_SHIFT = 1 << 21
+
+
+def _winnow_oracle() -> str:
+    gram = f"array_to_string(toks[i:i+{_WIN_K - 1}], ' ')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             {portable_hash32_sql(gram)} % {HASH_PRIME} AS h
+      FROM toks, unnest(range(1, len(toks) - {_WIN_K - 2})) AS u(i)
+      WHERE len(toks) >= {_WIN_K}
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             MIN(h * {_WIN_SHIFT} - pos) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING
+             ) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM g
+    ),
+    f AS (
+      SELECT doc_id, n_grams, sel FROM w
+      WHERE pos <= n_grams - {_WIN_W} + 1
+    )
+    SELECT doc_id,
+           CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_windows,
+           CAST(COUNT(DISTINCT sel) AS BIGINT) AS n_fingerprints,
+           COUNT(DISTINCT sel) * 1.0 / COUNT(*) AS density
+    FROM f
+    GROUP BY 1
+    """
+
+
+@register("q_winnowing", oracle=_winnow_oracle())
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS algorithm): hash every {K}-token gram, slide a window of
+    {W} consecutive gram hashes, and select each window's minimal hash
+    (rightmost on ties). The selected set is a position-robust fingerprint
+    — any shared substring of length >= W+K-1 tokens between two docs
+    GUARANTEES a shared fingerprint, the property plain 0 mod p sampling
+    lacks. Output: per-doc fingerprint count + density (theory: ~2/(W+1)).
+
+    Scale shape: gram explode (one row per token, ~N_tokens) → ONE
+    bounded window (partitioned by doc_id, frame = {W} rows — state is W
+    rows per task, never a global sort) → per-doc distinct-count agg.
+    The min-with-rightmost-tie rule runs as a single MIN over the packed
+    key h·2^21 − pos, portable to the oracle verbatim. Docs are
+    bounded-length (chunk upstream via q_udtf_chunk_text if not), so the
+    per-doc window never skews a partition."""
+    toks = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= _WIN_K)
+    )
+    g = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_WIN_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, _WIN_K)),
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        (portable_hash32("gram") % HASH_PRIME).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w = g.select(
+        "doc_id",
+        "pos",
+        F.min(F.col("h") * _WIN_SHIFT - F.col("pos")).over(
+            win.rowsBetween(Window.currentRow, _WIN_W - 1)
+        ).alias("sel"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    f = w.where(F.col("pos") <= F.col("n_grams") - _WIN_W + 1)
+    return f.groupBy("doc_id").agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("sel").cast("bigint").alias("n_fingerprints"),
+        (
+            F.countDistinct("sel") * F.lit(1.0) / F.count(F.lit(1))
+        ).alias("density"),
+    )
+
+
+q_winnowing.__doc__ = q_winnowing.__doc__.format(K=_WIN_K, W=_WIN_W)
+
+
+# --- Temperature-scaled mixture weights -------------------------------------
+
+_TEMP_ALPHA = 0.7
+
+
+def _temperature_oracle() -> str:
+    pa = dround_sql(f"pow(n_tokens * 1.0 / total_tokens, {_TEMP_ALPHA})", 8)
+    return f"""
+    WITH tl AS (
+      SELECT source, len({tokens_sql('text')}) AS n FROM documents
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM tl GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_src),
+    powed AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens * 1.0 / total_tokens AS p,
+             {pa} AS pa
+      FROM per_src, tot
+    ),
+    z AS (SELECT {psum_sql('pa', 8)} AS z FROM powed)
+    SELECT source, n_docs, n_tokens, p AS token_share,
+           {dround_sql('pa / z', 8)} AS sample_prob,
+           {dround_sql('(pa / z) / p', 8)} AS upsample_factor
+    FROM powed, z
+    """
+
+
+@register("q_sample_temperature", oracle=_temperature_oracle())
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling weights — q ∝ p^α with α={A}
+    (the multilingual-pretraining recipe from mBERT/XLM-R, Conneau et al.
+    arXiv:1911.02116 §3: exponentiating token shares < 1 flattens the
+    distribution, upsampling low-resource sources without the uniform
+    target's extremes). Complements q_mixing_weights (uniform target):
+    upsample_factor = q/p is the per-source duplication rate a sampler
+    applies downstream.
+
+    Scale shape: one per-source agg (map-side combined, |sources| rows)
+    then arithmetic on a broadcast-sized relation — the corpus is scanned
+    once. Determinism: pow() results dround-rounded before the exact
+    decimal normalizer sum (engines may differ in the last ulp of libm
+    pow; rounding to 8 decimals absorbs it), ratios rounded after one
+    IEEE division each."""
+    d = t(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(tokens("text")).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    p = F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens")
+    powed = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        p.alias("p"),
+        dround(F.pow(p, F.lit(_TEMP_ALPHA)), 8).alias("pa"),
+    )
+    z = powed.agg(psum(F.col("pa"), 8).alias("z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("p").alias("token_share"),
+        dround(F.col("pa") / F.col("z"), 8).alias("sample_prob"),
+        dround((F.col("pa") / F.col("z")) / F.col("p"), 8).alias(
+            "upsample_factor"
+        ),
+    )
+
+
+q_sample_temperature.__doc__ = q_sample_temperature.__doc__.format(
+    A=_TEMP_ALPHA
+)

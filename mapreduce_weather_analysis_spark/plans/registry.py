@@ -262,6 +262,7 @@ def _import_plans() -> None:
         "graph_suite",
         "similarity_suite",
         "text_suite",
+        "curation_suite",
         "multimodal_suite",
         "streaming_suite",
         "scale_suite",
