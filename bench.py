@@ -77,6 +77,14 @@ HEADLINE = [
     "q_fuzzy_match",
     "q_heavy_hitters",
     "q_vocab_coverage",
+    # round-5: subquery/exists TPC-H shapes + corpus-curation operators
+    "q_cust_order_distribution",
+    "q_late_shipment_priority",
+    "q_solo_late_supplier",
+    "q_gopher_quality",
+    "q_ccnet_buckets",
+    "q_winnowing",
+    "q_hard_negatives",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.

@@ -42,8 +42,9 @@ from .pq import _subvectors, pq_index
 INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_index")
 
 # bumped whenever the artifact layout changes (v2: + vecs/ full-precision
-# lists) so stale-layout indexes rebuild instead of half-serving
-_LAYOUT_VERSION = "v2"
+# lists; v3: + attrs/ payload metadata for attribute-filtered serving)
+# so stale-layout indexes rebuild instead of half-serving
+_LAYOUT_VERSION = "v3"
 
 
 def _build_signature() -> str:
@@ -105,6 +106,19 @@ def ivfpq_write(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(os.path.join(path, "vecs"))
+    )
+    # payload metadata co-located with the lists: (vec_id, label) per cell —
+    # attribute-filtered serving (vector-store "payload filter") reads it
+    # beside the probed cells' vectors, so a filter never touches a second
+    # corpus-wide relation. One narrow column here; production would carry
+    # the whole filterable payload struct.
+    (
+        assigned.select("vec_id", "cluster")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "attrs"))
     )
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     _codebook.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
@@ -245,6 +259,77 @@ def ivf_search(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_search_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Attribute-filtered exact-cosine serving: top-k among probed-cell
+    candidates whose ``label`` DIFFERS from the query's — hard-negative
+    mining for contrastive/retrieval training (high-similarity,
+    wrong-label neighbors are the negatives that move the loss). The
+    filter applies pre-ranking (a post-filtered top-k could come back
+    short or drift), and the payload column comes from the index's own
+    co-located ``attrs/`` lists — the probed cells supply both vectors
+    and metadata, so filtering adds no second corpus relation, only a
+    per-cell (vec_id)-join that partition-prunes identically."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+
+    centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
+    vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
+    attrs = spark.read.parquet(os.path.join(index_path, "attrs"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    qc = qv.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "qlabel", _sq_l2("qv", "c").alias("dist"), "cluster"
+    )
+    probes = (
+        qc.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
+                1,
+                nprobe,
+            ).alias("near"),
+            F.first("qv").alias("qv"),
+            F.first("qlabel").alias("qlabel"),
+        )
+        .select("query_id", "qv", "qlabel", F.explode("near").alias("p"))
+        .select("query_id", "qv", "qlabel", F.col("p.cluster").alias("cluster"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(vecs, "cluster")
+        .join(attrs, ["cluster", "vec_id"])
+        .where(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "neg_label", "rank", "cosine")
     )
 
 

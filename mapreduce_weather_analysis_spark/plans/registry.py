@@ -94,6 +94,19 @@ _PRIORITY: tuple[str, ...] = (
     "q_semdedup_persisted",
     "q_dsir_weights",
     "q_lm_quality",
+    # -- new this round, part 2: the subquery/exists/anti-join TPC-H
+    #    shapes and the corpus-curation suite (first driver rows): 10 --
+    "q_cust_order_distribution",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_late_shipment_priority",
+    "q_solo_late_supplier",
+    "q_idle_customers",
+    "q_gopher_quality",
+    "q_ccnet_buckets",
+    "q_winnowing",
+    "q_sample_temperature",
+    "q_hard_negatives",
     # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
     #    row predates three fixture regenerations: 8 --
     "q_agg_rollup",
@@ -104,8 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_latest_per_key",
     "q_percentiles",
     "q_json_extract",
-    # -- remaining r1-only greens (stalest driver rows in the registry;
-    #    locally pytest-oracle-green + r5 full-sim-green): 24 --
+    # -- remaining r1-only greens, stalest first (the 10 displaced past
+    #    slot 50 by the new queries keep their cross-round green rows and
+    #    stay pytest-oracle-green locally): 12 in-window --
     "q_agg_cube",
     "q_agg_distinct",
     "q_array_funcs",
@@ -117,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_full_outer",
     "q_join_semi",
     "q_local_supplier_volume",
+    # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
+    #    r3, then round-4 re-confirmed families last) --
     "q_map_funcs",
     "q_math_funcs",
     "q_order_priority_count",
@@ -128,8 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_union_all",
     "q_unpivot",
     "q_window_lag_delta",
-    # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
-    #    r3, then round-4 re-confirmed families last) --
     "q_window_range_frame",
     "q_window_rank_family",
     "q_events_tumbling",

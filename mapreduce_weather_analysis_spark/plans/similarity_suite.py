@@ -435,6 +435,60 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, sf_dir, path, _QUERY_FILTER)
 
 
+def _hard_neg_oracle() -> str:
+    from ..operators.ivf import ivf_chain
+
+    cos = cosine_sql("probes.qv", "fa.v")
+    ctes = ivf_chain("embeddings", _QUERY_FILTER, materialize=True)
+    ctes.append(
+        f"""scored AS (
+          SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,
+                 ne.label AS neg_label, {cos} AS cosine
+          FROM probes
+          JOIN fa ON probes.cluster = fa.cluster
+          JOIN embeddings ne ON ne.vec_id = fa.vec_id
+          JOIN embeddings qe ON qe.vec_id = probes.query_id
+          WHERE probes.query_id <> fa.vec_id AND ne.label <> qe.label
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT query_id, neighbor_id, neg_label, CAST(rank AS INTEGER) AS rank,
+           cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    )
+
+
+@register("q_hard_negatives", oracle=_hard_neg_oracle())
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the PERSISTED index: for each query, the
+    top-5 most-similar vectors with a DIFFERENT label — the negatives a
+    contrastive/retrieval trainer wants (ANCE, Xiong et al.
+    arXiv:2007.00808: negatives mined by ANN search over the current
+    embedding space, not random). Filter-then-rank: the label-mismatch
+    predicate applies before top-k, so every query gets k true negatives
+    (post-filtering could come back short).
+
+    Serving shape: probes the persisted centroid relation, reads ONLY the
+    probed cells' full-precision lists and their co-located attrs/ payload
+    lists (same dynamic partition pruning; the label join is per-cell on
+    vec_id) — attribute-filtered ANN with zero extra corpus relations.
+    The oracle recomputes the identical IVF chain with the mismatch
+    predicate on the base table."""
+    from ..operators.ann_store import ivf_search_negatives, ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    return ivf_search_negatives(spark, sf_dir, path, _QUERY_FILTER)
+
+
 from ..operators.ivfpq import (  # noqa: E402
     ivfpq_residual_topk,
     ivfpq_residual_topk_sql,

@@ -42,6 +42,9 @@ QUERIES = [
     "q_segment_dedup_hashed",
     "q_dup_span_fraction",
     "q_dup_span_fraction_hashed",
+    "q_gopher_quality",
+    "q_ccnet_buckets",
+    "q_winnowing",
 ]
 
 
