@@ -150,6 +150,14 @@ BASELINE_SEC = {
     "q_fuzzy_match": 0.7,
     "q_heavy_hitters": 0.5,
     "q_vocab_coverage": 1.2,
+    # round-5 additions (first-green at sf0.1)
+    "q_cust_order_distribution": 0.4,
+    "q_late_shipment_priority": 0.6,
+    "q_solo_late_supplier": 1.1,
+    "q_gopher_quality": 0.6,
+    "q_ccnet_buckets": 1.2,
+    "q_winnowing": 1.0,
+    "q_hard_negatives": 1.1,
 }
 
 
