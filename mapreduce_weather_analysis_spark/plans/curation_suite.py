@@ -215,7 +215,9 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = scored.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_toks"),
         dround(psum(F.col("nll"), 6) / F.count(F.lit(1)), 6).alias("avg_nll"),
-    )
+    ).localCheckpoint()  # feeds BOTH the cutoff agg and the output join —
+    # without materialization the whole explode+count+re-join subtree
+    # executes twice (once per consumer), doubling the corpus passes
     cuts = (
         per_doc.groupBy("lang")
         .agg(
