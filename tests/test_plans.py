@@ -196,3 +196,65 @@ def test_persisted_serving_broadcasts_and_prunes(spark):
         assert _n_ops(plan, "BroadcastHashJoin") >= 1, name
         assert "SortMergeJoin" not in plan, name
         assert "dynamicpruning" in plan.lower(), name
+
+
+def test_gopher_quality_zero_shuffles(spark):
+    """The rule gate is a pure per-row projection — any Exchange in its
+    plan means a signal accidentally became an aggregation."""
+    plan = _plan(REGISTRY["q_gopher_quality"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "Exchange") == 0
+
+
+def test_winnowing_single_shuffle_bounded_window(spark):
+    """Winnowing shuffles once (gram rows onto doc_id) and selects
+    fingerprints with a doc-partitioned bounded ROWS frame — never a
+    global (unpartitioned) window."""
+    plan = _plan(REGISTRY["q_winnowing"].fn(spark, SMOKE_SF))
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ccnet_buckets_no_global_sort(spark):
+    """CCNet bucketing must assign via broadcast threshold cutoffs — an
+    ntile/rank over a per-language window would single-thread each
+    language at scale. The only SinglePartition exchange allowed is the
+    1-row corpus-total aggregate."""
+    plan = _plan(REGISTRY["q_ccnet_buckets"].fn(spark, SMOKE_SF))
+    assert "ntile" not in plan.lower()
+    assert _n_ops(plan, "SortMergeJoin") == 0
+
+
+def test_hard_negatives_broadcasts_and_prunes(spark):
+    """Attribute-filtered serving keeps the serving contract: query side
+    broadcast, cell-partitioned lists dynamically pruned, label filter
+    satisfied from the co-located attrs/ relation (no corpus-wide
+    metadata shuffle)."""
+    plan = _plan(REGISTRY["q_hard_negatives"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_late_shipment_priority_semi_join(spark):
+    """The EXISTS probe must plan as a semi join (no row duplication,
+    build side carries keys only)."""
+    plan = _plan(REGISTRY["q_late_shipment_priority"].fn(spark, SMOKE_SF))
+    assert "LeftSemi" in plan
+
+
+def test_solo_late_supplier_aggregates_not_self_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is expressed as ONE grouped
+    distinct-count aggregation — the plan must contain no existence
+    joins and join supplier by broadcast."""
+    plan = _plan(REGISTRY["q_solo_late_supplier"].fn(spark, SMOKE_SF))
+    assert "ExistenceJoin" not in plan
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+
+
+def test_cust_order_distribution_preaggregates_orders(spark):
+    """Q13 must aggregate orders by custkey BEFORE the customer join
+    (partial_count visible under the join input), so the join carries one
+    pre-combined row per customer instead of |orders|."""
+    plan = _plan(REGISTRY["q_cust_order_distribution"].fn(spark, SMOKE_SF))
+    assert "partial_count" in plan
+    assert "LeftOuter" in plan
