@@ -85,6 +85,8 @@ HEADLINE = [
     "q_ccnet_buckets",
     "q_winnowing",
     "q_hard_negatives",
+    "q_ann_recall_eval",
+    "q_ann_index_add",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -158,6 +160,10 @@ BASELINE_SEC = {
     "q_ccnet_buckets": 1.2,
     "q_winnowing": 1.0,
     "q_hard_negatives": 1.1,
+    # recall certification runs BOTH arms (brute-force ground truth on the
+    # query sample + the IVF path incl. quantizer training) in one query
+    "q_ann_recall_eval": 4.7,
+    "q_ann_index_add": 0.4,
 }
 
 

@@ -697,3 +697,155 @@ def q_semdedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# --- Index quality + lifecycle: recall certification, add-without-retrain ----
+
+
+def _recall_oracle() -> str:
+    from ..operators.ivf import ivf_topk_sql
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE {_QUERY_FILTER}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY {cosine_sql('qv', 'cv')} DESC, neighbor_id ASC
+        ) AS rank
+        FROM q JOIN c ON query_id <> neighbor_id
+      ) WHERE rank <= 5
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id
+      FROM ({ivf_topk_sql("embeddings", _QUERY_FILTER)})
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hits,
+           COUNT(ivf.neighbor_id) / 5.0 AS recall_at_5
+    FROM bf LEFT JOIN ivf USING (query_id, neighbor_id)
+    GROUP BY 1
+    """
+
+
+@register("q_ann_recall_eval", oracle=_recall_oracle())
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality certification as a query: per-query recall@5 of the
+    IVF search against the exact brute-force ground truth — the number a
+    serving team watches when they turn the nprobe knob (SCALE.md records
+    the sweep; this operator is how those numbers are produced). Ground
+    truth joins approximate results on (query, neighbor); recall is one
+    exact integer division.
+
+    Scale shape: the brute-force arm is the documented-quadratic ground
+    truth — recall certification runs on a SAMPLE of queries by
+    construction (the query filter IS the sample; never the full corpus),
+    which is exactly how FAISS benchmarks and production index-health
+    checks do it. The IVF arm is the probe-limited scale path; the final
+    join/agg is |Q|·k rows."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.expr(_QUERY_FILTER))
+    bf = brute_force_topk(q, e).select("query_id", "neighbor_id")
+    ivf = ivf_topk(e, _QUERY_FILTER).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    hits = bf.join(
+        ivf,
+        (bf.query_id == ivf.query_id)
+        & (F.col("neighbor_id") == F.col("ivf_neighbor_id")),
+        "left",
+    ).select(bf.query_id.alias("qid"), "ivf_neighbor_id")
+    return hits.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("ivf_neighbor_id").alias("n_hits"),
+        (F.count("ivf_neighbor_id") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+_ADD_FILTER = "vec_id % 100 = 7"
+_ADD_ID_OFFSET = 10_000_000
+
+
+def _index_add_oracle() -> str:
+    from ..operators.ivf import DIM, IVF_ITERS, _sq_l2_sql, ivf_chain
+
+    ctes = ivf_chain("embeddings", _QUERY_FILTER, materialize=True)
+    cN = f"c{IVF_ITERS}"
+    ctes.append(
+        f"""nv AS (
+          SELECT vec_id + {_ADD_ID_OFFSET} AS new_id,
+                 CAST(embedding AS DOUBLE[]) AS vv
+          FROM embeddings WHERE {_ADD_FILTER}
+        )"""
+    )
+    ctes.append(
+        f"""nv2 AS (
+          SELECT new_id, list_concat([vv[1] + 0.001], vv[2:{DIM}]) AS v
+          FROM nv
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT new_id, CAST(cluster AS INTEGER) AS cluster FROM (
+      SELECT nv2.new_id, {cN}.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY nv2.new_id
+               ORDER BY {_sq_l2_sql('nv2.v', f'{cN}.c')}, {cN}.cluster
+             ) AS rn
+      FROM nv2, {cN}
+    ) WHERE rn = 1
+    """
+    )
+
+
+@register("q_ann_index_add", oracle=_index_add_oracle())
+def q_ann_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index ADD without retraining (the FAISS train/add
+    split's second half): new vectors — synthesized here as a perturbed
+    slice with fresh ids, standing in for today's embedding batch — are
+    assigned to their nearest PERSISTED centroid and appended to that
+    cell's inverted list. No Lloyd rounds run; the coarse quantizer is
+    frozen, which is exactly how production IVF indexes absorb daily
+    batches (retrain cadence is weekly/monthly, adds are continuous).
+
+    Scale shape: one narrow pass over the new batch × a broadcast k-row
+    centroid relation — cost is |batch|·k distance evaluations, zero
+    corpus reads, zero shuffles beyond the batch itself. The oracle
+    recomputes the identical frozen centroids via the unrolled Lloyd
+    chain and assigns the same synthesized batch."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.ann_store import ivfpq_write
+    from ..operators.ivf import DIM, _sq_l2
+
+    path = ivfpq_write(spark, sf_dir)
+
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    e = t(spark, sf_dir, "embeddings")
+    vv = F.col("embedding").cast("array<double>")
+    nv = e.where(F.expr(_ADD_FILTER)).select(
+        (F.col("vec_id") + _ADD_ID_OFFSET).alias("new_id"),
+        F.concat(
+            F.array(F.element_at(vv, 1) + F.lit(0.001)),
+            F.slice(vv, 2, DIM - 1),
+        ).alias("v"),
+    )
+    qc = nv.crossJoin(F.broadcast(centroids)).select(
+        "new_id", "cluster", _sq_l2("v", "c").alias("dist")
+    )
+    w = W.partitionBy("new_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    return (
+        qc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", F.col("cluster").cast("int").alias("cluster"))
+    )
