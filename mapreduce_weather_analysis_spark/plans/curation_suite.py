@@ -41,14 +41,16 @@ _G_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
 _ALPHA_RE = "[a-z]"  # tokens() lowercases first
 
 
-@register(
-    "q_gopher_quality",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+def gopher_sig_sql(id_col: str) -> str:
+    """Oracle twin of :func:`gopher_signals`, keyed by ``id_col`` — shared
+    by the batch gate and the streaming ingest gate's oracle."""
+    stop_list = "[" + ", ".join(chr(39) + w + chr(39) for w in _G_STOPWORDS) + "]"
+    return f"""
+    WITH g_toks AS (
+      SELECT {id_col}, text, {tokens_sql('text')} AS toks FROM documents
     ),
-    sig AS (
-      SELECT doc_id,
+    g_sig AS (
+      SELECT {id_col},
              len(toks) AS n_words,
              list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
                AS mean_word_len,
@@ -57,46 +59,43 @@ _ALPHA_RE = "[a-z]"  # tokens() lowercases first
              len(list_filter(toks, w -> regexp_matches(w, '{_ALPHA_RE}')))
                * 1.0 / len(toks) AS alpha_word_frac,
              len(list_distinct(list_filter(toks,
-               w -> list_contains({'[' + ', '.join(chr(39) + w + chr(39) for w in _G_STOPWORDS) + ']'}, w))))
+               w -> list_contains({stop_list}, w))))
                AS n_distinct_stopwords
-      FROM toks WHERE len(toks) > 0
+      FROM g_toks WHERE len(toks) > 0
+    ),
+    g_keep AS (
+      SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+             symbol_ratio, alpha_word_frac,
+             CAST(n_distinct_stopwords AS BIGINT) AS n_distinct_stopwords,
+             (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+              AND mean_word_len >= {_G_MIN_MWL} AND mean_word_len <= {_G_MAX_MWL}
+              AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO}
+              AND alpha_word_frac >= {_G_MIN_ALPHA_FRAC}
+              AND n_distinct_stopwords >= {_G_MIN_STOPWORDS}) AS keep
+      FROM g_sig
     )
-    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
-           symbol_ratio, alpha_word_frac,
-           CAST(n_distinct_stopwords AS BIGINT) AS n_distinct_stopwords,
-           (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
-            AND mean_word_len >= {_G_MIN_MWL} AND mean_word_len <= {_G_MAX_MWL}
-            AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO}
-            AND alpha_word_frac >= {_G_MIN_ALPHA_FRAC}
-            AND n_distinct_stopwords >= {_G_MIN_STOPWORDS}) AS keep
-    FROM sig
-    """,
-)
-def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher rule-based quality gate (Rae et al., "Scaling Language Models:
-    Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446
-    §A1.1): per-document word count, mean word length, symbol-to-word
-    ratio, alphabetic-word fraction, and distinct-stopword presence, plus
-    the conjunctive keep flag. This is the cheap first gate of every
-    production corpus — it runs BEFORE any model-based scoring because it
-    is a single narrow projection.
+    """
 
-    Scale shape: one scan, zero shuffles — every signal is a per-row array
-    expression, so the gate streams at parquet-read speed and fuses into
-    whole-stage codegen. Ratios are single exact integer divisions →
-    bit-identical cross-engine."""
-    d = t(spark, sf_dir, "documents")
+
+def gopher_signals(d: DataFrame, *id_cols: str) -> DataFrame:
+    """Gopher rule signals + conjunctive keep flag for any relation with a
+    ``text`` column, keyed by ``id_cols``. Pure stateless projections, so
+    the same builder lifts unchanged onto a streaming ingest gate."""
     toks = tokens("text")
-    base = d.select("doc_id", "text", toks.alias("toks")).where(
+    base = d.select(*id_cols, "text", toks.alias("toks")).where(
         F.size("toks") > 0
     )
     n = F.size("toks")
     stop_lits = F.array(*[F.lit(w) for w in _G_STOPWORDS])
     symbol_chars = F.length("text") - F.length(
-        F.replace(F.replace(F.col("text"), F.lit("#"), F.lit("")), F.lit("..."), F.lit(""))
+        F.replace(
+            F.replace(F.col("text"), F.lit("#"), F.lit("")),
+            F.lit("..."),
+            F.lit(""),
+        )
     )
     sig = base.select(
-        "doc_id",
+        *id_cols,
         n.cast("bigint").alias("n_words"),
         (
             F.aggregate(
@@ -130,6 +129,26 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_distinct_stopwords") >= _G_MIN_STOPWORDS)
     )
     return sig.select("*", keep.alias("keep"))
+
+
+@register(
+    "q_gopher_quality",
+    oracle=gopher_sig_sql("doc_id") + "SELECT * FROM g_keep",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al., "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446
+    §A1.1): per-document word count, mean word length, symbol-to-word
+    ratio, alphabetic-word fraction, and distinct-stopword presence, plus
+    the conjunctive keep flag. This is the cheap first gate of every
+    production corpus — it runs BEFORE any model-based scoring because it
+    is a single narrow projection.
+
+    Scale shape: one scan, zero shuffles — every signal is a per-row array
+    expression, so the gate streams at parquet-read speed and fuses into
+    whole-stage codegen. Ratios are single exact integer divisions →
+    bit-identical cross-engine."""
+    return gopher_signals(t(spark, sf_dir, "documents"), "doc_id")
 
 
 # --- CCNet perplexity buckets ----------------------------------------------

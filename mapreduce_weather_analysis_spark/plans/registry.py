@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_hard_negatives",
     "q_ann_recall_eval",
     "q_ann_index_add",
+    "q_stream_quality_gate",
     # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
     #    row predates three fixture regenerations: 8 --
     "q_agg_rollup",
@@ -130,9 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_having_cte",
     "q_intersect",
     "q_join_anti",
-    "q_join_full_outer",
     # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
     #    r3, then round-4 re-confirmed families last) --
+    "q_join_full_outer",
     "q_join_semi",
     "q_local_supplier_volume",
     "q_map_funcs",

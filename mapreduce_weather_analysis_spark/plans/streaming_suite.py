@@ -433,3 +433,40 @@ def q_stream_minhash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
     )
     return run_available_now(ledger, spark, mode="complete")
+
+
+from .curation_suite import gopher_sig_sql  # noqa: E402  (shared gate oracle)
+
+
+@register(
+    "q_stream_quality_gate",
+    oracle=(
+        gopher_sig_sql("source")
+        + """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM g_keep
+    GROUP BY 1
+    """
+    ),
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gate applied AT INGEST, as a stream: the rule
+    signals are stateless per-row projections, so the exact batch gate
+    (plans/curation_suite.gopher_signals) lifts onto the document feed
+    unchanged — the deployment where filtering happens before anything
+    lands in the lake, not as a later batch pass. The stream drains
+    append-mode (no state at all); the per-source keep/drop tally is
+    computed on the drained gate output and the oracle recomputes both
+    gate and tally from the batch table — provable batch/stream
+    equivalence for a stateless operator."""
+    from .curation_suite import gopher_signals
+
+    docs = read_documents_stream(spark, sf_dir)
+    gated = gopher_signals(docs, "source").select("source", "keep")
+    drained = run_available_now(gated, spark, mode="append")
+    return drained.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+    )
