@@ -161,8 +161,8 @@ BASELINE_SEC = {
     "q_winnowing": 1.0,
     "q_hard_negatives": 1.1,
     # recall certification runs BOTH arms (brute-force ground truth on the
-    # query sample + the IVF path incl. quantizer training) in one query
-    "q_ann_recall_eval": 4.7,
+    # query sample + the persisted serving path) in one query
+    "q_ann_recall_eval": 2.1,
     "q_ann_index_add": 0.4,
 }
 

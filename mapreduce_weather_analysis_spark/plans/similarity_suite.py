@@ -748,12 +748,18 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth — recall certification runs on a SAMPLE of queries by
     construction (the query filter IS the sample; never the full corpus),
     which is exactly how FAISS benchmarks and production index-health
-    checks do it. The IVF arm is the probe-limited scale path; the final
-    join/agg is |Q|·k rows."""
+    checks do it. The approximate arm is the PERSISTED serving path
+    (what production actually answers with — and q_ann_index_stats
+    certifies the persisted artifacts equal the deterministic rebuild, so
+    the oracle's recomputed chain is exact); the final join/agg is
+    |Q|·k rows."""
+    from ..operators.ann_store import ivf_search, ivfpq_write
+
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.expr(_QUERY_FILTER))
     bf = brute_force_topk(q, e).select("query_id", "neighbor_id")
-    ivf = ivf_topk(e, _QUERY_FILTER).select(
+    path = ivfpq_write(spark, sf_dir)
+    ivf = ivf_search(spark, sf_dir, path, _QUERY_FILTER).select(
         "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
     )
     hits = bf.join(
