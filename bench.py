@@ -87,6 +87,7 @@ HEADLINE = [
     "q_hard_negatives",
     "q_ann_recall_eval",
     "q_ann_index_add",
+    "q_table_profile",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -164,6 +165,8 @@ BASELINE_SEC = {
     # query sample + the persisted serving path) in one query
     "q_ann_recall_eval": 2.1,
     "q_ann_index_add": 0.4,
+    # 11 narrow per-column stat jobs (the Expand-free ANALYZE shape)
+    "q_table_profile": 2.6,
 }
 
 
