@@ -89,6 +89,7 @@ HEADLINE = [
     "q_ann_index_add",
     "q_table_profile",
     "q_winnowing_pairs",
+    "q_doc_embed_hashed",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -170,6 +171,8 @@ BASELINE_SEC = {
     "q_table_profile": 2.6,
     # posting-list pair join with df cap (never all-pairs)
     "q_winnowing_pairs": 2.4,
+    # hashing-trick featurizer: explode + two narrow hash-aggs
+    "q_doc_embed_hashed": 2.6,
 }
 
 

@@ -518,3 +518,104 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_winnowing_pairs.__doc__ = q_winnowing_pairs.__doc__.format(
     CAP=_WPAIR_DF_CAP, MIN=_WPAIR_MIN_SHARED
 )
+
+
+# --- Hashing-trick document featurizer --------------------------------------
+
+_FEAT_DIM = 64
+
+
+def _doc_embed_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
+             COUNT(*) AS n
+      FROM toks GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT doc_id, d
+      FROM (SELECT DISTINCT doc_id FROM counts), range(0, {_FEAT_DIM}) t(d)
+    ),
+    dense AS (
+      SELECT g.doc_id, g.d, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.b = g.d
+    ),
+    vec AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             list(n ORDER BY d) AS v
+      FROM dense GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           array_to_string(
+             list_transform(v, x -> CAST({dround_sql(
+                 'x / sqrt(list_sum(list_transform(v, y -> y * y * 1.0)))', 6
+             )} AS VARCHAR)), ',') AS vec
+    FROM vec
+    """
+
+
+@register("q_doc_embed_hashed", oracle=_doc_embed_oracle())
+def q_doc_embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document featurizer (Weinberger et al., "Feature
+    Hashing for Large Scale Multitask Learning", arXiv:0902.2206): every
+    token hashes into one of {D} buckets, per-doc bucket counts form a
+    dense vector, L2-normalized — text → embedding with NO model
+    download, the bridge that lets every ANN/SemDeDup operator in this
+    engine run over raw documents (model-embedded corpora slot into the
+    identical pipeline shape). Vector serialized (array_join) for the
+    driver's canonicalizer.
+
+    Scale shape: token explode → (doc, bucket) hash-agg (map-side
+    combined, ≤{D} rows per doc) → per-doc densify against a broadcast
+    {D}-row dimension spine → one array projection. The corpus never
+    shuffles wider than (doc_id, bucket). Determinism: counts are exact
+    integers, the L2 norm is one sqrt of an exact integer sum, each
+    element one IEEE division then dround(6)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    counts = d.groupBy(
+        "doc_id", (portable_hash32("term") % _FEAT_DIM).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    vec = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("n")))
+        ).alias("m"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FEAT_DIM - 1)),
+            lambda i: F.coalesce(
+                F.element_at("m", i.cast("bigint")), F.lit(0)
+            ),
+        ).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x * F.lit(1.0)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # hoist the norm into its own projection — inlined, the aggregate
+    # re-evaluates once PER ELEMENT of the outer transform (64x work)
+    return vec.withColumn("nrm", norm).select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform(
+                F.col("v"),
+                lambda x: dround(x / F.col("nrm"), 6).cast("string"),
+            ),
+            ",",
+        ).alias("vec"),
+    )
+
+
+q_doc_embed_hashed.__doc__ = q_doc_embed_hashed.__doc__.format(D=_FEAT_DIM)

@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_quality_gate",
     "q_table_profile",
     "q_winnowing_pairs",
+    "q_doc_embed_hashed",
     # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
     #    row predates three fixture regenerations: 8 --
     "q_agg_rollup",
@@ -130,9 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_array_funcs",
     "q_except",
     "q_grouping_sets",
-    "q_having_cte",
     # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
     #    r3, then round-4 re-confirmed families last) --
+    "q_having_cte",
     "q_intersect",
     "q_join_anti",
     "q_join_full_outer",
