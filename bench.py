@@ -90,6 +90,9 @@ HEADLINE = [
     "q_table_profile",
     "q_winnowing_pairs",
     "q_doc_embed_hashed",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_product_profit",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -173,6 +176,10 @@ BASELINE_SEC = {
     "q_winnowing_pairs": 2.4,
     # hashing-trick featurizer: explode + two narrow hash-aggs
     "q_doc_embed_hashed": 2.6,
+    # Q6/Q8/Q9 shapes: scan-bound agg; share + profit star joins
+    "q_forecast_revenue": 0.4,
+    "q_market_share": 1.5,
+    "q_product_profit": 1.0,
 }
 
 

@@ -113,6 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_table_profile",
     "q_winnowing_pairs",
     "q_doc_embed_hashed",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_product_profit",
     # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
     #    row predates three fixture regenerations: 8 --
     "q_agg_rollup",
@@ -129,10 +132,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_cube",
     "q_agg_distinct",
     "q_array_funcs",
-    "q_except",
-    "q_grouping_sets",
     # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
     #    r3, then round-4 re-confirmed families last) --
+    "q_except",
+    "q_grouping_sets",
     "q_having_cte",
     "q_intersect",
     "q_join_anti",

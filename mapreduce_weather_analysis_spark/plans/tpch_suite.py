@@ -10,10 +10,13 @@ lineitem⋈orders (shuffle on orderkey; bucketable), every dim is broadcast,
 and all double aggregates run through the deterministic decimal-accumulate
 helpers (`functions/compat.py`) so the DuckDB oracle hash-matches bit-for-bit.
 
-Fixture-schema adaptations (TESTDATA.md): no l_shipmode/l_shipinstruct/
-l_commitdate columns, so Q12/Q21 shapes are out of reach; Q19's shipmode
-conjuncts are replaced by size/quantity bands, keeping the disjunctive
-pushdown shape that query exists to exercise.
+Fixture-schema adaptations (TESTDATA.md): no partsupp table and no
+l_shipmode/l_shipinstruct/l_commitdate/l_receiptdate/c_phone columns.
+Q19's shipmode conjuncts are replaced by size/quantity bands; commit/
+receipt lateness is proxied as shipdate > orderdate + 90 days (Q4/Q21);
+Q9's supply cost is proxied from p_retailprice; Q22's phone country code
+becomes the customer's nation; Q12 (shipmode split) stays out of reach.
+Every adaptation keeps the query's REASON to exist: the plan shape.
 """
 
 from __future__ import annotations
@@ -640,4 +643,181 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", alias="totacctbal"),
         )
         .orderBy("nation")
+    )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle=f"""
+    SELECT {psum_sql('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue change from dropping small-quantity
+    mid-discount lineitems for one year — the canonical pure
+    filter-and-aggregate probe.
+
+    Plan: every predicate pushes to the parquet scan (`PushedFilters`
+    carries the date range, discount band, and quantity bound), the scan
+    reads exactly three columns, and the single global agg partial-
+    aggregates map-side — at 100 TB this query IS the scan, which is the
+    point of its shape. The discount band compares the same stored
+    doubles in both engines (no arithmetic before the comparison)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        psum(F.col("l_extendedprice") * F.col("l_discount"), alias="revenue")
+    )
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT strftime(o.o_orderdate, '%Y') AS yr,
+             ns.n_name AS supp_nation,
+             {psum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      GROUP BY 1, 2
+    )
+    SELECT yr,
+           {dround_sql(
+               "SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END)"
+               " / SUM(volume)", 6)} AS mkt_share
+    FROM rev
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a part type's revenue
+    within one customer region, by year.
+
+    Plan: five broadcast dims around the single lineitem⋈orders fact-fact
+    shuffle; the region/type filters push into the customer-side and part
+    broadcasts BEFORE they ship. The share divides two exact decimal sums
+    grouped on (year, supplier nation) — a ≤|years·nations|-row relation —
+    so the second agg is driver-trivial and the ratio deterministic
+    (psum both sides, dround after the one division)."""
+    from ..functions.compat import dround
+
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = t(spark, sf_dir, "nation")
+    ns = F.broadcast(
+        n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    )
+    r = F.broadcast(
+        t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    nc = F.broadcast(
+        n.join(r, n.n_regionkey == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("nc_key")
+        )
+    )
+    c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(p, li.l_partkey == F.col("p_partkey"))
+        .join(s, li.l_suppkey == F.col("s_suppkey"))
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, c.c_nationkey == F.col("nc_key"))
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy").alias("yr"),
+            "supp_nation",
+        )
+        .agg(psum(vol, alias="volume"))
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0)
+    ) / F.sum("volume")
+    return (
+        rev.groupBy("yr")
+        .agg(dround(share, 6).alias("mkt_share"))
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q_product_profit",
+    oracle=f"""
+    SELECT ns.n_name AS nation,
+           strftime(o.o_orderdate, '%Y') AS yr,
+           {psum_sql(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.6 * p.p_retailprice * l.l_quantity")} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    year. The fixture has no partsupp table, so supply cost is proxied as
+    60% of the part's retail price (TESTDATA.md adaptation) — the shape
+    (name-pattern part filter, four dims around the fact, signed profit
+    aggregate) is what the query exists to exercise.
+
+    Plan: the LIKE filter prunes part before its broadcast; supplier/
+    nation broadcast; lineitem⋈orders is the one fact-fact shuffle. The
+    profit expression is one product-difference per row through psum's
+    exact accumulation, so the signed sums hash cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    ns = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+        )
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == F.col("p_partkey"))
+        .join(s, li.l_suppkey == F.col("s_suppkey"))
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "nation",
+            F.date_format("o_orderdate", "yyyy").alias("yr"),
+        )
+        .agg(psum(profit, alias="profit"))
+        .orderBy(F.asc("nation"), F.desc("yr"))
     )
