@@ -258,3 +258,19 @@ def test_cust_order_distribution_preaggregates_orders(spark):
     plan = _plan(REGISTRY["q_cust_order_distribution"].fn(spark, SMOKE_SF))
     assert "partial_count" in plan
     assert "LeftOuter" in plan
+
+
+def test_forecast_revenue_pushes_all_filters(spark):
+    """Q6's reason to exist: every predicate reaches the parquet scan and
+    the scan reads only the three referenced columns."""
+    plan = _plan(REGISTRY["q_forecast_revenue"].fn(spark, SMOKE_SF))
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+    assert _n_ops(plan, "Exchange") <= 1  # single global agg
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """Q8 must broadcast all five dimension relations — the only shuffle
+    is the lineitem-orders fact join plus the grouped aggs."""
+    plan = _plan(REGISTRY["q_market_share"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 5
