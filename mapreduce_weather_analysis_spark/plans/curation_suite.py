@@ -265,10 +265,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WIN_K = 3  # tokens per gram
 _WIN_W = 4  # grams per window
-# Combined key h*2^21 - pos: h < 2^31 (portable_hash32 % HASH_PRIME) and
-# pos < 2^21, so the key fits in 52 bits — min(key) selects the minimal
-# hash and, among equal hashes, the RIGHTMOST position (the winnowing
-# tie rule, Schleimer et al. §2.2).
+# Combined key (h+1)*2^21 - pos: h < 2^31 (portable_hash32 % HASH_PRIME)
+# and pos < 2^21, so the key fits in 53 bits and is ALWAYS POSITIVE (the
+# +1 keeps h=0 from producing a negative key, where floor-division
+# semantics diverge between engines) — min(key) selects the minimal hash
+# and, among equal hashes, the RIGHTMOST position (the winnowing tie
+# rule, Schleimer et al. §2.2). The cross-document fingerprint is the
+# HASH alone (key // 2^21): two documents sharing a gram at different
+# offsets must still collide — keying pairs on the packed value was a
+# real bug caught by the guarantee property test.
 _WIN_SHIFT = 1 << 21
 
 
@@ -288,7 +293,7 @@ def _winnow_sel_sql() -> str:
     ),
     w AS (
       SELECT doc_id, pos,
-             MIN(h * {_WIN_SHIFT} - pos) OVER (
+             MIN((h + 1) * {_WIN_SHIFT} - pos) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING
              ) AS sel,
@@ -296,7 +301,7 @@ def _winnow_sel_sql() -> str:
       FROM g
     ),
     f AS (
-      SELECT doc_id, n_grams, sel FROM w
+      SELECT doc_id, n_grams, sel, sel // {_WIN_SHIFT} AS fp FROM w
       WHERE pos <= n_grams - {_WIN_W} + 1
     )
     """
@@ -304,7 +309,11 @@ def _winnow_sel_sql() -> str:
 
 def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of :func:`_winnow_sel_sql`'s ``f`` relation: one row per
-    full window — (doc_id, n_grams, sel)."""
+    full window — (doc_id, n_grams, sel, fp). ``sel`` is the packed
+    (hash, rightmost-pos) selection key (per-doc density accounting);
+    ``fp`` is the hash alone — the key cross-document matching MUST use
+    (division by 2^21 is an exact power-of-two scaling, so the floor is
+    engine-identical on the always-positive key)."""
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
@@ -328,13 +337,16 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = g.select(
         "doc_id",
         "pos",
-        F.min(F.col("h") * _WIN_SHIFT - F.col("pos")).over(
+        F.min((F.col("h") + 1) * _WIN_SHIFT - F.col("pos")).over(
             win.rowsBetween(Window.currentRow, _WIN_W - 1)
         ).alias("sel"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
     )
     return w.where(F.col("pos") <= F.col("n_grams") - _WIN_W + 1).select(
-        "doc_id", "n_grams", "sel"
+        "doc_id",
+        "n_grams",
+        "sel",
+        F.floor(F.col("sel") / _WIN_SHIFT).cast("bigint").alias("fp"),
     )
 
 
@@ -470,16 +482,16 @@ _WPAIR_MIN_SHARED = 2
 
 def _winnow_pairs_oracle() -> str:
     return _winnow_sel_sql() + f""",
-    fp AS (SELECT DISTINCT doc_id, sel FROM f),
-    dfc AS (SELECT sel, COUNT(*) AS df FROM fp GROUP BY 1),
+    fprel AS (SELECT DISTINCT doc_id, fp FROM f),
+    dfc AS (SELECT fp, COUNT(*) AS df FROM fprel GROUP BY 1),
     keepfp AS (
-      SELECT fp.doc_id, fp.sel FROM fp JOIN dfc USING (sel)
+      SELECT fprel.doc_id, fprel.fp FROM fprel JOIN dfc USING (fp)
       WHERE dfc.df <= {_WPAIR_DF_CAP}
     )
     SELECT doc_a, doc_b, n_shared FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       FROM keepfp a JOIN keepfp b
-        ON a.sel = b.sel AND a.doc_id < b.doc_id
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ) WHERE n_shared >= {_WPAIR_MIN_SHARED}
     """
@@ -493,19 +505,24 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate cap every plagiarism/near-dup index applies — a common
     fingerprint's posting list is quadratic pair fuel and zero signal),
     and emit document pairs sharing >= {MIN} surviving fingerprints.
-    On the fixture this finds exactly the 25 planted near-dup pairs the
-    MinHash+LSH path finds — two independent algorithms cross-validating.
+    Fingerprints match on the HASH alone, so shared runs collide at ANY
+    offset (keying on the packed hash+position value was a real bug the
+    guarantee property test caught). On the fixture all 25 planted
+    near-dup pairs the MinHash+LSH path finds surface here too (24 of 25
+    with >=5 shared prints), over a background of weak 2-print
+    coincidences — the classic high-recall candidate stage whose output
+    feeds exact verification, exactly how MOSS deploys it.
 
     Scale shape: the pair join is WITHIN posting lists only (the LSH
     bucket-join argument verbatim) and the df cap bounds every list at
     {CAP}, so pair generation is O(Σ min(df, {CAP})²) — never all-pairs.
     Fingerprint df + the cap filter are one hash-agg + broadcast-size
     re-join; everything upstream is q_winnowing's bounded-window pass."""
-    fp = _winnow_fingerprints(spark, sf_dir).select("doc_id", "sel").distinct()
-    dfc = fp.groupBy("sel").agg(F.count(F.lit(1)).alias("df"))
-    keep = fp.join(dfc.where(F.col("df") <= _WPAIR_DF_CAP), "sel")
-    a = keep.select(F.col("sel").alias("s"), F.col("doc_id").alias("doc_a"))
-    b = keep.select(F.col("sel").alias("s"), F.col("doc_id").alias("doc_b"))
+    fp = _winnow_fingerprints(spark, sf_dir).select("doc_id", "fp").distinct()
+    dfc = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    keep = fp.join(dfc.where(F.col("df") <= _WPAIR_DF_CAP), "fp")
+    a = keep.select(F.col("fp").alias("s"), F.col("doc_id").alias("doc_a"))
+    b = keep.select(F.col("fp").alias("s"), F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, "s")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -755,3 +755,55 @@ def test_bpe_batched_training_yield_and_disjointness(spark):
         for i, s in enumerate(pair_toks):
             for other in pair_toks[:i]:
                 assert not (s & other), f"token overlap in round {rnd}"
+
+
+def test_winnowing_shared_substring_guarantee(spark, tmp_path):
+    """The winnowing GUARANTEE (Schleimer et al. §3, correctness property):
+    any substring of length >= W + K - 1 tokens shared verbatim by two
+    documents forces at least one shared fingerprint. Build a corpus where
+    doc pairs share runs of exactly the threshold length embedded in
+    otherwise-disjoint text, plus a control pair sharing a BELOW-threshold
+    run, and check fingerprint intersections."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _WIN_K,
+        _WIN_W,
+        _winnow_fingerprints,
+    )
+
+    guarantee = _WIN_W + _WIN_K - 1  # tokens that force a shared print
+    shared = " ".join(f"shared{i}" for i in range(guarantee))
+    below = " ".join(f"common{i}" for i in range(guarantee - 1))
+    rows = [
+        # pair (0, 1): share exactly `guarantee` tokens, different contexts
+        {"doc_id": 0, "text": f"alpha beta gamma {shared} delta epsilon"},
+        {"doc_id": 1, "text": f"uno dos tres cuatro {shared} cinco seis"},
+        # pair (2, 3): share guarantee-1 tokens — no guarantee (may or may
+        # not collide; assert nothing about them, just that the query runs)
+        {"doc_id": 2, "text": f"aaa bbb ccc {below} ddd eee fff"},
+        {"doc_id": 3, "text": f"ggg hhh iii {below} jjj kkk lll"},
+        # 4: fully disjoint from everyone
+        {"doc_id": 4, "text": "zzz yyy xxx www vvv uuu ttt sss rrr qqq"},
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "s0", "n_chars": len(r["text"])})
+    d = tmp_path / "winnow_sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+
+    fp = (
+        _winnow_fingerprints(spark, str(d))
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    by_doc: dict[int, set] = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # the guarantee pair MUST share a fingerprint
+    assert by_doc[0] & by_doc[1], "guarantee-length shared run: no shared print"
+    # the disjoint doc shares nothing with anyone
+    for other in (0, 1, 2, 3):
+        assert not (by_doc[4] & by_doc[other])
