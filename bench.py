@@ -93,6 +93,8 @@ HEADLINE = [
     "q_forecast_revenue",
     "q_market_share",
     "q_product_profit",
+    "q_bm25_topk",
+    "q_hybrid_search_rrf",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -180,6 +182,9 @@ BASELINE_SEC = {
     "q_forecast_revenue": 0.4,
     "q_market_share": 1.5,
     "q_product_profit": 1.0,
+    # lexical + hybrid retrieval: term-filtered explode, bounded lists
+    "q_bm25_topk": 0.9,
+    "q_hybrid_search_rrf": 1.2,
 }
 
 

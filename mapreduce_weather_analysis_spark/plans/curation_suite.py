@@ -636,3 +636,354 @@ def q_doc_embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_doc_embed_hashed.__doc__ = q_doc_embed_hashed.__doc__.format(D=_FEAT_DIM)
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("table", "stream", "join", "fast")
+_BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    terms = "[" + ", ".join(f"'{w}'" for w in _BM25_QUERY) + "]"
+    tf_term = (
+        f"tf * ({_BM25_K1} + 1.0) / "
+        f"(tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+    idf = "ln((nn - df + 0.5) / (df + 0.5) + 1.0)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    dls AS (
+      SELECT doc_id, len(toks) AS dl FROM toks WHERE len(toks) > 0
+    ),
+    stats AS (
+      SELECT COUNT(*) * 1.0 AS nn,
+             CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(dl)
+               AS avgdl
+      FROM dls
+    ),
+    hits AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      WHERE list_contains({terms}, term)
+      GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+    scored AS (
+      SELECT h.doc_id,
+             {dround_sql(f"{idf} * {tf_term}", 8)} AS s
+      FROM hits h
+      JOIN dfs USING (term)
+      JOIN dls USING (doc_id), stats
+    )
+    SELECT doc_id, n_terms, score FROM (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             {dround_sql(psum_sql('s', 8), 6)} AS score,
+             ROW_NUMBER() OVER (
+               ORDER BY {dround_sql(psum_sql('s', 8), 6)} DESC, doc_id ASC
+             ) AS rk
+      FROM scored GROUP BY doc_id
+    ) WHERE rk <= {_BM25_TOPK}
+    """
+
+
+@register("q_bm25_topk", oracle=_bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
+    Relevance Framework: BM25 and Beyond", F&T IR 2009): top-{K} documents
+    for a fixed keyword query — the lexical-search half every retrieval
+    stack pairs with the ANN family's dense half (hybrid search = this
+    score fused with cosine ranks). k1={K1}, b={B}, idf = ln((N−df+0.5)/
+    (df+0.5)+1).
+
+    Scale shape: the term filter applies AT THE EXPLODE (only query-term
+    rows survive — the corpus-sized token stream shrinks to |hits|
+    immediately); df and the 1-row corpus stats are broadcast-size; the
+    only wide operation is the per-(doc,term) tf hash-agg, and the top-k
+    is TakeOrdered over per-doc scores, never a global sort of the
+    corpus. Determinism: tf/df/dl are exact integers, avgdl one decimal-
+    exact division, per-term scores dround(8), per-doc psum then
+    dround(6), rank tie-broken on doc_id."""
+    toks_col = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks_col.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    dls = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dls.agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("nn"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,2)")).cast("double")
+            / F.count("dl")
+        ).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(w) for w in _BM25_QUERY])
+    hits = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.array_contains(terms, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("nn") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", dround(idf * tf_norm, 8).alias("s"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        dround(psum(F.col("s"), 8), 6).alias("score"),
+    )
+    return (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+        .select("doc_id", "n_terms", "score")
+    )
+
+
+q_bm25_topk.__doc__ = q_bm25_topk.__doc__.format(
+    K=_BM25_TOPK, K1=_BM25_K1, B=_BM25_B
+)
+
+
+# --- Hybrid retrieval: BM25 ⊕ dense via reciprocal-rank fusion ---------------
+
+_HY_LIST = 50  # per-side candidate list depth
+_HY_RRF_K = 60  # the standard RRF constant (Cormack et al., SIGIR'09)
+_HY_TOPK = 10
+
+
+def _query_vector() -> dict[int, int]:
+    """Bucket-count vector of the fixed query string under the SAME
+    hashing scheme as q_doc_embed_hashed — computed at plan-build time
+    (the query is a literal)."""
+    import hashlib
+
+    qv: dict[int, int] = {}
+    for w in _BM25_QUERY:
+        b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % _FEAT_DIM
+        qv[b] = qv.get(b, 0) + 1
+    return qv
+
+
+def _hybrid_oracle() -> str:
+    qv = _query_vector()
+    q_sq = sum(w * w for w in qv.values())
+    w_case = (
+        "CASE b "
+        + " ".join(f"WHEN {b} THEN {w}" for b, w in qv.items())
+        + " ELSE 0 END"
+    )
+    terms = "[" + ", ".join(f"'{w}'" for w in _BM25_QUERY) + "]"
+    tf_term = (
+        f"tf * ({_BM25_K1} + 1.0) / "
+        f"(tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+    idf = "ln((nn - df + 0.5) / (df + 0.5) + 1.0)"
+    rrf = dround_sql(
+        f"COALESCE(1.0 / ({_HY_RRF_K} + rl), 0.0)"
+        f" + COALESCE(1.0 / ({_HY_RRF_K} + rd), 0.0)",
+        8,
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks) AS dl FROM toks WHERE len(toks) > 0),
+    stats AS (
+      SELECT COUNT(*) * 1.0 AS nn,
+             CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(dl)
+               AS avgdl
+      FROM dls
+    ),
+    hits AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      WHERE list_contains({terms}, term)
+      GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+    bmscored AS (
+      SELECT h.doc_id, {dround_sql(f"{idf} * {tf_term}", 8)} AS s
+      FROM hits h JOIN dfs USING (term) JOIN dls USING (doc_id), stats
+    ),
+    bmdoc AS (
+      SELECT doc_id, {dround_sql(psum_sql('s', 8), 6)} AS score
+      FROM bmscored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rk AS INTEGER) AS rl FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id ASC) AS rk FROM bmdoc
+      ) WHERE rk <= {_HY_LIST}
+    ),
+    hcounts AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
+             COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      GROUP BY 1, 2
+    ),
+    cosrel AS (
+      SELECT doc_id,
+             {dround_sql(
+                 f"SUM(n * ({w_case})) / "
+                 f"(sqrt(SUM(n * n) * 1.0) * sqrt({q_sq}.0))", 8)} AS cos
+      FROM hcounts
+      GROUP BY doc_id
+      HAVING SUM(n * ({w_case})) > 0
+    ),
+    dense AS (
+      SELECT doc_id, CAST(rk AS INTEGER) AS rd FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY cos DESC, doc_id ASC) AS rk FROM cosrel
+      ) WHERE rk <= {_HY_LIST}
+    )
+    SELECT doc_id, rl AS lex_rank, rd AS dense_rank, rrf FROM (
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             rl, rd, {rrf} AS rrf,
+             ROW_NUMBER() OVER (
+               ORDER BY {rrf} DESC, COALESCE(lex.doc_id, dense.doc_id) ASC
+             ) AS frk
+      FROM lex FULL OUTER JOIN dense USING (doc_id)
+    ) WHERE frk <= {_HY_TOPK}
+    """
+
+
+@register("q_hybrid_search_rrf", oracle=_hybrid_oracle())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR'09 — RRF(d) = Σ 1/(k + rank_list(d)), k={RK}) of the
+    BM25 lexical list and a dense cosine list over the hashing-trick
+    document vectors, with the query vector featurized from the SAME
+    query string at plan-build time. This is the shape every modern
+    search stack runs: sparse and dense retrievers each produce a
+    bounded top-{N} list, fusion touches only those lists.
+
+    Scale shape: both candidate lists are bounded at {N} rows before
+    fusion — the full outer join and the final rank run on ≤2·{N} rows
+    regardless of corpus size. The lexical arm is q_bm25_topk's plan; the
+    dense arm here is exact cosine via a sparse dot against the ≤4-bucket
+    query literal (one hash-agg, no densify) — at 100 TB the dense list
+    comes from the persisted IVF serving path instead, same bounded-list
+    contract. Determinism: integer dots/ranks, dround-rounded cosines and
+    RRF sums, doc_id tie-breaks at every rank."""
+    toks_col = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks_col.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    dls = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dls.agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("nn"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,2)")).cast("double")
+            / F.count("dl")
+        ).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(w) for w in _BM25_QUERY])
+    tok_rows = d.select("doc_id", F.explode("toks").alias("term"))
+    hits = (
+        tok_rows.where(F.array_contains(terms, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("nn") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (
+        F.col("tf") * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bmdoc = (
+        hits.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", dround(idf * tf_norm, 8).alias("s"))
+        .groupBy("doc_id")
+        .agg(dround(psum(F.col("s"), 8), 6).alias("score"))
+    )
+    lex_top = bmdoc.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HY_LIST)
+    wlex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(wlex).cast("int").alias("rl")
+    )
+
+    qv = _query_vector()
+    q_sq = sum(w * w for w in qv.values())
+    w_expr = F.lit(0)
+    for b, w in qv.items():
+        w_expr = F.when(F.col("b") == b, F.lit(w)).otherwise(w_expr)
+    hcounts = tok_rows.groupBy(
+        "doc_id", (portable_hash32("term") % _FEAT_DIM).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cosrel = (
+        hcounts.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * w_expr).alias("dot"),
+            F.sum(F.col("n") * F.col("n")).alias("sq"),
+        )
+        .where(F.col("dot") > 0)
+        .select(
+            "doc_id",
+            dround(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("sq") * F.lit(1.0))
+                    * F.sqrt(F.lit(float(q_sq)))
+                ),
+                8,
+            ).alias("cos"),
+        )
+    )
+    dense_top = cosrel.orderBy(F.desc("cos"), F.asc("doc_id")).limit(_HY_LIST)
+    wd = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = dense_top.select(
+        "doc_id", F.row_number().over(wd).cast("int").alias("rd")
+    )
+
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = dround(
+        F.coalesce(1.0 / (_HY_RRF_K + F.col("rl")), F.lit(0.0))
+        + F.coalesce(1.0 / (_HY_RRF_K + F.col("rd")), F.lit(0.0)),
+        8,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rl").alias("lex_rank"),
+            F.col("rd").alias("dense_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_HY_TOPK)
+    )
+
+
+q_hybrid_search_rrf.__doc__ = q_hybrid_search_rrf.__doc__.format(
+    RK=_HY_RRF_K, N=_HY_LIST
+)

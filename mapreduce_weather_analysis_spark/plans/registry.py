@@ -116,6 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_forecast_revenue",
     "q_market_share",
     "q_product_profit",
+    "q_bm25_topk",
+    "q_hybrid_search_rrf",
     # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
     #    row predates three fixture regenerations: 8 --
     "q_agg_rollup",
@@ -126,14 +128,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_latest_per_key",
     "q_percentiles",
     "q_json_extract",
-    # -- remaining r1-only greens, stalest first (the 10 displaced past
+    # -- remaining r1-only greens, stalest first (the ones displaced past
     #    slot 50 by the new queries keep their cross-round green rows and
-    #    stay pytest-oracle-green locally): 12 in-window --
+    #    stay pytest-oracle-green locally) --
     "q_agg_cube",
-    "q_agg_distinct",
-    "q_array_funcs",
     # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
     #    r3, then round-4 re-confirmed families last) --
+    "q_agg_distinct",
+    "q_array_funcs",
     "q_except",
     "q_grouping_sets",
     "q_having_cte",
