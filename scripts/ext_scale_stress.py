@@ -45,6 +45,10 @@ QUERIES = [
     "q_gopher_quality",
     "q_ccnet_buckets",
     "q_winnowing",
+    "q_winnowing_pairs",
+    "q_doc_embed_hashed",
+    "q_bm25_topk",
+    "q_hybrid_search_rrf",
 ]
 
 
