@@ -95,6 +95,7 @@ HEADLINE = [
     "q_product_profit",
     "q_bm25_topk",
     "q_hybrid_search_rrf",
+    "q_cm_sketch_freq",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -185,6 +186,8 @@ BASELINE_SEC = {
     # lexical + hybrid retrieval: term-filtered explode, bounded lists
     "q_bm25_topk": 0.9,
     "q_hybrid_search_rrf": 1.2,
+    # D*W=768-cell mergeable counter grid + probe joins
+    "q_cm_sketch_freq": 1.5,
 }
 
 

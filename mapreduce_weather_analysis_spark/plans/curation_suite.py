@@ -987,3 +987,145 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_hybrid_search_rrf.__doc__ = q_hybrid_search_rrf.__doc__.format(
     RK=_HY_RRF_K, N=_HY_LIST
 )
+
+
+# --- Count-min sketch: frequency estimation under sublinear memory ----------
+
+_CM_W = 256  # buckets per hash row
+_CM_D = 3    # hash rows
+_CM_PROBES = ("table", "stream", "join", "fast", "slow", "zzz_absent_term")
+_CM_SLACK = 4  # bound = SLACK * ceil(N / W); deterministic per fixture
+
+
+def _cm_oracle() -> str:
+    probes = ", ".join(f"('{w}')" for w in _CM_PROBES)
+    bucket = lambda row, term: (  # noqa: E731
+        f"{portable_hash32_sql(f'concat({row!r}, {term})')} % {_CM_W}"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM toks),
+    cells AS (
+      SELECT r, b, COUNT(*) AS c FROM (
+        SELECT term, unnest(range(0, {_CM_D})) AS r FROM toks
+      ) t, LATERAL (SELECT {portable_hash32_sql(
+          "concat(CAST(r AS VARCHAR), term)")} % {_CM_W} AS b)
+      GROUP BY 1, 2
+    ),
+    probes(term) AS (VALUES {probes}),
+    grid AS (
+      SELECT p.term, r.r,
+             {portable_hash32_sql(
+                 "concat(CAST(r.r AS VARCHAR), p.term)")} % {_CM_W} AS b
+      FROM probes p, (SELECT unnest(range(0, {_CM_D})) AS r) r
+    ),
+    est AS (
+      SELECT g.term, MIN(COALESCE(cells.c, 0)) AS cm_estimate
+      FROM grid g LEFT JOIN cells ON cells.r = g.r AND cells.b = g.b
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT p.term, COUNT(toks.term) AS exact_count
+      FROM probes p LEFT JOIN toks ON toks.term = p.term
+      GROUP BY 1
+    )
+    SELECT e.term,
+           CAST(x.exact_count AS BIGINT) AS exact_count,
+           CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+           (e.cm_estimate >= x.exact_count AND
+            e.cm_estimate - x.exact_count
+              <= {_CM_SLACK} * CAST(ceil(nn.n * 1.0 / {_CM_W}) AS BIGINT))
+             AS within_bound
+    FROM est e JOIN exact x USING (term), nn
+    """
+
+
+@register("q_cm_sketch_freq", oracle=_cm_oracle())
+def q_cm_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan,
+    J. Algorithms 2005): a {D}×{W} counter grid answers "how often does
+    term t occur?" in O(D·W) memory regardless of vocabulary size — the
+    sketch behind streaming heavy-hitter and frequency services. Output is
+    SELF-CHECKING (the sketch-family posture): per probe term the exact
+    count, the CM estimate, and the one-sided-error certificate
+    (estimate >= exact always; excess <= {S}·⌈N/W⌉ for this fixture —
+    deterministic, since the hash rows are fixed). The probe set includes
+    an absent term (estimate collapses to collision mass only).
+
+    Scale shape: one token pass fanned out D× into a (row, bucket)
+    hash-agg of at most D·W = {DW} cells — the sketch is broadcast-size
+    by construction and MERGEABLE (cell-wise sum), so per-partition
+    sketches combine map-side exactly like the HLL/KLL family. Probes
+    join the tiny cell relation; exact counts exist only to certify."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("term")
+    )
+    nn = toks.agg(F.count(F.lit(1)).alias("n"))
+    fan = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (
+                            portable_hash32(
+                                F.concat(F.lit(str(i)), F.col("term"))
+                            )
+                            % _CM_W
+                        ).alias("b"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("e")
+    )
+    cells = fan.groupBy(
+        F.col("e.r").alias("r"), F.col("e.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in _CM_PROBES])).alias("term")
+    )
+    rows = spark.range(_CM_D).select(F.col("id").cast("int").alias("r"))
+    grid = probes.crossJoin(rows).select(
+        "term",
+        "r",
+        (
+            portable_hash32(
+                F.concat(F.col("r").cast("string"), F.col("term"))
+            )
+            % _CM_W
+        ).alias("b"),
+    )
+    est = (
+        grid.join(F.broadcast(cells), ["r", "b"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate"))
+    )
+    exact = (
+        probes.join(toks, "term", "left")
+        .groupBy(probes.term)
+        .agg(F.count(toks.term).alias("exact_count"))
+    )
+    bound = _CM_SLACK * F.ceil(F.col("n") * F.lit(1.0) / _CM_W).cast("bigint")
+    return (
+        est.join(exact, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+            (
+                (F.col("cm_estimate") >= F.col("exact_count"))
+                & (
+                    F.col("cm_estimate") - F.col("exact_count") <= bound
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
+q_cm_sketch_freq.__doc__ = q_cm_sketch_freq.__doc__.format(
+    D=_CM_D, W=_CM_W, S=_CM_SLACK, DW=_CM_D * _CM_W
+)

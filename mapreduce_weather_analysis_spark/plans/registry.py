@@ -105,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_gopher_quality",
     "q_ccnet_buckets",
     "q_winnowing",
-    "q_sample_temperature",
     "q_hard_negatives",
     "q_ann_recall_eval",
     "q_ann_index_add",
@@ -118,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_product_profit",
     "q_bm25_topk",
     "q_hybrid_search_rrf",
+    "q_cm_sketch_freq",
     # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
     #    row predates three fixture regenerations: 8 --
     "q_agg_rollup",
@@ -131,9 +131,12 @@ _PRIORITY: tuple[str, ...] = (
     # -- remaining r1-only greens, stalest first (the ones displaced past
     #    slot 50 by the new queries keep their cross-round green rows and
     #    stay pytest-oracle-green locally) --
+    # -- window boundary (slot 50): tail ordered by staleness; the one
+    #    round-5 addition parked at slot 51 (q_sample_temperature — the
+    #    trivial-plan twin of the row-having q_mixing_weights) takes its
+    #    first driver row next round --
+    "q_sample_temperature",
     "q_agg_cube",
-    # -- window boundary (slot 50): tail ordered by staleness (r1, r2,
-    #    r3, then round-4 re-confirmed families last) --
     "q_agg_distinct",
     "q_array_funcs",
     "q_except",
