@@ -807,3 +807,25 @@ def test_winnowing_shared_substring_guarantee(spark, tmp_path):
     # the disjoint doc shares nothing with anyone
     for other in (0, 1, 2, 3):
         assert not (by_doc[4] & by_doc[other])
+
+
+def test_zvalue2_matches_python_reference(spark):
+    """The JVM Morton interleave must agree bit-for-bit with the Python
+    reference on a deterministic key grid (including the 16-bit edges)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.functions.zorder import (
+        zvalue2,
+        zvalue2_py,
+    )
+
+    vals = [0, 1, 2, 3, 15, 16, 255, 256, 1023, 4095, 65535]
+    rows = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "a int, b int").select(
+        "a", "b", zvalue2(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == zvalue2_py(r.a, r.b), (r.a, r.b)
+    # locality: interleave is monotone along each axis when the other is 0
+    zs = [zvalue2_py(v, 0) for v in vals]
+    assert zs == sorted(zs)
