@@ -131,11 +131,13 @@ _PRIORITY: tuple[str, ...] = (
     # -- remaining r1-only greens, stalest first (the ones displaced past
     #    slot 50 by the new queries keep their cross-round green rows and
     #    stay pytest-oracle-green locally) --
-    # -- window boundary (slot 50): tail ordered by staleness; the one
-    #    round-5 addition parked at slot 51 (q_sample_temperature — the
-    #    trivial-plan twin of the row-having q_mixing_weights) takes its
-    #    first driver row next round --
+    # -- window boundary (slot 50): tail ordered by staleness; the two
+    #    round-5 additions parked at slots 51-52 (q_sample_temperature —
+    #    the trivial-plan twin of the row-having q_mixing_weights — and
+    #    q_zorder_key, a pure-projection bit chain) take their first
+    #    driver rows next round --
     "q_sample_temperature",
+    "q_zorder_key",
     "q_agg_cube",
     "q_agg_distinct",
     "q_array_funcs",

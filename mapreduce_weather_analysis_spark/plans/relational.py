@@ -767,3 +767,62 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+def _spread16_sql(expr: str) -> str:
+    """DuckDB twin of functions/zorder._spread16 (nested mask-shift)."""
+    x = f"(CAST({expr} AS BIGINT) & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey AS orderkey,
+           l_linenumber AS linenumber,
+           l_partkey AS partkey,
+           days,
+           ({_spread16_sql('l_partkey')}
+             | ({_spread16_sql('days')} << 1)) AS z
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(date_diff('day', DATE '1990-01-01',
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+      FROM lineitem
+      WHERE l_partkey BETWEEN 500 AND 520
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    )
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering keys for a fact slice — the write-side
+    expression behind multi-dimensional data skipping (Delta OPTIMIZE
+    ZORDER's core): interleave the bits of two dimension keys so
+    range-partitioning on z makes every parquet row group a bounded box
+    in BOTH dimensions. SCALE.md's measured experiment: the z-ordered
+    layout reads 1% of row groups on a 2-D predicate box where each
+    single-dimension sort reads 100% in its blind dimension.
+
+    Plan: one narrow scan (filters pushed), pure shift/mask arithmetic —
+    fuses into whole-stage codegen, no UDF anywhere; the oracle mirrors
+    the bit chain with DuckDB's native bitwise operators."""
+    from ..functions.zorder import zvalue2
+
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").between(500, 520)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1990-01-01").cast("date")
+    ).cast("long")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_partkey").alias("partkey"),
+        days.alias("days"),
+        zvalue2(F.col("l_partkey"), days).alias("z"),
+    )
