@@ -846,3 +846,107 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") * F.lit(1.0) / F.sum("n").over(w_from)).alias("p_transition"),
     )
+
+
+_ANOM_WIN = 7  # trailing days in the baseline window
+_ANOM_Z = 2.0  # alert threshold
+
+
+def _anomaly_oracle() -> str:
+    from ..functions.compat import dround_sql
+
+    z = dround_sql(
+        "CASE WHEN sq * nw > s * s THEN "
+        "(n * nw - s) / sqrt((sq * nw - s * s) * 1.0) "
+        "ELSE NULL END",
+        6,
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS s,
+             SUM(n * n) OVER w AS sq,
+             COUNT(*) OVER w AS nw
+      FROM daily
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN {_ANOM_WIN} PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           {z} AS zscore,
+           COALESCE(abs({z}) > {_ANOM_Z}, FALSE) AS is_anomaly
+    FROM trail
+    WHERE nw = {_ANOM_WIN}
+    """
+
+
+@register("q_event_anomaly", oracle=_anomaly_oracle())
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on daily event volumes — the
+    monitoring query every event pipeline runs against itself: per
+    (event_type, day), the z-score of today's count against the previous
+    {W} days' mean/stddev, alerting at |z| > {Z} (flat-variance windows
+    emit NULL z — no division by a zero spread).
+
+    Scale shape: the daily rollup is a map-side-combined hash-agg (the
+    relation shrinks to |types|·|days| immediately); the trailing stats
+    are ONE window pass with a bounded {W}-row frame partitioned by
+    event_type over that tiny relation — the corpus never re-shuffles.
+    Determinism: counts are exact integers, so the z-score reduces to
+    (n·W − s)/√(sq·W − s²) — integral numerator and radicand (the W²
+    factors cancel), one sqrt + one division then dround(6)."""
+    from ..functions.compat import dround
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_ANOM_WIN, -1)
+    )
+    trail = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).where(F.col("nw") == _ANOM_WIN)
+    z = dround(
+        F.when(
+            F.col("sq") * F.col("nw") > F.col("s") * F.col("s"),
+            (F.col("n") * F.col("nw") - F.col("s"))
+            / F.sqrt(
+                (F.col("sq") * F.col("nw") - F.col("s") * F.col("s"))
+                * F.lit(1.0)
+            ),
+        ),
+        6,
+    )
+    return trail.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > _ANOM_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+q_event_anomaly.__doc__ = q_event_anomaly.__doc__.format(
+    W=_ANOM_WIN, Z=_ANOM_Z
+)

@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     #    driver rows next round --
     "q_sample_temperature",
     "q_zorder_key",
+    "q_event_anomaly",
     "q_agg_cube",
     "q_agg_distinct",
     "q_array_funcs",
