@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sample_temperature",
     "q_zorder_key",
     "q_event_anomaly",
+    "q_constraint_audit",
     "q_agg_cube",
     "q_agg_distinct",
     "q_array_funcs",

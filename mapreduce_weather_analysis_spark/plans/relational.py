@@ -826,3 +826,88 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.alias("days"),
         zvalue2(F.col("l_partkey"), days).alias("z"),
     )
+
+
+@register(
+    "q_constraint_audit",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'lineitem_null_shipdate',
+           (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+    UNION ALL
+    SELECT 'orders_null_orderdate',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+    """,
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential/domain constraint audit over the star schema — the
+    data-quality contract a warehouse checks after every load: FK
+    orphans (anti-join counts) and domain violations (range/null
+    predicates). One row per check with its violation count; a clean
+    load is all-zeros, and any nonzero row names exactly what broke.
+
+    Scale shape: each FK check is a LEFT ANTI join counting survivors —
+    keys-only build sides, bucketable on the FK at 100 TB; domain checks
+    are pushed-filter scans. Checks are independent single-pass jobs
+    unioned (the q_table_profile lesson: narrow independent scans beat
+    one wide fused pass), and each count is an exact integer."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def cnt(df) -> F.Column:
+        return df.agg(F.count(F.lit(1)).alias("n_violations"))
+
+    checks = [
+        (
+            "lineitem_orphan_orderkey",
+            cnt(
+                li.select("l_orderkey").join(
+                    o.select("o_orderkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                    "left_anti",
+                )
+            ),
+        ),
+        (
+            "orders_orphan_custkey",
+            cnt(
+                o.select("o_custkey").join(
+                    c.select("c_custkey"),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                    "left_anti",
+                )
+            ),
+        ),
+        ("lineitem_nonpositive_quantity", cnt(li.where(F.col("l_quantity") <= 0))),
+        (
+            "lineitem_discount_out_of_range",
+            cnt(li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+        ),
+        ("lineitem_null_shipdate", cnt(li.where(F.col("l_shipdate").isNull()))),
+        ("orders_null_orderdate", cnt(o.where(F.col("o_orderdate").isNull()))),
+    ]
+    out = None
+    for name, df in checks:
+        arm = df.select(
+            F.lit(name).alias("check_name"), F.col("n_violations")
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
