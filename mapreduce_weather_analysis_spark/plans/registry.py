@@ -60,14 +60,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Driver-facing emission order. The correctness driver verifies registry
 # entries front-to-back with a bounded budget (50 slots), so the dict
-# order below is load-bearing. Round-5 rotation (VERDICT_r4 asks #1/#2/#4):
-# the six ex-rows-only entries return with full oracles (self-checking
-# sketch outputs; SQL-twinned fake codec for multimodal decode), the three
-# new queries get first rows, and the rest of the window re-confirms the
-# ENTIRE r1-only cohort — every entry whose last driver row predates the
-# three fixture regenerations. r2/r3/r4-green families rotate past slot 50
-# by design, not regression (they remain pytest-oracle-green locally and
-# in this round's full driver-sim).
+# order below is load-bearing. Round-5 window (VERDICT_r4 asks #1/#2/#4):
+# the 9 reference queries, the six ex-rows-only entries returning with
+# full self-checking oracles, the 27 round-5 additions' first driver
+# rows, and the eight r1-only names the round-4 verdict asked to
+# re-confirm — exactly 50. The four late round-5 additions parked at
+# slots 51-54 (plus the r1-only relational cohort) take rows next round;
+# everything past slot 50 stays pytest-oracle-green locally and in this
+# round's full 166-query driver-sim.
 _PRIORITY: tuple[str, ...] = (
     # -- reference surface (O1-O13 per VERDICT coverage table): 9 --
     "q_max_month",
