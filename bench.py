@@ -96,6 +96,7 @@ HEADLINE = [
     "q_bm25_topk",
     "q_hybrid_search_rrf",
     "q_cm_sketch_freq",
+    "q_semantic_doc_search",
 ]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
@@ -188,6 +189,8 @@ BASELINE_SEC = {
     "q_hybrid_search_rrf": 1.2,
     # D*W=768-cell mergeable counter grid + probe joins
     "q_cm_sketch_freq": 1.5,
+    # featurize + (amortized) doc-vector index build + probed-cell serve
+    "q_semantic_doc_search": 2.0,
 }
 
 

@@ -202,32 +202,58 @@ def ivfpq_search(
     )
 
 
-def ivf_search(
+def docvec_index_path(sf_dir: str) -> str:
+    """Index path for a DOCUMENT-vector index (hashed-count featurizer
+    output) — fingerprinted on the documents file, not embeddings."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.md5(
+        f"docvec:{st.st_size}:{st.st_mtime_ns}:{_build_signature()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(INDEX_ROOT, f"{base}-doc-{fp}-{_LAYOUT_VERSION}")
+
+
+def docvec_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
+    """Build a persisted exact-cosine IVF index over an ARBITRARY vector
+    relation ``vecs`` (vec_id, embedding) — here the hashing-trick
+    document vectors, making the text corpus itself ANN-servable. Same
+    deterministic build (ivf_index) and layout (cluster-partitioned
+    ``vecs/`` + ``centroids/``) as the embeddings index; no PQ arm —
+    document serving here is exact-cosine within probed cells."""
+    path = docvec_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    assigned, centroids = ivf_index(vecs)
+    (
+        assigned.select("vec_id", "v", "cluster")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "vecs"))
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return path
+
+
+def search_vectors(
     spark: SparkSession,
-    sf_dir: str,
     index_path: str,
-    query_filter: str,
+    qv: DataFrame,
     k_neighbors: int = 5,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """Search-only EXACT-cosine IVF over the persisted full-precision
-    inverted lists (``vecs/``): probe selection against the centroid
-    relation, then cosine ranking within the probed cells — identical
-    math to operators/ivf.ivf_topk, index build amortized away. Dynamic
-    partition pruning keeps unprobed cells unread, and only nprobe/k of
-    the float corpus is scanned per query batch."""
+    """Exact-cosine serving over ANY persisted index given a query-vector
+    relation ``qv`` (query_id, qv) — the shared body of ivf_search and
+    the document-vector serving path."""
     from pyspark.sql import Window as W
 
     from ..functions.vectors import cosine
 
     centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
     vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.where(F.expr(query_filter)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-    )
     qc = qv.crossJoin(F.broadcast(centroids)).select(
         "query_id", "qv", _sq_l2("qv", "c").alias("dist"), "cluster"
     )
@@ -259,6 +285,31 @@ def ivf_search(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Search-only EXACT-cosine IVF over the persisted full-precision
+    inverted lists (``vecs/``): probe selection against the centroid
+    relation, then cosine ranking within the probed cells — identical
+    math to operators/ivf.ivf_topk, index build amortized away. Dynamic
+    partition pruning keeps unprobed cells unread, and only nprobe/k of
+    the float corpus is scanned per query batch. (Thin wrapper over
+    :func:`search_vectors` with the embeddings table as the query side.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return search_vectors(
+        spark, index_path, qv, k_neighbors=k_neighbors, nprobe=nprobe
     )
 
 

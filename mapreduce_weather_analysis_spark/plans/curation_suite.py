@@ -542,30 +542,65 @@ q_winnowing_pairs.__doc__ = q_winnowing_pairs.__doc__.format(
 _FEAT_DIM = 64
 
 
-def _doc_embed_oracle() -> str:
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
-    ),
-    counts AS (
-      SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
-             COUNT(*) AS n
-      FROM toks GROUP BY 1, 2
-    ),
-    grid AS (
-      SELECT doc_id, d
-      FROM (SELECT DISTINCT doc_id FROM counts), range(0, {_FEAT_DIM}) t(d)
-    ),
-    dense AS (
-      SELECT g.doc_id, g.d, COALESCE(c.n, 0) AS n
-      FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.b = g.d
-    ),
-    vec AS (
-      SELECT doc_id,
-             CAST(SUM(n) AS BIGINT) AS n_tokens,
-             list(n ORDER BY d) AS v
-      FROM dense GROUP BY 1
+def hashed_vec_ctes() -> list[str]:
+    """Featurizer CTE chain ending at ``vec (doc_id, n_tokens, v)`` —
+    shared by the featurizer oracle and the semantic-doc-search oracle
+    (which feeds ``v`` into the unrolled IVF chain)."""
+    return [
+        f"""hv_toks AS (
+          SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+        )""",
+        f"""hv_counts AS (
+          SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
+                 COUNT(*) AS n
+          FROM hv_toks GROUP BY 1, 2
+        )""",
+        f"""hv_grid AS (
+          SELECT doc_id, d
+          FROM (SELECT DISTINCT doc_id FROM hv_counts),
+               range(0, {_FEAT_DIM}) t(d)
+        )""",
+        """hv_dense AS (
+          SELECT g.doc_id, g.d, COALESCE(c.n, 0) AS n
+          FROM hv_grid g
+          LEFT JOIN hv_counts c ON c.doc_id = g.doc_id AND c.b = g.d
+        )""",
+        """vec AS (
+          SELECT doc_id,
+                 CAST(SUM(n) AS BIGINT) AS n_tokens,
+                 list(n ORDER BY d) AS v
+          FROM hv_dense GROUP BY 1
+        )""",
+    ]
+
+
+def hashed_count_vectors(term_rows: DataFrame) -> DataFrame:
+    """Spark twin of :func:`hashed_vec_ctes`'s ``vec`` relation:
+    (doc_id, term) rows → (doc_id, n_tokens, v) dense bucket-count
+    vectors. Shared by the featurizer and the semantic-doc-search index
+    build."""
+    counts = term_rows.groupBy(
+        "doc_id", (portable_hash32("term") % _FEAT_DIM).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("n")))
+        ).alias("m"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FEAT_DIM - 1)),
+            lambda i: F.coalesce(
+                F.element_at("m", i.cast("bigint")), F.lit(0)
+            ),
+        ).alias("v"),
     )
+
+
+def _doc_embed_oracle() -> str:
+    return "WITH " + ",\n".join(hashed_vec_ctes()) + f"""
     SELECT doc_id, n_tokens,
            array_to_string(
              list_transform(v, x -> CAST({dround_sql(
@@ -595,24 +630,7 @@ def q_doc_embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
-    counts = d.groupBy(
-        "doc_id", (portable_hash32("term") % _FEAT_DIM).alias("b")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    vec = counts.groupBy("doc_id").agg(
-        F.sum("n").alias("n_tokens"),
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("b"), F.col("n")))
-        ).alias("m"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_FEAT_DIM - 1)),
-            lambda i: F.coalesce(
-                F.element_at("m", i.cast("bigint")), F.lit(0)
-            ),
-        ).alias("v"),
-    )
+    vec = hashed_count_vectors(d)
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("v"), lambda x: x * x * F.lit(1.0)),
@@ -1129,3 +1147,82 @@ def q_cm_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_cm_sketch_freq.__doc__ = q_cm_sketch_freq.__doc__.format(
     D=_CM_D, W=_CM_W, S=_CM_SLACK, DW=_CM_D * _CM_W
 )
+
+
+# --- Semantic document search over a persisted text-vector index ------------
+
+_SEM_QUERY_FILTER = "vec_id % 100 = 0"
+
+
+def _semantic_search_oracle() -> str:
+    from ..functions.vectors import cosine_sql
+    from ..operators.ivf import ivf_chain
+
+    ctes = hashed_vec_ctes()
+    ctes.append(
+        """dv AS (
+          SELECT doc_id AS vec_id,
+                 list_transform(v, x -> x * 1.0) AS embedding
+          FROM vec
+        )"""
+    )
+    ctes += ivf_chain("dv", _SEM_QUERY_FILTER, materialize=True)
+    cos = cosine_sql("probes.qv", "fa.v")
+    ctes.append(
+        f"""scored AS (
+          SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,
+                 {cos} AS cosine
+          FROM probes JOIN fa ON probes.cluster = fa.cluster
+          WHERE probes.query_id <> fa.vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    )
+
+
+@register("q_semantic_doc_search", oracle=_semantic_search_oracle())
+def q_semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END semantic document search from raw text, no model, no
+    pre-computed embeddings: featurize every document with the hashing
+    trick (hashed_count_vectors), BUILD a persisted exact-cosine IVF
+    index over those vectors (operators/ann_store.docvec_write — the
+    same cluster-partitioned layout and deterministic Lloyd build as the
+    embeddings index, fingerprinted on the documents file), then serve
+    top-5 nearest documents for the query slice from the probed cells
+    only. This is the full text→vector→index→serve pipeline in one
+    registered query — swap the featurizer for a model embedder and
+    nothing else changes.
+
+    Scale shape: build is one-time (marker-amortized, like every
+    ann_store artifact); serving reads nprobe/k of the doc-vector corpus
+    with dynamic partition pruning and broadcasts only the query side.
+    The oracle prepends the featurizer CTEs to the unrolled Lloyd chain
+    and recomputes the identical index + search — bit-exact through
+    integer count vectors, decimal-exact centroid means, and
+    order-identical cosine folds."""
+    from ..operators.ann_store import docvec_write, search_vectors
+
+    term_rows = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    vecs = hashed_count_vectors(term_rows).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    path = docvec_write(spark, sf_dir, vecs)
+    qv = vecs.where(F.expr(_SEM_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    return search_vectors(spark, path, qv)

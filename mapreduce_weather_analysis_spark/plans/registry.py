@@ -140,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_zorder_key",
     "q_event_anomaly",
     "q_constraint_audit",
+    "q_semantic_doc_search",
     "q_agg_cube",
     "q_agg_distinct",
     "q_array_funcs",
