@@ -64,10 +64,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # the 9 reference queries, the six ex-rows-only entries returning with
 # full self-checking oracles, the 27 round-5 additions' first driver
 # rows, and the eight r1-only names the round-4 verdict asked to
-# re-confirm — exactly 50. The four late round-5 additions parked at
-# slots 51-54 (plus the r1-only relational cohort) take rows next round;
+# re-confirm — exactly 50. The five late round-5 additions parked at
+# slots 51-55 (plus the r1-only relational cohort) take rows next round;
 # everything past slot 50 stays pytest-oracle-green locally and in this
-# round's full 166-query driver-sim.
+# round's full-registry driver-sim.
 _PRIORITY: tuple[str, ...] = (
     # -- reference surface (O1-O13 per VERDICT coverage table): 9 --
     "q_max_month",
@@ -131,10 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- remaining r1-only greens, stalest first (the ones displaced past
     #    slot 50 by the new queries keep their cross-round green rows and
     #    stay pytest-oracle-green locally) --
-    # -- window boundary (slot 50): tail ordered by staleness; the two
-    #    round-5 additions parked at slots 51-52 (q_sample_temperature —
-    #    the trivial-plan twin of the row-having q_mixing_weights — and
-    #    q_zorder_key, a pure-projection bit chain) take their first
+    # -- window boundary (slot 50): tail ordered by staleness; the five
+    #    late round-5 additions below (all sim-green) take their first
     #    driver rows next round --
     "q_sample_temperature",
     "q_zorder_key",
