@@ -112,3 +112,20 @@ def portable_hash32(c: Column | str) -> Column:
 def portable_hash32_sql(expr: str) -> str:
     """DuckDB twin of :func:`portable_hash32`."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def bounded_rank_window(*order: Column | str):
+    """Single-partition window for ranking a provably BOUNDED relation
+    (a ``limit(K)`` shortlist, a ⌊√N⌋-sized vocab pool, an ~84-row monthly
+    rollup — never a fact table).
+
+    Semantically identical to ``Window.orderBy(*order)`` but partitions by a
+    constant, so WindowExec's "No Partition Defined … single partition"
+    warning never fires. That warning is load-bearing noise policy: every
+    legitimate single-partition window in this repo goes through this helper,
+    so ANY occurrence of the warning in a bench/test log is a real
+    unbounded-window regression (bench.py asserts the log stays clean).
+    """
+    from pyspark.sql import Window
+
+    return Window.partitionBy(F.lit(1)).orderBy(*order)

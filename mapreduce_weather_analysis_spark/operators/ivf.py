@@ -152,7 +152,7 @@ def ivf_index(
     tractable when N is 10^9+ — the full corpus is never iterated, exactly
     FAISS's max_points_per_centroid behavior. Seeds come from the sample,
     so the whole recipe stays reproducible cross-engine."""
-    from ..functions.compat import portable_hash32
+    from ..functions.compat import bounded_rank_window, portable_hash32
 
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -171,7 +171,9 @@ def ivf_index(
         train.orderBy("vec_id")
         .limit(k)
         .select(
-            F.row_number().over(W.orderBy("vec_id")).alias("cluster"),
+            F.row_number()
+            .over(bounded_rank_window("vec_id"))
+            .alias("cluster"),
             F.col("v").alias("c"),
         )
         .localCheckpoint()

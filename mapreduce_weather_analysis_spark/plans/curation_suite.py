@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import (
     HASH_PRIME,
+    bounded_rank_window,
     dround,
     dround_sql,
     portable_hash32,
@@ -946,7 +947,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dround(psum(F.col("s"), 8), 6).alias("score"))
     )
     lex_top = bmdoc.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HY_LIST)
-    wlex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    wlex = bounded_rank_window(F.desc("score"), F.asc("doc_id"))
     lex = lex_top.select(
         "doc_id", F.row_number().over(wlex).cast("int").alias("rl")
     )
@@ -979,7 +980,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dense_top = cosrel.orderBy(F.desc("cos"), F.asc("doc_id")).limit(_HY_LIST)
-    wd = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    wd = bounded_rank_window(F.desc("cos"), F.asc("doc_id"))
     dense = dense_top.select(
         "doc_id", F.row_number().over(wd).cast("int").alias("rd")
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.compat import bounded_rank_window
 from .registry import register, t
 
 
@@ -785,7 +786,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item",
             "n",
             F.row_number()
-            .over(W.orderBy(F.desc("n"), F.asc("item")))
+            .over(bounded_rank_window(F.desc("n"), F.asc("item")))
             .alias("rank"),
         )
         .limit(5)

@@ -60,85 +60,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Driver-facing emission order. The correctness driver verifies registry
 # entries front-to-back with a bounded budget (50 slots), so the dict
-# order below is load-bearing. Round-5 window (VERDICT_r4 asks #1/#2/#4):
-# the 9 reference queries, the six ex-rows-only entries returning with
-# full self-checking oracles, the 27 round-5 additions' first driver
-# rows, and the eight r1-only names the round-4 verdict asked to
-# re-confirm — exactly 50. The five late round-5 additions parked at
-# slots 51-55 (plus the r1-only relational cohort) take rows next round;
-# everything past slot 50 stays pytest-oracle-green locally and in this
-# round's full-registry driver-sim.
+# order below is load-bearing. Round-6 window (VERDICT_r5 asks #1/#2/#8):
+# the 5 never-driver-certified round-5 additions take slots 1-5; the 25
+# r1-stale and 17 r2-stale greens re-certify at slots 6-47 (after round 6
+# no green is older than r3); the two protobuf-gated TWS names take their
+# first-ever driver rows (env-gate marker rows in this environment, real
+# streaming queries where protobuf exists) at slots 48-49; the round-6
+# maximal-duplicated-span query takes slot 50. The round-6 IMI index
+# query leads the tail at slot 51 (sim-green + pytest-oracle-green;
+# first driver row next round). Section arithmetic: 5+25+17+2+1 = 50.
 _PRIORITY: tuple[str, ...] = (
-    # -- reference surface (O1-O13 per VERDICT coverage table): 9 --
-    "q_max_month",
-    "q_city_month",
-    "q_city_month_formatted",
-    "q_scan_filter_project",
-    "q_join_inner",
-    "q_date_funcs",
-    "q_case_coalesce",
-    "q_topk_global",
-    "q_sql_api_shipping",
-    # -- outputs/oracles changed this round (rows-only family made
-    #    oracle-pairable via self-checking exact+bounds outputs): 6 --
-    "q_multimodal_decode",
-    "q_approx_count_distinct",
-    "q_sketch_mergeable",
-    "q_sketch_quantiles",
-    "q_sketch_set_ops",
-    "q_approx_percentiles",
-    # -- new this round (hashed-gram shuffle variants, persisted-index
-    #    SemDeDup, DSIR importance weights, LM-perplexity quality): 5 --
-    "q_segment_dedup_hashed",
-    "q_dup_span_fraction_hashed",
-    "q_semdedup_persisted",
-    "q_dsir_weights",
-    "q_lm_quality",
-    # -- new this round, part 2: the subquery/exists/anti-join TPC-H
-    #    shapes and the corpus-curation suite (first driver rows): 10 --
-    "q_cust_order_distribution",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_late_shipment_priority",
-    "q_solo_late_supplier",
-    "q_idle_customers",
-    "q_gopher_quality",
-    "q_ccnet_buckets",
-    "q_winnowing",
-    "q_hard_negatives",
-    "q_ann_recall_eval",
-    "q_ann_index_add",
-    "q_stream_quality_gate",
-    "q_table_profile",
-    "q_winnowing_pairs",
-    "q_doc_embed_hashed",
-    "q_forecast_revenue",
-    "q_market_share",
-    "q_product_profit",
-    "q_bm25_topk",
-    "q_hybrid_search_rrf",
-    "q_cm_sketch_freq",
-    # -- VERDICT r4 ask #4: the eight r1-only greens whose last driver
-    #    row predates three fixture regenerations: 8 --
-    "q_agg_rollup",
-    "q_pivot",
-    "q_asof_join",
-    "q_range_join",
-    "q_gapfill_daily",
-    "q_latest_per_key",
-    "q_percentiles",
-    "q_json_extract",
-    # -- remaining r1-only greens, stalest first (the ones displaced past
-    #    slot 50 by the new queries keep their cross-round green rows and
-    #    stay pytest-oracle-green locally) --
-    # -- window boundary (slot 50): tail ordered by staleness; the five
-    #    late round-5 additions below (all sim-green) take their first
-    #    driver rows next round --
+    # -- VERDICT r5 ask #1: first driver rows for the five round-5
+    #    additions parked past the round-5 window boundary: 5 --
     "q_sample_temperature",
     "q_zorder_key",
     "q_event_anomaly",
     "q_constraint_audit",
     "q_semantic_doc_search",
+    # -- VERDICT r5 ask #2: re-certify the r1-stale greens (last driver
+    #    row predates four fixture regenerations): 25 --
     "q_agg_cube",
     "q_agg_distinct",
     "q_array_funcs",
@@ -164,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_range_frame",
     "q_window_rank_family",
     "q_events_tumbling",
+    # -- VERDICT r5 ask #2 continued: the r2-stale greens: 17 --
     "q_ann_cosine_topk",
     "q_ann_filtered_topk",
     "q_ann_lsh_topk",
@@ -181,6 +122,18 @@ _PRIORITY: tuple[str, ...] = (
     "q_scd2_history",
     "q_stratified_sample",
     "q_text_quality",
+    # -- VERDICT r5 ask #8: first driver-visible rows for the
+    #    protobuf-gated transformWithState pair: 2 --
+    "q_stream_tws_counts",
+    "q_stream_tws_idle_sessions",
+    # -- round-6 addition (VERDICT r5 ask #6, ExactSubstr-style maximal
+    #    duplicated spans): 1 --
+    "q_dup_span_maximal",
+    # -- window boundary (slot 50) ------------------------------------
+    # -- tail: round-6 IMI two-level quantizer first (newest, sim-green
+    #    only), then r3 greens stalest-first, then r4, then the round-5
+    #    window --
+    "q_ann_imi_search",
     "q_ann_gemm_topk",
     "q_ann_ivf_sampled",
     "q_ann_ivf_topk",
@@ -251,6 +204,57 @@ _PRIORITY: tuple[str, ...] = (
     "q_udtf_chunk_text",
     "q_window_running_sum",
     "q_window_topk_per_group",
+    # -- freshest: the full round-5 window (all green in r5) --
+    "q_max_month",
+    "q_city_month",
+    "q_city_month_formatted",
+    "q_scan_filter_project",
+    "q_join_inner",
+    "q_date_funcs",
+    "q_case_coalesce",
+    "q_topk_global",
+    "q_sql_api_shipping",
+    "q_multimodal_decode",
+    "q_approx_count_distinct",
+    "q_sketch_mergeable",
+    "q_sketch_quantiles",
+    "q_sketch_set_ops",
+    "q_approx_percentiles",
+    "q_segment_dedup_hashed",
+    "q_dup_span_fraction_hashed",
+    "q_semdedup_persisted",
+    "q_dsir_weights",
+    "q_lm_quality",
+    "q_cust_order_distribution",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_late_shipment_priority",
+    "q_solo_late_supplier",
+    "q_idle_customers",
+    "q_gopher_quality",
+    "q_ccnet_buckets",
+    "q_winnowing",
+    "q_hard_negatives",
+    "q_ann_recall_eval",
+    "q_ann_index_add",
+    "q_stream_quality_gate",
+    "q_table_profile",
+    "q_winnowing_pairs",
+    "q_doc_embed_hashed",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_product_profit",
+    "q_bm25_topk",
+    "q_hybrid_search_rrf",
+    "q_cm_sketch_freq",
+    "q_agg_rollup",
+    "q_pivot",
+    "q_asof_join",
+    "q_range_join",
+    "q_gapfill_daily",
+    "q_latest_per_key",
+    "q_percentiles",
+    "q_json_extract",
 )
 
 

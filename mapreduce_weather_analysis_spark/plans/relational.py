@@ -368,7 +368,9 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty")
         )
     )
-    w = W.orderBy("year_month")
+    from ..functions.compat import bounded_rank_window
+
+    w = bounded_rank_window("year_month")
     return monthly.select(
         "year_month",
         "total_qty",

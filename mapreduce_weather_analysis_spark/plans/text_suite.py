@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import HASH_PRIME
+from ..functions.compat import HASH_PRIME, bounded_rank_window
 from ..functions.text import hashed_list, hashed_list_sql, tokens, tokens_sql
 from .registry import register, t
 
@@ -689,7 +689,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.orderBy(*order)
         .limit(_BPE_TOP)
-        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+        .withColumn("rank", F.row_number().over(bounded_rank_window(*order)))
         .select("pair", "n", "rank")
     )
 
@@ -1028,9 +1028,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         counts.orderBy(*order)
         .limit(_VOCAB_TOP)
-        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+        .withColumn("rank", F.row_number().over(bounded_rank_window(*order)))
     )
-    w_cum = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_cum = bounded_rank_window("rank").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     return (
         top.crossJoin(F.broadcast(total))
         .select(
@@ -1116,7 +1118,10 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_VOCAB_TOP)
         .select(
             "tok",
-            F.row_number().over(W.orderBy(*order)).cast("int").alias("id"),
+            F.row_number()
+            .over(bounded_rank_window(*order))
+            .cast("int")
+            .alias("id"),
         )
     )
     pos_toks = d.select(
@@ -1638,7 +1643,8 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.orderBy(*order)
         .limit(_LM_TOPK)
         .withColumn(
-            "rnk", F.row_number().over(W.orderBy(*order)).cast("int")
+            "rnk",
+            F.row_number().over(bounded_rank_window(*order)).cast("int"),
         )
     )
     # continuation counts ONLY for the top-k suffixes: the full (w2,w3)
@@ -1770,6 +1776,132 @@ def q_dup_span_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact string-gram SQL: outputs are key-agnostic, so the driver
     hash-asserts count-equivalence of the hashed plan."""
     return _dup_span_plan(spark, sf_dir, lambda ng: F.xxhash64(ng))
+
+
+@register(
+    "q_dup_span_maximal",
+    oracle=f"""
+    -- Maximal duplicated spans: a gram position is "marked" when its
+    -- {_DUP_N}-token-gram occurs in >= 2 distinct docs; a maximal run of
+    -- r CONSECUTIVE marked positions is one maximal duplicated substring
+    -- of r + {_DUP_N - 1} tokens. Coverage de-overlaps adjacent runs:
+    -- each non-final marked position contributes min(next - i, {_DUP_N})
+    -- fresh tokens, the final one contributes {_DUP_N}.
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) - {_DUP_N - 2})) AS i,
+             unnest(list_transform(range(1, len(toks) - {_DUP_N - 2}),
+                                   i -> array_to_string(toks[i:i+{_DUP_N - 1}], ' '))) AS ng
+      FROM toks WHERE len(toks) >= {_DUP_N}
+    ),
+    dfc AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2),
+    r AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp,
+             LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM g JOIN dfc USING (ng)
+    ),
+    spans AS (
+      SELECT doc_id, grp, COUNT(*) + {_DUP_N - 1} AS span_tokens
+      FROM r GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT doc_id,
+             SUM(CASE WHEN nxt IS NULL THEN {_DUP_N}
+                      ELSE LEAST(nxt - i, {_DUP_N}) END) AS dup_token_coverage
+      FROM r GROUP BY 1
+    )
+    SELECT spans.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(ANY_VALUE(cov.dup_token_coverage) AS BIGINT)
+             AS dup_token_coverage
+    FROM spans JOIN cov ON spans.doc_id = cov.doc_id
+    GROUP BY 1
+    """,
+)
+def q_dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style MAXIMAL duplicated spans (Lee et al.,
+    arXiv:2107.06499 §4) — the arbitrary-length-span upgrade the
+    fixed-gram q_dup_span_fraction docstring names as its gap. The
+    suffix-array formulation is relational here: a substring of length
+    L ≥ {N} duplicated across documents is exactly a run of L − {N} + 1
+    consecutive duplicated {N}-gram start positions, so sorted-gram
+    run-extension (gaps-and-islands over the marked-position relation)
+    recovers every maximal duplicated span without materializing
+    suffixes. Per doc: how many maximal spans, the longest one, and the
+    de-overlapped duplicated-token coverage (adjacent runs share up to
+    {N}−1 tokens; each marked position contributes min(gap, {N}) fresh
+    tokens).
+
+    Scale shape: the wide stages are the same two 8-byte-hashed gram
+    shuffles as q_dup_span_fraction_hashed (df hash-agg + LEFT SEMI mark
+    join — the build side is only the df≥2 gram keys); the run-extension
+    window partitions by doc_id, so its state is bounded by one
+    document's gram count, never corpus-global. Oracle uses exact gram
+    strings — outputs are key-agnostic, so the driver hash-asserts the
+    xxhash64 plan against the string plan (collision P ≈ n²/2^65)."""
+    from pyspark.sql import Window as W
+
+    toks = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= _DUP_N)
+    )
+    g = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_DUP_N - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice("toks", i, _DUP_N))
+                ),
+            )
+        ).alias("pos0", "ng"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("i"), "ng")
+    dup_keys = (
+        g.groupBy("ng")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("ng")
+    )
+    m = g.join(dup_keys, "ng", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("i")
+    r = m.select(
+        "doc_id",
+        "i",
+        (F.col("i") - F.row_number().over(w)).alias("grp"),
+        F.lead("i").over(w).alias("nxt"),
+    )
+    spans = r.groupBy("doc_id", "grp").agg(
+        (F.count(F.lit(1)) + (_DUP_N - 1)).alias("span_tokens")
+    )
+    cov = r.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(_DUP_N)).otherwise(
+                F.least(F.col("nxt") - F.col("i"), F.lit(_DUP_N))
+            )
+        )
+        .cast("bigint")
+        .alias("dup_token_coverage")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+        )
+        .join(cov, "doc_id")
+    )
+
+
+q_dup_span_maximal.__doc__ = q_dup_span_maximal.__doc__.replace(
+    "{N}", str(_DUP_N)
+)
 
 
 # --- DSIR-style importance weighting: data selection for a target domain ----

@@ -177,14 +177,19 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
 
 def test_tws_query_gated_on_protobuf(spark):
     """transformWithStateInPandas needs google.protobuf (JVM state-server
-    protocol); the query must register exactly when it is importable, and
-    run correctly where it does."""
+    protocol). The name is ALWAYS registered so the gate is driver-visible:
+    without protobuf it must emit the one-row env-gate marker matching its
+    oracle; with protobuf it must run the real streaming query."""
     from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
     from mapreduce_weather_analysis_spark.plans.streaming_suite import _has_protobuf
 
-    assert ("q_stream_tws_counts" in REGISTRY) == _has_protobuf()
+    assert "q_stream_tws_counts" in REGISTRY
     if not _has_protobuf():
-        pytest.skip("protobuf not installed: TWS path env-gated")
+        spec = REGISTRY["q_stream_tws_counts"]
+        rows = spec.fn(spark, SMOKE_SF).collect()
+        assert len(rows) == 1 and rows[0].status.startswith("env-gated:")
+        assert rows[0].status in spec.oracle
+        pytest.skip("protobuf not installed: TWS path env-gated (marker row verified)")
     got = {
         (r.user_id, r.event_type): r.n_events
         for r in REGISTRY["q_stream_tws_counts"].fn(spark, SMOKE_SF).collect()
@@ -211,9 +216,13 @@ def test_tws_idle_sessions_timer_path(spark):
     from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
     from mapreduce_weather_analysis_spark.plans.streaming_suite import _has_protobuf
 
-    assert ("q_stream_tws_idle_sessions" in REGISTRY) == _has_protobuf()
+    assert "q_stream_tws_idle_sessions" in REGISTRY
     if not _has_protobuf():
-        pytest.skip("protobuf not installed: TWS path env-gated")
+        spec = REGISTRY["q_stream_tws_idle_sessions"]
+        rows = spec.fn(spark, SMOKE_SF).collect()
+        assert len(rows) == 1 and rows[0].status.startswith("env-gated:")
+        assert rows[0].status in spec.oracle
+        pytest.skip("protobuf not installed: TWS path env-gated (marker row verified)")
 
     got = {
         (r.user_id, r.n_events, r.session_end_ms)
