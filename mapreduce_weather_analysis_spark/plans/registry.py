@@ -130,10 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     #    duplicated spans): 1 --
     "q_dup_span_maximal",
     # -- window boundary (slot 50) ------------------------------------
-    # -- tail: round-6 IMI two-level quantizer first (newest, sim-green
-    #    only), then r3 greens stalest-first, then r4, then the round-5
+    # -- tail: r3 greens stalest-first, then r4, then the round-5
     #    window --
-    "q_ann_imi_search",
     "q_ann_gemm_topk",
     "q_ann_ivf_sampled",
     "q_ann_ivf_topk",

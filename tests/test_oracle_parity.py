@@ -35,3 +35,23 @@ def test_contract_shape():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 3
+
+
+def test_priority_subset_of_registry():
+    """Every _PRIORITY name must be registered (no Spark session needed).
+
+    Round-6 regression guard: a ghost name in _PRIORITY makes
+    _ordered_specs() raise, which takes down queries()/oracle_sql()/entry()
+    and zeroes the driver's correctness artifact. This is the cheap,
+    import-only invariant check — run it after EVERY registry.py edit.
+    """
+    from mapreduce_weather_analysis_spark.plans.registry import (
+        _PRIORITY,
+        _import_plans,
+    )
+
+    _import_plans()
+    missing = sorted(set(_PRIORITY) - set(REGISTRY))
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    dupes = [n for n in _PRIORITY if _PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate _PRIORITY names: {sorted(set(dupes))}"
