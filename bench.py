@@ -97,7 +97,22 @@ HEADLINE = [
     "q_hybrid_search_rrf",
     "q_cm_sketch_freq",
     "q_semantic_doc_search",
+    # round-6/7: maximal duplicated spans; IMI two-level-quantizer serving;
+    # SQ8 scalar-quantized search; Matryoshka prefix-dim rerank
+    "q_dup_span_maximal",
+    "q_ann_imi_search",
+    "q_ann_sq8_topk",
+    "q_ann_matryoshka_rerank",
+    "q_dup_span_removal",
 ]
+
+# Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
+# loop every run and recorded separately in the JSON. Purpose: attribute
+# round-over-round drift — if the controls move by the same factor as the
+# suite, the drift is box/JVM noise, not a plan regression. Chosen to span
+# the three cheap execution shapes (scan+agg+limit, explode+agg, counter
+# grid) and to be sub-second so they add ~3 s total.
+CONTROLS = ["q_topk_global", "q_token_count", "q_heavy_hitters"]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
 # A timed run at sf0.1 that exceeds 2x its baseline (plus a 0.75 s absolute
@@ -191,6 +206,17 @@ BASELINE_SEC = {
     "q_cm_sketch_freq": 1.5,
     # featurize + (amortized) doc-vector index build + probed-cell serve
     "q_semantic_doc_search": 2.0,
+    # 8-byte hashed-gram shuffle + per-doc-bounded run merge
+    "q_dup_span_maximal": 2.4,
+    # IMI serving over the persisted two-level index (build amortized):
+    # two KB-sized half-centroid probes + partition-pruned cell-pair scan
+    "q_ann_imi_search": 1.2,
+    # per-dim min/max train + byte encode/decode + asymmetric brute scan
+    "q_ann_sq8_topk": 1.5,
+    # 16-dim prefix shortlist (1/4 of vector bytes) + full-dim rescore
+    "q_ann_matryoshka_rerank": 1.0,
+    # gram mark join + per-doc union-merge coverage scan + text reassembly
+    "q_dup_span_removal": 3.0,
 }
 
 
@@ -199,7 +225,43 @@ def _sf_of(path: str) -> float:
     return float(m.group(1).rstrip(".")) if m else -1.0
 
 
+def _tee_stderr() -> list[bytes]:
+    """Route fd 2 through a pipe that forwards to the real stderr AND
+    accumulates into a buffer, so the run can assert on the JVM's log
+    output (log4j writes to fd 2, which the JVM inherits at launch).
+    Must run BEFORE the SparkSession starts."""
+    import threading
+
+    real = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+    buf: list[bytes] = []
+
+    def pump() -> None:
+        while True:
+            chunk = os.read(r, 65536)
+            if not chunk:
+                break
+            os.write(real, chunk)
+            buf.append(chunk)
+
+    threading.Thread(target=pump, daemon=True).start()
+    return buf
+
+
+def _time_best_of_2(spark, fn) -> float:
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3)
+
+
 def main() -> None:
+    stderr_buf = _tee_stderr()
+
     from mapreduce_weather_analysis_spark.plans.registry import REGISTRY, _import_plans
     from mapreduce_weather_analysis_spark.session import get_spark
 
@@ -219,19 +281,23 @@ def main() -> None:
             ).save()
         except Exception as exc:  # loud: a broken warmup means a broken query
             print(f"WARMUP FAILED {name}: {exc!r}", file=sys.stderr)
+    # Controls, first pass: timed before any headline work so drift in the
+    # box/JVM between rounds shows up here independent of the suite.
+    controls_first = {
+        n: _time_best_of_2(spark, REGISTRY[n].fn) for n in CONTROLS
+    }
     # Per-query time = best of 2 consecutive runs: single-machine scheduler
     # noise is 1.5-2x on sub-5s queries, and the regression gate below needs
     # steady-state numbers, not one draw from a noisy distribution.
     timings: dict[str, float] = {}
     for name in names:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        timings[name] = _time_best_of_2(spark, REGISTRY[name].fn)
+    # Controls, last pass: same queries re-timed after the full suite — a
+    # first-vs-last gap means the run itself degraded the box (GC, page
+    # cache), a round-over-round gap on BOTH passes means env drift.
+    controls_last = {
+        n: _time_best_of_2(spark, REGISTRY[n].fn) for n in CONTROLS
+    }
 
     total = round(sum(timings.values()), 3)
     sf = _sf_of(SF_DIR)
@@ -242,10 +308,26 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "controls_first": controls_first,
+                "controls_last": controls_last,
                 "sf": sf,
             }
         )
     )
+
+    # Noise-policy gate: every legitimate single-partition window routes
+    # through functions/compat.bounded_rank_window, whose partition key is
+    # non-foldable — so ANY WindowExec single-partition warning in this
+    # run's log is an unguarded window regression. (The tee starts before
+    # the JVM, so log4j's fd-2 output lands in the buffer.)
+    win_warns = b"".join(stderr_buf).count(b"WARN WindowExec")
+    if win_warns:
+        print(
+            f"WINDOWEXEC WARNINGS IN LOG: {win_warns} "
+            "(unguarded single-partition window; see bounded_rank_window)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     # Per-query regression gate (bounds are calibrated at sf0.1 only).
     if sf == 0.1:

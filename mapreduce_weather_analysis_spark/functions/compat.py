@@ -114,18 +114,44 @@ def portable_hash32_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
-def bounded_rank_window(*order: Column | str):
+def portable_hash32_py(s: str) -> int:
+    """Driver-side Python twin of :func:`portable_hash32` — for hashing
+    plan-time LITERALS (a fixed query string's terms) so their buckets
+    match executor/oracle-side hashed data. One definition; the parity
+    test (tests/test_properties.py) pins all three variants together."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def bounded_rank_window(*order: Column | str, anchor: Column | str | None = None):
     """Single-partition window for ranking a provably BOUNDED relation
     (a ``limit(K)`` shortlist, a ⌊√N⌋-sized vocab pool, an ~84-row monthly
     rollup — never a fact table).
 
-    Semantically identical to ``Window.orderBy(*order)`` but partitions by a
-    constant, so WindowExec's "No Partition Defined … single partition"
-    warning never fires. That warning is load-bearing noise policy: every
-    legitimate single-partition window in this repo goes through this helper,
-    so ANY occurrence of the warning in a bench/test log is a real
-    unbounded-window regression (bench.py asserts the log stays clean).
+    Semantically identical to ``Window.orderBy(*order)`` but partitions by
+    ``pmod(xxhash64(anchor), 1)`` — constant 0 for every row, yet
+    non-foldable because it references a real column, so Spark 4's
+    ``EliminateWindowPartitions`` keeps it and WindowExec's "No Partition
+    Defined … single partition" warning never fires (``lit(1)`` and
+    equal-branch CASE keys get folded away; verified on 4.1.2). ``anchor``
+    defaults to the first plain-string order column; pass it explicitly
+    when every order key is a sort expression.
+
+    That makes the warning load-bearing noise policy: every legitimate
+    single-partition window in this repo goes through this helper, so ANY
+    occurrence of the warning in the bench log is an unguarded
+    single-partition window — bench.py tees its own stderr and exits
+    non-zero if the warning appears.
     """
     from pyspark.sql import Window
 
-    return Window.partitionBy(F.lit(1)).orderBy(*order)
+    if anchor is None:
+        anchor = next((o for o in order if isinstance(o, str)), None)
+        if anchor is None:
+            raise ValueError(
+                "bounded_rank_window: pass anchor= when all order keys are "
+                "sort expressions"
+            )
+    a = F.col(anchor) if isinstance(anchor, str) else anchor
+    return Window.partitionBy(F.pmod(F.xxhash64(a), F.lit(1))).orderBy(*order)

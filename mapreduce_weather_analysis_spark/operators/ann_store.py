@@ -202,12 +202,110 @@ def ivfpq_search(
     )
 
 
+def _imi_signature() -> str:
+    """Every constant the IMI build math depends on — same
+    stale-index-vs-fresh-oracle rationale as :func:`_build_signature`."""
+    from .imi import IMI_HALF_DIM, IMI_HALF_FLOOR, IMI_NPROBE
+    from .ivf import IVF_ITERS
+
+    return (
+        f"imi_half_dim={IMI_HALF_DIM}:imi_half_floor={IMI_HALF_FLOOR}:"
+        f"kh=isqrt4:imi_nprobe={IMI_NPROBE}:iters={IVF_ITERS}"
+    )
+
+
+def imi_index_path(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = hashlib.md5(
+        f"imi:{st.st_size}:{st.st_mtime_ns}:{_imi_signature()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(INDEX_ROOT, f"{base}-imi-{fp}-{_LAYOUT_VERSION}")
+
+
+def imi_write(spark: SparkSession, sf_dir: str) -> str:
+    """Build the two-level IMI index (operators/imi.py) and persist it:
+    ``vecs/`` = the full-precision lists PARTITIONED BY the (c1, c2) cell
+    pair, ``cent1/``/``cent2/`` = the two ⌊⁴√N⌋-row half-centroid
+    relations. The quantizer artifact is the part that shrinks vs flat
+    IVF: 2·⌊⁴√N⌋ half-vectors instead of ⌊√N⌋ full vectors for the same
+    √N-cell granularity, so the broadcast/collect at probe and assignment
+    time stays KB-sized at 10¹⁰ vectors. Idempotent via a marker file."""
+    from .imi import imi_index
+
+    path = imi_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cent1, cent2 = imi_index(emb)
+    (
+        assigned.select("vec_id", "v", "c1", "c2")
+        .repartition("c1", "c2")
+        .write.mode("overwrite")
+        .partitionBy("c1", "c2")
+        .parquet(os.path.join(path, "vecs"))
+    )
+    cent1.write.mode("overwrite").parquet(os.path.join(path, "cent1"))
+    cent2.write.mode("overwrite").parquet(os.path.join(path, "cent2"))
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return path
+
+
+def imi_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Search-only exact-cosine IMI over the persisted cell-pair lists:
+    probe each half's centroid relation (2·|Q|·k_h broadcast distance
+    maps), combine into the nprobe² probed pairs, cosine-rank their
+    members. The broadcast pair relation joins the (c1, c2)-partitioned
+    ``vecs/``, so dynamic partition pruning reads only the probed cells —
+    nprobe²/k_h² of the corpus — and the quantizer read is 2·⌊⁴√N⌋ rows
+    regardless of N."""
+    from .imi import IMI_NPROBE, imi_pairs, score_pairs
+
+    if nprobe is None:
+        nprobe = IMI_NPROBE
+    cent1 = spark.read.parquet(os.path.join(index_path, "cent1"))
+    cent2 = spark.read.parquet(os.path.join(index_path, "cent2"))
+    vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    pairs = imi_pairs(queries, cent1, cent2, nprobe=nprobe)
+    return score_pairs(pairs, vecs, queries, k_neighbors)
+
+
+def _featurizer_signature() -> str:
+    """Every constant the DOCUMENT featurization depends on: the hashed
+    bucket count and the tokenizer whitespace class. Without these a
+    ``_FEAT_DIM`` (or tokenizer) change would serve a stale index built
+    under the old featurizer against a freshly-recomputed oracle — a
+    hash mismatch that reads as a code bug. Lazy import: plans modules
+    import this module inside function bodies, so the reverse lazy import
+    here cannot cycle."""
+    from ..functions.text import WS_CLASS
+    from ..plans.curation_suite import _FEAT_DIM
+
+    return f"feat_dim={_FEAT_DIM}:ws={WS_CLASS}"
+
+
 def docvec_index_path(sf_dir: str) -> str:
     """Index path for a DOCUMENT-vector index (hashed-count featurizer
-    output) — fingerprinted on the documents file, not embeddings."""
+    output) — fingerprinted on the documents file (not embeddings) plus
+    the featurizer AND build constants."""
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp = hashlib.md5(
-        f"docvec:{st.st_size}:{st.st_mtime_ns}:{_build_signature()}".encode()
+        f"docvec:{st.st_size}:{st.st_mtime_ns}:{_build_signature()}:"
+        f"{_featurizer_signature()}".encode()
     ).hexdigest()[:12]
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(INDEX_ROOT, f"{base}-doc-{fp}-{_LAYOUT_VERSION}")

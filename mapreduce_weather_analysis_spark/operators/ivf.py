@@ -268,9 +268,9 @@ def ivf_topk(
 # --- DuckDB oracle twin ------------------------------------------------------
 
 
-def _sq_l2_sql(v: str, c: str) -> str:
+def _sq_l2_sql(v: str, c: str, dim: int = DIM) -> str:
     return (
-        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"list_sum(list_transform(range(1, {dim} + 1), "
         f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
     )
 
@@ -284,6 +284,9 @@ def ivf_chain(
     prefix: str = "",
     sample_points_per_cell: int | None = None,
     materialize: bool = False,
+    dim: int = DIM,
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    k_inner_sql: str | None = None,
 ) -> list[str]:
     """The IVF pipeline as a list of CTE definitions ending at
     ``{prefix}fa`` (final assignments: vec_id, v, cluster) and
@@ -300,18 +303,27 @@ def ivf_chain(
     reference them from several downstream CTEs, and DuckDB inlines plain
     CTEs per reference — without the flag the whole Lloyd chain can
     re-execute per reference (the 92s→16s failure mode previously
-    measured on pq_chain)."""
+    measured on pq_chain).
+
+    ``dim`` / ``vec_sql`` generalize the chain to SUB-vector quantizers
+    (the IMI half-space trainings, operators/imi.py): ``vec_sql`` is the
+    expression producing the trained vector from ``{table}`` and ``dim``
+    its length. ``k_inner_sql`` overrides the default ⌊√N⌋ cell-count
+    policy (IMI uses ⌊⁴√N⌋ per half)."""
     from ..functions.compat import portable_hash32_sql
 
     P = prefix
-    k_inner = (
-        str(k)
-        if k is not None
-        else f"GREATEST({IVF_K_FLOOR}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
-    )
+    if k is not None:
+        k_inner = str(k)
+    elif k_inner_sql is not None:
+        k_inner = k_inner_sql
+    else:
+        k_inner = (
+            f"GREATEST({IVF_K_FLOOR}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+        )
     k_expr = str(k) if k is not None else f"(SELECT {k_inner} FROM {P}vecs)"
     ctes = [
-        f"{P}vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"{P}vecs AS (SELECT vec_id, {vec_sql} AS v FROM {table})",
     ]
     train = f"{P}vecs"
     if sample_points_per_cell is not None:
@@ -343,7 +355,7 @@ def ivf_chain(
                 SELECT {train}.vec_id, {train}.v, {prev}.cluster,
                        ROW_NUMBER() OVER (
                          PARTITION BY {train}.vec_id
-                         ORDER BY {_sq_l2_sql(f'{train}.v', f'{prev}.c')}, {prev}.cluster
+                         ORDER BY {_sq_l2_sql(f'{train}.v', f'{prev}.c', dim)}, {prev}.cluster
                        ) AS rn
                 FROM {train}, {prev}
               ) WHERE rn = 1
@@ -378,7 +390,7 @@ def ivf_chain(
             SELECT {P}vecs.vec_id, {P}vecs.v, {prev}.cluster,
                    ROW_NUMBER() OVER (
                      PARTITION BY {P}vecs.vec_id
-                     ORDER BY {_sq_l2_sql(f'{P}vecs.v', f'{prev}.c')}, {prev}.cluster
+                     ORDER BY {_sq_l2_sql(f'{P}vecs.v', f'{prev}.c', dim)}, {prev}.cluster
                    ) AS rn
             FROM {P}vecs, {prev}
           ) WHERE rn = 1
@@ -393,7 +405,7 @@ def ivf_chain(
             SELECT {P}q.query_id, {P}q.qv, {prev}.cluster,
                    ROW_NUMBER() OVER (
                      PARTITION BY {P}q.query_id
-                     ORDER BY {_sq_l2_sql(f'{P}q.qv', f'{prev}.c')}, {prev}.cluster
+                     ORDER BY {_sq_l2_sql(f'{P}q.qv', f'{prev}.c', dim)}, {prev}.cluster
                    ) AS rn
             FROM {P}q, {prev}
           ) WHERE rn <= {nprobe}

@@ -794,12 +794,14 @@ _HY_TOPK = 10
 def _query_vector() -> dict[int, int]:
     """Bucket-count vector of the fixed query string under the SAME
     hashing scheme as q_doc_embed_hashed — computed at plan-build time
-    (the query is a literal)."""
-    import hashlib
+    (the query is a literal). Buckets come from the shared
+    portable_hash32_py twin, never a local reimplementation — the parity
+    test pins it to the Spark/DuckDB variants."""
+    from ..functions.compat import portable_hash32_py
 
     qv: dict[int, int] = {}
     for w in _BM25_QUERY:
-        b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % _FEAT_DIM
+        b = portable_hash32_py(w) % _FEAT_DIM
         qv[b] = qv.get(b, 0) + 1
     return qv
 
@@ -947,7 +949,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dround(psum(F.col("s"), 8), 6).alias("score"))
     )
     lex_top = bmdoc.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HY_LIST)
-    wlex = bounded_rank_window(F.desc("score"), F.asc("doc_id"))
+    wlex = bounded_rank_window(F.desc("score"), F.asc("doc_id"), anchor="doc_id")
     lex = lex_top.select(
         "doc_id", F.row_number().over(wlex).cast("int").alias("rl")
     )
@@ -980,7 +982,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dense_top = cosrel.orderBy(F.desc("cos"), F.asc("doc_id")).limit(_HY_LIST)
-    wd = bounded_rank_window(F.desc("cos"), F.asc("doc_id"))
+    wd = bounded_rank_window(F.desc("cos"), F.asc("doc_id"), anchor="doc_id")
     dense = dense_top.select(
         "doc_id", F.row_number().over(wd).cast("int").alias("rd")
     )

@@ -786,7 +786,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item",
             "n",
             F.row_number()
-            .over(bounded_rank_window(F.desc("n"), F.asc("item")))
+            .over(bounded_rank_window(F.desc("n"), F.asc("item"), anchor="item"))
             .alias("rank"),
         )
         .limit(5)

@@ -130,8 +130,13 @@ _PRIORITY: tuple[str, ...] = (
     #    duplicated spans): 1 --
     "q_dup_span_maximal",
     # -- window boundary (slot 50) ------------------------------------
-    # -- tail: r3 greens stalest-first, then r4, then the round-5
-    #    window --
+    # -- tail: round-7 IMI two-level quantizer first (newest,
+    #    pytest-oracle-green; first driver row next rotation), then r3
+    #    greens stalest-first, then r4, then the round-5 window --
+    "q_ann_imi_search",
+    "q_ann_sq8_topk",
+    "q_ann_matryoshka_rerank",
+    "q_dup_span_removal",
     "q_ann_gemm_topk",
     "q_ann_ivf_sampled",
     "q_ann_ivf_topk",

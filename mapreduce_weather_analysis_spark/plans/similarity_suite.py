@@ -435,6 +435,167 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, sf_dir, path, _QUERY_FILTER)
 
 
+def _imi_oracle() -> str:
+    from ..operators.imi import imi_topk_sql
+
+    return imi_topk_sql("embeddings", _QUERY_FILTER)
+
+
+@register("q_ann_imi_search", oracle=_imi_oracle())
+def q_ann_imi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMI (Inverted Multi-Index, Babenko & Lempitsky CVPR'12) serving
+    over a PERSISTED two-level index (operators/imi.py +
+    operators/ann_store.imi_write): each vector's cell is the PAIR of
+    codes from two independent ⌊⁴√N⌋-cell half-space quantizers, giving
+    √N cell-pair granularity — flat IVF's cell count — from quantizer
+    relations of only 2·⌊⁴√N⌋ half-vectors. This removes the last
+    driver-side scale ceiling in the ANN family: at N = 10¹⁰, flat IVF
+    collects a 10⁵×DIM centroid matrix into the assignment kernel
+    (operators/ivf.py:73) while IMI's two half-matrices stay ~KB. Search
+    probes nprobe nearest half-centroids per side (nprobe² pairs, the
+    rectangular multi-sequence restriction), and dynamic partition
+    pruning on the (c1, c2)-partitioned lists reads only the probed
+    cells. The oracle composes two half-space Lloyd CTE chains and the
+    pair join — bit-exact cosine, rank, and tie-breaks."""
+    from ..operators.ann_store import imi_search, imi_write
+
+    path = imi_write(spark, sf_dir)
+    return imi_search(spark, sf_dir, path, _QUERY_FILTER)
+
+
+def _sq8_oracle() -> str:
+    from ..operators.sq import sq8_topk_sql
+
+    return sq8_topk_sql("embeddings", _QUERY_FILTER)
+
+
+@register("q_ann_sq8_topk", oracle=_sq8_oracle())
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized search (operators/sq.py — FAISS
+    ScalarQuantizer QT_8bit semantics): per-dimension [min, max] ranges
+    trained over the corpus, 1-byte-per-dim linear codes, ASYMMETRIC
+    scoring (exact query against dequantized reconstructions). The third
+    compression arm next to PQ and binary signs: 8× fewer scanned bytes
+    than float64 lists at much higher fidelity than M-subspace PQ at the
+    same rate, no LUT — pure bandwidth play, which is what it buys inside
+    IVF lists at 100 TB (``IVF..,SQ8``). Encode/decode are JVM-side
+    transforms against the broadcast 2×D-double stats row; the oracle
+    reproduces codes and cosines bit-exactly (floor(·+0.5) quantization —
+    the one double-rounding form both engines agree on)."""
+    from ..operators.sq import sq8_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return sq8_topk(e, _QUERY_FILTER)
+
+
+_MRL_PREFIX_DIM = 16
+_MRL_SHORTLIST = 20
+
+
+_MRL_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pfx AS (SELECT vec_id, v[1:{_MRL_PREFIX_DIM}] AS p FROM vecs),
+    q AS (
+      SELECT vecs.vec_id AS query_id, vecs.v AS qv, pfx.p AS qp
+      FROM vecs JOIN pfx ON pfx.vec_id = vecs.vec_id
+      WHERE {_QUERY_FILTER.replace('vec_id', 'vecs.vec_id')}
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id, qv FROM (
+        SELECT q.query_id, pfx.vec_id AS neighbor_id, q.qv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cosine_sql('q.qp', 'pfx.p')} DESC, pfx.vec_id ASC
+               ) AS srank
+        FROM q, pfx WHERE q.query_id <> pfx.vec_id
+      ) WHERE srank <= {_MRL_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {cosine_sql('s.qv', 'n.v')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {cosine_sql('s.qv', 'n.v')} DESC, s.neighbor_id ASC
+             ) AS rank
+      FROM shortlist s JOIN vecs n ON n.vec_id = s.neighbor_id
+    ) WHERE rank <= 5
+    """
+
+
+def q_ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / adaptive retrieval (Kusupati et al., NeurIPS'22 MRL;
+    the two-pass \"adaptive retrieval\" deployment): shortlist with the
+    FIRST {P} dimensions only — an MRL-trained embedding packs a usable
+    coarse representation into every prefix — then rerank the
+    {S}-candidate shortlist with full-dimension exact cosine. The
+    shortlist scan touches {P}/{D} of the vector bytes (here 1/4; 64/1024
+    in a production MRL stack), and the full-precision reads shrink to
+    |Q|·{S} rows — the same winnow-then-confirm shape as the ADC rerank
+    path, but with zero training: the \"index\" is a column slice. Both
+    stages are deterministic cosine + id tie-breaks, oracle-matched
+    bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine as _cos
+
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pfx = vecs.select(
+        "vec_id", F.slice("v", 1, _MRL_PREFIX_DIM).alias("p")
+    )
+    queries = vecs.join(pfx, "vec_id").where(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("p").alias("qp"),
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        F.broadcast(queries)
+        .crossJoin(pfx.withColumnRenamed("vec_id", "neighbor_id"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            _cos(F.col("qp"), F.col("p")).alias("pcos"),
+        )
+        .withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= _MRL_SHORTLIST)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(vecs.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# format BEFORE registration so the registry-visible doc carries the real
+# constants (ADVICE r6: @register copies fn.__doc__ at decoration time)
+q_ann_matryoshka_rerank.__doc__ = q_ann_matryoshka_rerank.__doc__.format(
+    P=_MRL_PREFIX_DIM, S=_MRL_SHORTLIST, D=64
+)
+register("q_ann_matryoshka_rerank", oracle=_MRL_ORACLE)(
+    q_ann_matryoshka_rerank
+)
+
+
 def _hard_neg_oracle() -> str:
     from ..operators.ivf import ivf_chain
 

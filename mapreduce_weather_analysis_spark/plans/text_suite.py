@@ -689,7 +689,9 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.orderBy(*order)
         .limit(_BPE_TOP)
-        .withColumn("rank", F.row_number().over(bounded_rank_window(*order)))
+        .withColumn(
+            "rank", F.row_number().over(bounded_rank_window(*order, anchor="pair"))
+        )
         .select("pair", "n", "rank")
     )
 
@@ -1028,7 +1030,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         counts.orderBy(*order)
         .limit(_VOCAB_TOP)
-        .withColumn("rank", F.row_number().over(bounded_rank_window(*order)))
+        .withColumn(
+            "rank", F.row_number().over(bounded_rank_window(*order, anchor="tok"))
+        )
     )
     w_cum = bounded_rank_window("rank").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -1119,7 +1123,7 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok",
             F.row_number()
-            .over(bounded_rank_window(*order))
+            .over(bounded_rank_window(*order, anchor="tok"))
             .cast("int")
             .alias("id"),
         )
@@ -1644,7 +1648,9 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_LM_TOPK)
         .withColumn(
             "rnk",
-            F.row_number().over(bounded_rank_window(*order)).cast("int"),
+            F.row_number()
+            .over(bounded_rank_window(*order, anchor="w1"))
+            .cast("int"),
         )
     )
     # continuation counts ONLY for the top-k suffixes: the full (w2,w3)
@@ -1778,9 +1784,7 @@ def q_dup_span_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dup_span_plan(spark, sf_dir, lambda ng: F.xxhash64(ng))
 
 
-@register(
-    "q_dup_span_maximal",
-    oracle=f"""
+_DUP_SPAN_MAXIMAL_ORACLE = f"""
     -- Maximal duplicated spans: a gram position is "marked" when its
     -- {_DUP_N}-token-gram occurs in >= 2 distinct docs; a maximal run of
     -- r CONSECUTIVE marked positions is one maximal duplicated substring
@@ -1821,18 +1825,23 @@ def q_dup_span_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS dup_token_coverage
     FROM spans JOIN cov ON spans.doc_id = cov.doc_id
     GROUP BY 1
-    """,
-)
+    """
+
+
 def q_dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style MAXIMAL duplicated spans (Lee et al.,
     arXiv:2107.06499 §4) — the arbitrary-length-span upgrade the
     fixed-gram q_dup_span_fraction docstring names as its gap. The
     suffix-array formulation is relational here: a substring of length
-    L ≥ {N} duplicated across documents is exactly a run of L − {N} + 1
+    L ≥ {N} duplicated across documents is a run of L − {N} + 1
     consecutive duplicated {N}-gram start positions, so sorted-gram
     run-extension (gaps-and-islands over the marked-position relation)
-    recovers every maximal duplicated span without materializing
-    suffixes. Per doc: how many maximal spans, the longest one, and the
+    finds duplicated spans without materializing suffixes. The run merge
+    is an UPPER-BOUND approximation of true suffix-array ExactSubstr:
+    adjacent marked positions may match DIFFERENT partner documents, so
+    a reported span can chimerically concatenate overlapping duplicates
+    (span length never under-reports, counts can merge). Plan and oracle
+    share these semantics exactly. Per doc: how many maximal spans, the longest one, and the
     de-overlapped duplicated-token coverage (adjacent runs share up to
     {N}−1 tokens; each marked position contributes min(gap, {N}) fresh
     tokens).
@@ -1899,8 +1908,186 @@ def q_dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# substitute the gram width BEFORE registration: @register copies
+# fn.__doc__ into the registry spec at decoration time, so a post-hoc
+# .replace() would leave literal "{N}" in the driver-visible doc
 q_dup_span_maximal.__doc__ = q_dup_span_maximal.__doc__.replace(
     "{N}", str(_DUP_N)
+)
+register("q_dup_span_maximal", oracle=_DUP_SPAN_MAXIMAL_ORACLE)(
+    q_dup_span_maximal
+)
+
+
+_DUP_REMOVAL_ORACLE = f"""
+    -- ExactSubstr REMOVAL: drop every token covered by a duplicated
+    -- {_DUP_N}-gram (position t is covered iff some marked gram start i
+    -- satisfies i <= t <= i + {_DUP_N - 1}) and materialize the cleaned
+    -- text. Coverage via a union-merge running max: marks sort before
+    -- the same position's token, so the last-covered-end prefix max
+    -- decides membership in one per-doc window.
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) - {_DUP_N - 2})) AS i,
+             unnest(list_transform(range(1, len(toks) - {_DUP_N - 2}),
+                                   i -> array_to_string(toks[i:i+{_DUP_N - 1}], ' '))) AS ng
+      FROM toks WHERE len(toks) >= {_DUP_N}
+    ),
+    dupkeys AS (
+      SELECT ng FROM g GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    m AS (SELECT doc_id, i FROM g WHERE ng IN (SELECT ng FROM dupkeys)),
+    tokrows AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) + 1)) AS pos,
+             1 AS kind,
+             NULL::BIGINT AS cov_end,
+             unnest(toks) AS tok
+      FROM toks
+    ),
+    merged AS (
+      SELECT doc_id, pos, kind, cov_end, tok FROM tokrows
+      UNION ALL
+      SELECT doc_id, i AS pos, 0 AS kind, i + {_DUP_N - 1} AS cov_end,
+             NULL AS tok
+      FROM m
+    ),
+    scanned AS (
+      SELECT doc_id, pos, kind, tok,
+             MAX(cov_end) OVER (
+               PARTITION BY doc_id ORDER BY pos, kind
+               ROWS UNBOUNDED PRECEDING
+             ) AS lce
+      FROM merged
+    ),
+    kept AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      FROM scanned
+      WHERE kind = 1 AND (lce IS NULL OR lce < pos)
+      GROUP BY doc_id
+    )
+    SELECT toks.doc_id AS doc_id,
+           CAST(len(toks.toks) AS BIGINT) AS n_tokens,
+           COALESCE(kept.kept_tokens, 0) AS kept_tokens,
+           CAST(len(toks.toks) AS BIGINT) - COALESCE(kept.kept_tokens, 0)
+             AS removed_tokens,
+           COALESCE(kept.cleaned_text, '') AS cleaned_text
+    FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id
+    """
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al., arXiv:2107.06499 §4 — the step
+    after measurement): materialize the CLEANED corpus with every token
+    that lies inside a cross-document duplicated {N}-gram dropped. This
+    is the artifact a training pipeline actually ships to the tokenizer;
+    q_dup_span_maximal measures the spans, this query cuts them. A token
+    position t is covered iff some marked gram start i (gram duplicated
+    in ≥2 docs) satisfies i ≤ t ≤ i+{N}−1 — decided in ONE per-doc pass:
+    union the token rows with the marked-start rows (marks sort first at
+    equal position), take the running max of covered-end, keep tokens
+    whose prefix max doesn't reach them. Outputs per doc: token count,
+    kept/removed counts, and the reassembled cleaned text.
+
+    Scale shape: the wide stages are the gram df hash-agg + semi-join
+    (identical to the span measurers — at production scale the hashed
+    variant's 8-byte keys apply unchanged); the coverage window and the
+    order-pinned reassembly both partition by doc_id, so state is one
+    document's tokens. Dropping all copies (not all-but-one) is the
+    conservative variant the paper discusses for train-set hygiene; the
+    oracle reproduces the same union-merge scan."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    g = (
+        d.where(F.size("toks") >= _DUP_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_DUP_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, _DUP_N)),
+                )
+            ).alias("pos0", "ng"),
+        )
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("bigint").alias("i"), "ng"
+        )
+    )
+    dup_keys = (
+        g.groupBy("ng")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("ng")
+    )
+    marks = g.join(dup_keys, "ng", "left_semi").select(
+        "doc_id",
+        F.col("i").alias("pos"),
+        F.lit(0).alias("kind"),
+        (F.col("i") + (_DUP_N - 1)).alias("cov_end"),
+        F.lit(None).cast("string").alias("tok"),
+    )
+    tokrows = d.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("cov_end"),
+        "tok",
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scanned = tokrows.unionByName(marks).withColumn(
+        "lce", F.max("cov_end").over(w)
+    )
+    kept = (
+        scanned.where(
+            (F.col("kind") == 1)
+            & (F.col("lce").isNull() | (F.col("lce") < F.col("pos")))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+    return (
+        d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0))).alias(
+                "removed_tokens"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+q_dup_span_removal.__doc__ = q_dup_span_removal.__doc__.replace(
+    "{N}", str(_DUP_N)
+)
+register("q_dup_span_removal", oracle=_DUP_REMOVAL_ORACLE)(
+    q_dup_span_removal
 )
 
 

@@ -699,8 +699,10 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT yr,
            {dround_sql(
-               "SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END)"
-               " / SUM(volume)", 6)} AS mkt_share
+               psum_sql(
+                   "CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END"
+               )
+               + " / " + psum_sql("volume"), 6)} AS mkt_share
     FROM rev
     GROUP BY 1
     ORDER BY 1
@@ -753,9 +755,13 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(psum(vol, alias="volume"))
     )
-    share = F.sum(
+    # both share sums route through psum like every other money aggregate:
+    # the grouped relation is tiny, but plain double SUM order still varies
+    # across engines/partitionings — decimal accumulation keeps the ratio's
+    # operands bit-identical before the one division
+    share = psum(
         F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0)
-    ) / F.sum("volume")
+    ) / psum(F.col("volume"))
     return (
         rev.groupBy("yr")
         .agg(dround(share, 6).alias("mkt_share"))

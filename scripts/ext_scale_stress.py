@@ -49,6 +49,9 @@ QUERIES = [
     "q_doc_embed_hashed",
     "q_bm25_topk",
     "q_hybrid_search_rrf",
+    "q_dup_span_maximal",
+    "q_ann_imi_search",
+    "q_ann_ivf_search",
 ]
 
 

@@ -829,3 +829,29 @@ def test_zvalue2_matches_python_reference(spark):
     # locality: interleave is monotone along each axis when the other is 0
     zs = [zvalue2_py(v, 0) for v in vals]
     assert zs == sorted(zs)
+
+
+def test_docvec_fingerprint_tracks_featurizer_constants(monkeypatch):
+    """ADVICE r6: the docvec index cache key must move when a featurizer
+    constant moves — a stale index built under an old _FEAT_DIM (or
+    tokenizer class) must rebuild, not half-serve against a fresh oracle."""
+    from mapreduce_weather_analysis_spark.operators import ann_store
+    from mapreduce_weather_analysis_spark.plans import curation_suite
+
+    sf = "/root/testdata/sf0.001"
+    base = ann_store.docvec_index_path(sf)
+    monkeypatch.setattr(curation_suite, "_FEAT_DIM", curation_suite._FEAT_DIM * 2)
+    bumped_dim = ann_store.docvec_index_path(sf)
+    assert bumped_dim != base
+
+
+def test_imi_fingerprint_tracks_build_constants(monkeypatch):
+    """Same invariant for the IMI index: changing a quantizer constant
+    must invalidate persisted artifacts."""
+    from mapreduce_weather_analysis_spark.operators import ann_store, imi
+
+    sf = "/root/testdata/sf0.001"
+    base = ann_store.imi_index_path(sf)
+    monkeypatch.setattr(imi, "IMI_HALF_FLOOR", imi.IMI_HALF_FLOOR + 1)
+    bumped = ann_store.imi_index_path(sf)
+    assert bumped != base

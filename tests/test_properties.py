@@ -334,3 +334,43 @@ def test_salted_join_equals_plain_join(spark, rows):
         for r in fact.join(dim, fact["k"] == dim["dk"], "inner").collect()
     )
     assert got == plain
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_portable_hash32_three_way_parity(spark, duck, words):
+    """The three portable_hash32 variants (Spark expression, DuckDB SQL,
+    driver-side Python) must agree on arbitrary strings — plan-time
+    literal hashing (curation_suite._query_vector) silently diverging from
+    executor/oracle hashing would misbucket fixed query terms."""
+    from mapreduce_weather_analysis_spark.functions.compat import (
+        portable_hash32,
+        portable_hash32_py,
+        portable_hash32_sql,
+    )
+
+    expected = [portable_hash32_py(w) for w in words]
+
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    spark_vals = [
+        r["h"] for r in df.select(portable_hash32(F.col("s")).alias("h")).collect()
+    ]
+    assert spark_vals == expected
+
+    duck_vals = [
+        duck.execute(
+            f"SELECT {portable_hash32_sql('?')}", [w]
+        ).fetchone()[0]
+        for w in words
+    ]
+    assert duck_vals == expected
