@@ -207,16 +207,16 @@ BASELINE_SEC = {
     # featurize + (amortized) doc-vector index build + probed-cell serve
     "q_semantic_doc_search": 2.0,
     # 8-byte hashed-gram shuffle + per-doc-bounded run merge
-    "q_dup_span_maximal": 2.4,
+    "q_dup_span_maximal": 2.0,
     # IMI serving over the persisted two-level index (build amortized):
     # two KB-sized half-centroid probes + partition-pruned cell-pair scan
-    "q_ann_imi_search": 1.2,
+    "q_ann_imi_search": 0.9,
     # per-dim min/max train + byte encode/decode + asymmetric brute scan
-    "q_ann_sq8_topk": 1.5,
+    "q_ann_sq8_topk": 1.4,
     # 16-dim prefix shortlist (1/4 of vector bytes) + full-dim rescore
     "q_ann_matryoshka_rerank": 1.0,
     # gram mark join + per-doc union-merge coverage scan + text reassembly
-    "q_dup_span_removal": 3.0,
+    "q_dup_span_removal": 3.1,
 }
 
 
