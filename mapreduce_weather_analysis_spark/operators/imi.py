@@ -141,7 +141,9 @@ def imi_pairs(
     p2 = _half_probes(queries, cent2, False, nprobe).withColumnRenamed(
         "cluster", "c2"
     )
-    return p1.join(p2, "query_id")
+    # both sides are |Q|·nprobe rows; without the hint Spark has no size
+    # estimate for the two agg outputs and falls back to a sort-merge join
+    return p1.join(F.broadcast(p2), "query_id")
 
 
 def score_pairs(

@@ -274,3 +274,44 @@ def test_market_share_broadcasts_all_dims(spark):
     is the lineitem-orders fact join plus the grouped aggs."""
     plan = _plan(REGISTRY["q_market_share"].fn(spark, SMOKE_SF))
     assert _n_ops(plan, "BroadcastHashJoin") >= 5
+
+
+def test_imi_search_prunes_both_partition_columns(spark):
+    """IMI serving must broadcast the |Q|·nprobe² pair relation and
+    dynamically prune the (c1, c2)-partitioned lists on BOTH partition
+    columns — two dynamicpruning subqueries, never a corpus shuffle."""
+    plan = _plan(REGISTRY["q_ann_imi_search"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 2  # pair join + query re-join
+    assert "SortMergeJoin" not in plan
+    assert plan.lower().count("dynamicpruning#") >= 2  # c1 AND c2
+
+
+def test_sq8_broadcasts_stats_and_queries(spark):
+    """SQ8 search: the one-row stats relation and the query side both
+    broadcast; the corpus side is a single scan through encode/decode
+    transforms (JVM expressions, no pandas stage, no corpus shuffle
+    besides the 64-row dim agg)."""
+    plan = _plan(REGISTRY["q_ann_sq8_topk"].fn(spark, SMOKE_SF))
+    assert "SortMergeJoin" not in plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") >= 2  # stats × 2 sides
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_matryoshka_shortlist_broadcasts(spark):
+    """MRL rerank: query side broadcast into the prefix scan, shortlist
+    broadcast into the full-dim rescore — the corpus never shuffles."""
+    plan = _plan(REGISTRY["q_ann_matryoshka_rerank"].fn(spark, SMOKE_SF))
+    assert "SortMergeJoin" not in plan
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1  # rescore joins
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") >= 1  # query × prefix scan
+
+
+def test_dup_span_removal_per_doc_window_and_semi_join(spark):
+    """ExactSubstr removal: the dup-gram mark is a LEFT SEMI join (build
+    side only the df≥2 keys), and the coverage scan's window partitions
+    by doc_id — per-doc state, never a single-partition corpus window."""
+    plan = _plan(REGISTRY["q_dup_span_removal"].fn(spark, SMOKE_SF))
+    assert "LeftSemi" in plan
+    assert "WindowExec" not in plan  # the warning-path operator name
+    # the coverage window's partition spec is doc_id
+    assert "partitionBy=[doc_id" in plan.replace(" ", "") or "doc_id" in plan
