@@ -52,6 +52,9 @@ QUERIES = [
     "q_dup_span_maximal",
     "q_ann_imi_search",
     "q_ann_ivf_search",
+    "q_dup_span_removal",
+    "q_ann_sq8_topk",
+    "q_ann_matryoshka_rerank",
 ]
 
 
