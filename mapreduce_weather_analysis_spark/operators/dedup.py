@@ -26,7 +26,6 @@ path and say so.
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -448,5 +447,10 @@ def ngram_jaccard_pairs(
 
 
 def _md5_int32(s: str) -> int:
-    """Python twin of the portable hash — for inlining literal constants."""
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    """Python twin of the portable hash — for inlining literal constants.
+    Delegates to the ONE shared implementation (functions/compat), which
+    the three-way hypothesis parity test pins to the Spark and DuckDB
+    variants."""
+    from ..functions.compat import portable_hash32_py
+
+    return portable_hash32_py(s)

@@ -22,7 +22,6 @@ the bucket-join plumbing here is identical.
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -39,8 +38,9 @@ PRUNE_MARGIN = 8
 
 
 def _plane_sign(j: int, d: int) -> float:
-    h = int(hashlib.md5(f"plane{j}:{d}".encode()).hexdigest()[:8], 16)
-    return 1.0 if h % 2 == 1 else -1.0
+    from ..functions.compat import portable_hash32_py
+
+    return 1.0 if portable_hash32_py(f"plane{j}:{d}") % 2 == 1 else -1.0
 
 
 PLANES: list[list[float]] = [

@@ -30,6 +30,9 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB-runnable ANSI SQL, or None → rows-only check
     doc: str = ""
+    # the undecorated source fn — _resync_docs reads its (possibly
+    # post-decoration .format()-ed) __doc__ after all modules imported
+    src: QueryFn | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -47,10 +50,33 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         wrapped.__doc__ = fn.__doc__
         if name in REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
-        REGISTRY[name] = QuerySpec(name, wrapped, oracle, (fn.__doc__ or "").strip())
+        REGISTRY[name] = QuerySpec(
+            name, wrapped, oracle, (fn.__doc__ or "").strip(), src=fn
+        )
         return fn
 
     return deco
+
+
+def _resync_docs() -> None:
+    """Re-copy each source fn's __doc__ into its spec and wrapper.
+
+    Many modules substitute constants into docstrings AFTER the decorator
+    ran (``q_foo.__doc__ = q_foo.__doc__.format(K=_K)`` at module level —
+    docstrings must be literals, so the substitution can't happen
+    earlier). The decorator copied the doc at decoration time, leaving
+    literal ``{K}`` placeholders in the registry/driver-visible text
+    (ADVICE r6). Running this after every plan module has fully executed
+    makes decoration-time copies equal the final text."""
+    from dataclasses import replace
+
+    for name, spec in list(REGISTRY.items()):
+        if spec.src is None:
+            continue
+        doc = (spec.src.__doc__ or "").strip()
+        if spec.doc != doc:
+            spec.fn.__doc__ = spec.src.__doc__
+            REGISTRY[name] = replace(spec, doc=doc)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -314,3 +340,4 @@ def _import_plans() -> None:
             # tolerate only *our own* not-yet-written plan modules
             if f"plans.{mod}" not in str(e):
                 raise
+    _resync_docs()

@@ -1150,6 +1150,11 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+q_encode_ids.__doc__ = q_encode_ids.__doc__.replace(
+    "{MAX_LEN}", str(_ENCODE_MAX_LEN)
+)
+
+
 # --- BPE merge training: the iterative loop above q_bpe_pair_counts ----------
 
 _BPE_ROUNDS = 3
@@ -1293,6 +1298,11 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+q_bpe_train_merges.__doc__ = q_bpe_train_merges.__doc__.replace(
+    "{BATCH}", str(_BPE_BATCH)
+).replace("{POOL}", str(_BPE_POOL))
+
+
 def _bpe_train(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, int, str, str, int]], DataFrame]:
@@ -1418,6 +1428,11 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+q_bpe_apply.__doc__ = q_bpe_apply.__doc__.replace(
+    "{ROUNDS}", str(_BPE_ROUNDS)
+)
+
+
 # --- segment-level dedup: C4's line-dedup shape over token segments ----------
 
 _SEG_LEN = 8  # tokens per segment (the "line" unit for this corpus)
@@ -1478,6 +1493,11 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") > 0)
     )
     return _segment_dedup_plan(d, lambda seg: seg)
+
+
+q_segment_dedup.__doc__ = q_segment_dedup.__doc__.replace(
+    "{SEG_LEN}", str(_SEG_LEN)
+).replace("{BOILER_DF}", str(_SEG_BOILER_DF))
 
 
 def _segment_dedup_plan(d: DataFrame, key_fn) -> DataFrame:
@@ -1668,6 +1688,11 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+q_ngram_lm_counts.__doc__ = q_ngram_lm_counts.__doc__.replace(
+    "{TOPK}", str(_LM_TOPK)
+)
+
+
 # --- duplicated-span measurement: exact-substring dedup's unit signal --------
 
 _DUP_N = 13  # token-gram length (the ExactSubstr literature's span unit)
@@ -1712,6 +1737,11 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary-length spans — this relation-friendly fixed-n form is what
     the literature actually measures with."""
     return _dup_span_plan(spark, sf_dir, lambda ng: ng)
+
+
+q_dup_span_fraction.__doc__ = q_dup_span_fraction.__doc__.replace(
+    "{N}", str(_DUP_N)
+)
 
 
 def _dup_span_plan(spark: SparkSession, sf_dir: str, key_fn) -> DataFrame:
@@ -1782,6 +1812,11 @@ def q_dup_span_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact string-gram SQL: outputs are key-agnostic, so the driver
     hash-asserts count-equivalence of the hashed plan."""
     return _dup_span_plan(spark, sf_dir, lambda ng: F.xxhash64(ng))
+
+
+q_dup_span_fraction_hashed.__doc__ = q_dup_span_fraction_hashed.__doc__.replace(
+    "{_DUP_N}", str(_DUP_N)
+)
 
 
 _DUP_SPAN_MAXIMAL_ORACLE = f"""

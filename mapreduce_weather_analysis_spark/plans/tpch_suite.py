@@ -541,7 +541,7 @@ def q_solo_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and mirrored verbatim in the oracle) groups the fact ONCE per
     orderkey, counting distinct suppliers and distinct LATE suppliers:
     a row is a "solo late" exactly when it is late, n_supp >= 2, and
-    n_late = 1 (the late set is {self}). That turns O(fact²-join) into
+    n_late = 1 (the late set is only the supplier itself). That turns O(fact²-join) into
     one grouped agg + one orderkey re-join — the same shuffle the join
     already needs, so at 100 TB it is strictly cheaper than the EXISTS
     pair. Top-20 via TakeOrdered on a total order (numwait desc, name)."""

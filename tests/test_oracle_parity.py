@@ -55,3 +55,21 @@ def test_priority_subset_of_registry():
     assert not missing, f"_PRIORITY names not registered: {missing}"
     dupes = [n for n in _PRIORITY if _PRIORITY.count(n) > 1]
     assert not dupes, f"duplicate _PRIORITY names: {sorted(set(dupes))}"
+
+
+def test_registry_docs_fully_formatted():
+    """No driver-visible query doc may carry an unsubstituted {PLACEHOLDER}
+    — module-level __doc__.format(...) runs after @register copies the
+    text, so registry._resync_docs() must have re-synced every spec
+    (ADVICE r6 bug class, fixed structurally)."""
+    import re
+
+    from mapreduce_weather_analysis_spark.plans.registry import _import_plans
+
+    _import_plans()
+    offenders = {
+        n: sorted(set(re.findall(r"\{[A-Za-z_][A-Za-z0-9_]*\}", s.doc)))
+        for n, s in REGISTRY.items()
+        if re.search(r"\{[A-Za-z_][A-Za-z0-9_]*\}", s.doc)
+    }
+    assert not offenders, f"unformatted doc placeholders: {offenders}"
