@@ -104,6 +104,8 @@ HEADLINE = [
     "q_ann_sq8_topk",
     "q_ann_matryoshka_rerank",
     "q_dup_span_removal",
+    "q_ann_ivf_sq8_topk",
+    "q_decontaminate_bloom",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -217,6 +219,10 @@ BASELINE_SEC = {
     "q_ann_matryoshka_rerank": 1.0,
     # gram mark join + per-doc union-merge coverage scan + text reassembly
     "q_dup_span_removal": 3.1,
+    # IVF quantizer training + SQ8 train/encode + probed asymmetric scan
+    "q_ann_ivf_sq8_topk": 3.5,
+    # shingle explode + broadcast bit-set join + FP-certifying exact arm
+    "q_decontaminate_bloom": 1.5,
 }
 
 

@@ -118,6 +118,131 @@ def sq8_topk(
     )
 
 
+def ivf_sq8_topk(
+    emb: DataFrame,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """``IVF..,SQ8`` — the composition the standalone operators exist
+    for: the IVF coarse quantizer restricts candidates to the probed
+    cells, whose members are stored as 1-byte-per-dim SQ8 codes;
+    asymmetric scoring dequantizes only the probed cells' codes against
+    the exact query vector. Query-time bytes = (nprobe/k)·N·D codes —
+    the probe restriction cuts the candidates, SQ8 cuts the bytes per
+    candidate 8×, and both cuts multiply. One broadcast probe relation,
+    one stats crossJoin; the corpus never shuffles for search."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import cosine
+    from .ivf import IVF_NPROBE, ivf_index, ivf_probes
+
+    if nprobe is None:
+        nprobe = IVF_NPROBE
+    assigned, centroids = ivf_index(emb)
+    vecs = assigned.select("vec_id", "v")
+    stats = sq8_stats(vecs)
+    # encoded lists keyed by cell: at rest this is the (cluster-partitioned)
+    # code relation; decode inline for the asymmetric scan
+    deq_cells = (
+        sq8_encode(vecs, stats)
+        .join(assigned.select("vec_id", "cluster"), "vec_id")
+        .crossJoin(F.broadcast(stats))
+        .select("vec_id", "cluster", F.expr(_DECODE).alias("xhat"))
+    )
+    probes = ivf_probes(assigned, centroids, query_filter, nprobe=nprobe)
+    cand = (
+        F.broadcast(probes)
+        .join(deq_cells, "cluster")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("xhat")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _sq8_ctes(table_cte: str) -> list[str]:
+    """The train/encode/decode CTE block over an existing (vec_id, v)
+    relation — shared by the standalone and IVF-composed oracles."""
+    return [
+        f"""sqdims AS (
+          SELECT i AS dim, v[i] AS val
+          FROM {table_cte}, (SELECT unnest(range(1, {DIM} + 1)) AS i)
+        )""",
+        """sqstats AS (
+          SELECT dim, MIN(val) AS vmin, MAX(val) AS vmax
+          FROM sqdims GROUP BY dim
+        )""",
+        """sqrow AS (
+          SELECT list(vmin ORDER BY dim) AS vmin,
+                 list(vmax ORDER BY dim) AS vmax
+          FROM sqstats
+        )""",
+        f"""sqenc AS (
+          SELECT vec_id,
+                 list_transform(range(1, {DIM} + 1),
+                   i -> CASE WHEN vmax[i] > vmin[i] THEN
+                          CAST(FLOOR((v[i] - vmin[i]) / (vmax[i] - vmin[i])
+                                     * {SQ_LEVELS}.0 + 0.5) AS INT)
+                        ELSE 0 END) AS code
+          FROM {table_cte}, sqrow
+        )""",
+        f"""sqdeq AS (
+          SELECT vec_id,
+                 list_transform(range(1, {DIM} + 1),
+                   i -> vmin[i] + CAST(code[i] AS DOUBLE)
+                        / {SQ_LEVELS}.0 * (vmax[i] - vmin[i])) AS xhat
+          FROM sqenc, sqrow
+        )""",
+    ]
+
+
+def ivf_sq8_topk_sql(
+    table: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int | None = None,
+) -> str:
+    from ..functions.vectors import cosine_sql
+    from .ivf import IVF_NPROBE, ivf_chain
+
+    if nprobe is None:
+        nprobe = IVF_NPROBE
+    ctes = ivf_chain(
+        table, query_filter, nprobe=nprobe, materialize=True
+    ) + _sq8_ctes("vecs")
+    cos = cosine_sql("probes.qv", "sqdeq.xhat")
+    ctes.append(
+        f"""sqscored AS (
+          SELECT probes.query_id, fa.vec_id AS neighbor_id, {cos} AS cosine
+          FROM probes
+          JOIN fa ON fa.cluster = probes.cluster
+          JOIN sqdeq ON sqdeq.vec_id = fa.vec_id
+          WHERE probes.query_id <> fa.vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM sqscored
+    ) WHERE rank <= {k_neighbors}
+    """
+    )
+
+
 def sq8_topk_sql(
     table: str, query_filter: str, k_neighbors: int = 5
 ) -> str:

@@ -299,6 +299,142 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 131072  # filter bits (2^17)
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(expr: str, j: int) -> str:
+    from ..functions.compat import portable_hash32_sql
+
+    seeded = f"concat('bloom{j}:', {expr})"
+    return f"{portable_hash32_sql(seeded)} % {_BLOOM_M}"
+
+
+@register(
+    "q_decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest({shingles_sql('toks', _DECON_N)}) AS s
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+    ),
+    eval_sh AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_EVAL} = 0
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {' UNION ALL '.join(
+            f"SELECT {_bloom_pos_sql('s', j)} AS pos FROM eval_sh"
+            for j in range(_BLOOM_K)
+        )}
+      )
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {_DECON_EVAL} <> 0
+    ),
+    probe AS (
+      SELECT doc_id, s, unnest([{', '.join(
+          _bloom_pos_sql('s', j) for j in range(_BLOOM_K)
+      )}]) AS pos
+      FROM train_sh
+    ),
+    bloom_hits AS (
+      SELECT doc_id, s FROM probe JOIN bits USING (pos)
+      GROUP BY doc_id, s HAVING COUNT(*) = {_BLOOM_K}
+    ),
+    exact_hits AS (
+      SELECT DISTINCT t.doc_id, t.s
+      FROM train_sh t JOIN eval_sh e ON t.s = e.s
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN x.s IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_exact_hits,
+           CAST(SUM(CASE WHEN x.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives
+    FROM bloom_hits b
+    LEFT JOIN exact_hits x ON x.doc_id = b.doc_id AND x.s = b.s
+    GROUP BY b.doc_id
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination with IN-PLAN false-positive
+    certification: the eval split's shingles build a deterministic
+    {M}-bit / {K}-hash Bloom filter (portable md5-prefix hashes, so the
+    bit set is identical cross-engine), and train shingles are flagged
+    when ALL {K} probe bits are set. Per flagged doc the query also
+    reports how many flagged shingles are EXACT matches vs Bloom false
+    positives — the same self-certifying posture as q_cm_sketch_freq,
+    here quantifying the one-sided error the compression buys.
+
+    Scale posture — the reason to prefer this over q_decontaminate's
+    exact broadcast: the broadcast relation shrinks from ALL distinct
+    eval shingles (GBs for a fat benchmark suite at 100 TB train scale)
+    to at most {M} set-bit positions (~1 MB) REGARDLESS of benchmark
+    size; the train side still scans once with no shuffle of train
+    data. The exact-hit arm here exists only to certify the FP rate on
+    the flagged subset — production keeps the Bloom arm and spot-checks;
+    the oracle reproduces bits, probes, and FP accounting exactly."""
+    from ..functions.compat import portable_hash32
+    from ..operators.dedup import shingle_rows
+
+    def bloom_pos(c, j: int):
+        return (
+            portable_hash32(F.concat(F.lit(f"bloom{j}:"), c)) % _BLOOM_M
+        )
+
+    d = t(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "text", "doc_id", n=_DECON_N)
+    is_eval = F.col("doc_id") % _DECON_EVAL == 0
+    eval_sh = sh.where(is_eval).select("s").distinct()
+    bits = (
+        eval_sh.select(
+            F.explode(
+                F.array(*[bloom_pos(F.col("s"), j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    train_sh = sh.where(~is_eval).select("doc_id", "s").distinct()
+    probe = train_sh.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(*[bloom_pos(F.col("s"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    bloom_hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .where(F.col("nbits") == _BLOOM_K)
+        .select("doc_id", "s")
+    )
+    exact_hits = (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .select("doc_id", "s")
+        .withColumn("exact", F.lit(1))
+    )
+    return (
+        bloom_hits.join(exact_hits, ["doc_id", "s"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_hits"),
+            F.sum(F.coalesce("exact", F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+            F.sum(F.when(F.col("exact").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_positives"),
+        )
+    )
+
+
+q_decontaminate_bloom.__doc__ = q_decontaminate_bloom.__doc__.replace(
+    "{M}", str(_BLOOM_M)
+).replace("{K}", str(_BLOOM_K))
+
+
 @register(
     "q_dedup_canonical",
     oracle=f"""

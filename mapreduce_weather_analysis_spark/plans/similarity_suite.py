@@ -488,6 +488,29 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(e, _QUERY_FILTER)
 
 
+def _ivf_sq8_oracle() -> str:
+    from ..operators.sq import ivf_sq8_topk_sql
+
+    return ivf_sq8_topk_sql("embeddings", _QUERY_FILTER)
+
+
+@register("q_ann_ivf_sq8_topk", oracle=_ivf_sq8_oracle())
+def q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IVF..,SQ8`` composed (the FAISS index string, literally): the
+    ⌊√N⌋-cell IVF quantizer restricts candidates to the probed cells,
+    whose members live as 1-byte-per-dim SQ8 codes dequantized only for
+    the asymmetric scan. The two cuts MULTIPLY: probe restriction reads
+    nprobe/k of the corpus, SQ8 reads 1/8 of the bytes per candidate —
+    the byte math that makes billion-vector serving fit a disk budget.
+    The oracle composes the ivf_chain Lloyd CTEs with the SQ8
+    train/encode/decode block over the same corpus relation — bit-exact
+    probes, codes, and cosines."""
+    from ..operators.sq import ivf_sq8_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_sq8_topk(e, _QUERY_FILTER)
+
+
 _MRL_PREFIX_DIM = 16
 _MRL_SHORTLIST = 20
 

@@ -315,3 +315,21 @@ def test_dup_span_removal_per_doc_window_and_semi_join(spark):
     assert "WindowExec" not in plan  # the warning-path operator name
     # the coverage window's partition spec is doc_id
     assert "partitionBy=[doc_id" in plan.replace(" ", "") or "doc_id" in plan
+
+
+def test_ivf_sq8_broadcasts_probes(spark):
+    """IVF+SQ8: the probe relation broadcasts into the cell-membership
+    join; the only corpus-sized exchanges are the build-side (vec_id)
+    joins, and scoring stays JVM-side (no pandas stage in the scan)."""
+    plan = _plan(REGISTRY["q_ann_ivf_sq8_topk"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") >= 1  # stats row
+
+
+def test_bloom_decontaminate_broadcasts_filter(spark):
+    """Bloom decontamination must broadcast BOTH the set-bit relation and
+    the exact-arm eval shingles — train data never shuffles for either
+    membership test."""
+    plan = _plan(REGISTRY["q_decontaminate_bloom"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
