@@ -220,9 +220,9 @@ BASELINE_SEC = {
     # gram mark join + per-doc union-merge coverage scan + text reassembly
     "q_dup_span_removal": 3.1,
     # IVF quantizer training + SQ8 train/encode + probed asymmetric scan
-    "q_ann_ivf_sq8_topk": 3.5,
+    "q_ann_ivf_sq8_topk": 3.2,
     # shingle explode + broadcast bit-set join + FP-certifying exact arm
-    "q_decontaminate_bloom": 1.5,
+    "q_decontaminate_bloom": 1.9,
 }
 
 
