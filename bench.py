@@ -105,6 +105,7 @@ HEADLINE = [
     "q_ann_matryoshka_rerank",
     "q_dup_span_removal",
     "q_ann_ivf_sq8_topk",
+    "q_ann_imi_sq8_search",
     "q_decontaminate_bloom",
 ]
 
@@ -223,6 +224,8 @@ BASELINE_SEC = {
     "q_ann_ivf_sq8_topk": 3.2,
     # shingle explode + broadcast bit-set join + FP-certifying exact arm
     "q_decontaminate_bloom": 1.9,
+    # full-stack persisted serving: IMI pair probes over SQ8 byte lists
+    "q_ann_imi_sq8_search": 1.4,
 }
 
 

@@ -204,13 +204,18 @@ def ivfpq_search(
 
 def _imi_signature() -> str:
     """Every constant the IMI build math depends on — same
-    stale-index-vs-fresh-oracle rationale as :func:`_build_signature`."""
+    stale-index-vs-fresh-oracle rationale as :func:`_build_signature`.
+    ``layout=imi2`` joined round 7 when the SQ8 code lists + stats
+    relations were added beside the float lists (an imi1 index lacks
+    them and must rebuild, not half-serve)."""
     from .imi import IMI_HALF_DIM, IMI_HALF_FLOOR, IMI_NPROBE
     from .ivf import IVF_ITERS
+    from .sq import SQ_LEVELS
 
     return (
         f"imi_half_dim={IMI_HALF_DIM}:imi_half_floor={IMI_HALF_FLOOR}:"
-        f"kh=isqrt4:imi_nprobe={IMI_NPROBE}:iters={IVF_ITERS}"
+        f"kh=isqrt4:imi_nprobe={IMI_NPROBE}:iters={IVF_ITERS}:"
+        f"layout=imi2:sq_levels={SQ_LEVELS}"
     )
 
 
@@ -237,6 +242,8 @@ def imi_write(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return path
+    from .sq import sq8_encode, sq8_stats
+
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, cent1, cent2 = imi_index(emb)
     (
@@ -246,6 +253,19 @@ def imi_write(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("c1", "c2")
         .parquet(os.path.join(path, "vecs"))
     )
+    # SQ8 byte-code lists beside the float lists (layout imi2): the
+    # cheap-scan serving arm reads ~1/8 the bytes from the same probed
+    # cells; stats is the 2×D-double "codebook"
+    stats = sq8_stats(assigned.select("vec_id", "v")).localCheckpoint()
+    (
+        sq8_encode(assigned.select("vec_id", "v"), stats)
+        .join(assigned.select("vec_id", "c1", "c2"), "vec_id")
+        .repartition("c1", "c2")
+        .write.mode("overwrite")
+        .partitionBy("c1", "c2")
+        .parquet(os.path.join(path, "codes"))
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(path, "sqstats"))
     cent1.write.mode("overwrite").parquet(os.path.join(path, "cent1"))
     cent2.write.mode("overwrite").parquet(os.path.join(path, "cent2"))
     with open(marker, "w", encoding="utf-8"):
@@ -282,6 +302,64 @@ def imi_search(
     )
     pairs = imi_pairs(queries, cent1, cent2, nprobe=nprobe)
     return score_pairs(pairs, vecs, queries, k_neighbors)
+
+
+def imi_sq8_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """The full-stack serving arm: IMI two-level probes over the SQ8
+    byte-code lists — quantizer read is 2·⌊⁴√N⌋ half-centroids, probed
+    I/O is nprobe²/k_h² of the corpus at 1 byte/dim, and the exact query
+    vector scores asymmetrically against inline-dequantized codes. Every
+    reduction composed: cells cut candidates, codes cut bytes per
+    candidate, the broadcast pair relation partition-prunes both
+    directions of the (c1, c2) layout."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+    from .imi import IMI_NPROBE, imi_pairs
+    from .sq import _DECODE
+
+    if nprobe is None:
+        nprobe = IMI_NPROBE
+    cent1 = spark.read.parquet(os.path.join(index_path, "cent1"))
+    cent2 = spark.read.parquet(os.path.join(index_path, "cent2"))
+    stats = spark.read.parquet(os.path.join(index_path, "sqstats"))
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    pairs = imi_pairs(queries, cent1, cent2, nprobe=nprobe)
+    cand = (
+        F.broadcast(pairs)
+        .join(codes, ["c1", "c2"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_DECODE).alias("xhat"),
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("xhat")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 def _featurizer_signature() -> str:

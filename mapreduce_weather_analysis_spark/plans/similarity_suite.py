@@ -488,6 +488,56 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(e, _QUERY_FILTER)
 
 
+def _imi_sq8_oracle() -> str:
+    from ..operators.imi import imi_chain
+    from ..operators.sq import _sq8_ctes
+
+    ctes = imi_chain("embeddings", _QUERY_FILTER) + _sq8_ctes("imivecs")
+    cos = cosine_sql("imiq.qv", "sqdeq.xhat")
+    ctes.append(
+        f"""imisqscored AS (
+          SELECT imipairs.query_id, a.vec_id AS neighbor_id, {cos} AS cosine
+          FROM imipairs
+          JOIN imiassigned a
+            ON a.c1 = imipairs.c1 AND a.c2 = imipairs.c2
+          JOIN sqdeq ON sqdeq.vec_id = a.vec_id
+          JOIN imiq ON imiq.query_id = imipairs.query_id
+          WHERE imipairs.query_id <> a.vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM imisqscored
+    ) WHERE rank <= 5
+    """
+    )
+
+
+@register("q_ann_imi_sq8_search", oracle=_imi_sq8_oracle())
+def q_ann_imi_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-STACK persisted serving: IMI two-level probes over SQ8
+    byte-code lists (ann_store layout imi2 — ``codes/`` partitioned by
+    the (c1, c2) cell pair beside the float lists, plus the 2×D-double
+    ``sqstats`` row). Every scale reduction in the family composed into
+    one query: the quantizer artifact is 2·⌊⁴√N⌋ half-centroids (KB at
+    any N), the probed I/O is nprobe²/k_h² of the corpus, and each
+    candidate streams 1 byte/dim — dequantized inline against the exact
+    query vector. This is the shape a 10¹⁰-vector deployment actually
+    serves: tiny quantizer, pruned cells, byte lists, float confirm only
+    if a rerank stage asks. Oracle composes the two half-space Lloyd
+    chains, the pair join, and the SQ8 train/encode/decode block."""
+    from ..operators.ann_store import imi_sq8_search, imi_write
+
+    path = imi_write(spark, sf_dir)
+    return imi_sq8_search(spark, sf_dir, path, _QUERY_FILTER)
+
+
 def _ivf_sq8_oracle() -> str:
     from ..operators.sq import ivf_sq8_topk_sql
 

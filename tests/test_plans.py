@@ -333,3 +333,13 @@ def test_bloom_decontaminate_broadcasts_filter(spark):
     plan = _plan(REGISTRY["q_decontaminate_bloom"].fn(spark, SMOKE_SF))
     assert _n_ops(plan, "BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_imi_sq8_search_prunes_and_stays_jvm(spark):
+    """Full-stack serving: pair relation broadcast, DPP on both c1 and
+    c2 against the code lists, inline JVM dequantize (no pandas stage)."""
+    plan = _plan(REGISTRY["q_ann_imi_sq8_search"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert plan.lower().count("dynamicpruning#") >= 2
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
