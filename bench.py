@@ -106,6 +106,7 @@ HEADLINE = [
     "q_dup_span_removal",
     "q_ann_ivf_sq8_topk",
     "q_ann_imi_sq8_search",
+    "q_ann_imi_rerank",
     "q_decontaminate_bloom",
 ]
 
@@ -226,6 +227,8 @@ BASELINE_SEC = {
     "q_decontaminate_bloom": 1.9,
     # full-stack persisted serving: IMI pair probes over SQ8 byte lists
     "q_ann_imi_sq8_search": 1.4,
+    # byte-shortlist winnow + exact float confirm from the same index
+    "q_ann_imi_rerank": 2.0,
 }
 
 

@@ -362,6 +362,54 @@ def imi_sq8_search(
     )
 
 
+def imi_sq8_rerank_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    k_neighbors: int = 5,
+    shortlist: int = 20,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Two-stage full-stack serving: the SQ8 byte scan keeps a per-query
+    SHORTLIST (k·4), then ONLY those candidates rescore with exact cosine
+    against the float lists — same §V-D winnow-then-confirm flow as
+    ivfpq_rerank_search, on the IMI layout. Float reads shrink to
+    |Q|·shortlist rows; the byte arm does the winnowing."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+
+    sl = imi_sq8_search(
+        spark, sf_dir, index_path, query_filter,
+        k_neighbors=shortlist, nprobe=nprobe,
+    ).select("query_id", "neighbor_id")
+    vecs = spark.read.parquet(os.path.join(index_path, "vecs")).select(
+        "vec_id", "v"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    rescored = (
+        F.broadcast(sl)
+        .join(vecs.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _featurizer_signature() -> str:
     """Every constant the DOCUMENT featurization depends on: the hashed
     bucket count and the tokenizer whitespace class. Without these a

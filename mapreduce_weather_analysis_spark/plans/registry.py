@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_matryoshka_rerank",
     "q_ann_ivf_sq8_topk",
     "q_ann_imi_sq8_search",
+    "q_ann_imi_rerank",
     "q_decontaminate_bloom",
     "q_dup_span_removal",
     "q_ann_gemm_topk",

@@ -538,6 +538,53 @@ def q_ann_imi_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imi_sq8_search(spark, sf_dir, path, _QUERY_FILTER)
 
 
+_IMI_RERANK_SHORTLIST = 20
+
+
+def _imi_rerank_oracle() -> str:
+    shortlist_sql = _imi_sq8_oracle().replace(
+        "WHERE rank <= 5", f"WHERE rank <= {_IMI_RERANK_SHORTLIST}"
+    )
+    return f"""
+    WITH shortlist AS (
+      SELECT query_id, neighbor_id FROM ({shortlist_sql})
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {cosine_sql('q.v', 'n.v')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {cosine_sql('q.v', 'n.v')} DESC, s.neighbor_id ASC
+             ) AS rank
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e n ON n.vec_id = s.neighbor_id
+    ) WHERE rank <= 5
+    """
+
+
+@register("q_ann_imi_rerank", oracle=_imi_rerank_oracle())
+def q_ann_imi_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE full-stack serving on the IMI layout: the SQ8 byte scan
+    winnows the probed cell pairs down to a 4k-deep shortlist per query,
+    then ONLY those |Q|·shortlist candidates rescore with exact cosine
+    against the float lists — §V-D's winnow-then-confirm flow where both
+    stages read the SAME persisted index (codes/ for bytes, vecs/ for
+    confirmation). Per the round-7 recall sweep this is the shape that
+    recovers quality: SQ8's near-exact ranks (0.98 standalone) mean the
+    byte shortlist loses almost nothing, so the float stage's recall
+    ceiling is the PROBE restriction, not the quantizer. The oracle nests
+    the composed IMI+SQ8 chain as the shortlist and reranks with the
+    brute cosine expression."""
+    from ..operators.ann_store import imi_sq8_rerank_search, imi_write
+
+    path = imi_write(spark, sf_dir)
+    return imi_sq8_rerank_search(
+        spark, sf_dir, path, _QUERY_FILTER, shortlist=_IMI_RERANK_SHORTLIST
+    )
+
+
 def _ivf_sq8_oracle() -> str:
     from ..operators.sq import ivf_sq8_topk_sql
 

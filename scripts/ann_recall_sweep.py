@@ -32,6 +32,9 @@ ARMS = [
     "q_ann_ivfpq_rerank",
     "q_ann_sq8_topk",
     "q_ann_matryoshka_rerank",
+    "q_ann_ivf_sq8_topk",
+    "q_ann_imi_sq8_search",
+    "q_ann_imi_rerank",
 ]
 
 
