@@ -166,6 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_imi_sq8_search",
     "q_ann_imi_rerank",
     "q_decontaminate_bloom",
+    "q_stream_decontaminate",
     "q_dup_span_removal",
     "q_ann_gemm_topk",
     "q_ann_ivf_sampled",

@@ -505,3 +505,123 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
     )
+
+
+def _stream_bloom_oracle() -> str:
+    from ..functions.text import shingles_sql, tokens_sql
+    from .dedup_suite import _BLOOM_K, _DECON_EVAL, _DECON_N, _bloom_pos_sql
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest({shingles_sql('toks', _DECON_N)}) AS s
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+    ),
+    eval_sh AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_EVAL} = 0
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {' UNION ALL '.join(
+            f"SELECT {_bloom_pos_sql('s', j)} AS pos FROM eval_sh"
+            for j in range(_BLOOM_K)
+        )}
+      )
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {_DECON_EVAL} <> 0
+    ),
+    probe AS (
+      SELECT doc_id, s, unnest([{', '.join(
+          _bloom_pos_sql('s', j) for j in range(_BLOOM_K)
+      )}]) AS pos
+      FROM train_sh
+    ),
+    bloom_hits AS (
+      SELECT doc_id, s FROM probe JOIN bits USING (pos)
+      GROUP BY doc_id, s HAVING COUNT(*) = {_BLOOM_K}
+    )
+    SELECT doc_id, COUNT(*) AS n_bloom_hits
+    FROM bloom_hits GROUP BY doc_id
+    """
+
+
+@register("q_stream_decontaminate", oracle=_stream_bloom_oracle())
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom decontamination AT INGEST — the contamination firewall as a
+    STATELESS stream. The eval split's Bloom filter is built batch-side
+    and shipped INTO the streaming plan as a literal packed bitmap
+    (2¹⁷ bits = 2048 longs — the "broadcast the filter artifact" step a
+    real deployment does once per benchmark release), so the per-row
+    membership test is a pure JVM expression: each document's distinct
+    4-gram shingles filter on "all 3 probe bits set" via element_at +
+    bitwiseAND against the bitmap literal. Zero streaming state, append
+    mode — contamination is flagged before the row ever lands, and the
+    stream never joins or shuffles. The oracle recomputes filter bits
+    and membership relationally on the batch table: provable
+    batch/stream equivalence AND bitmap-vs-relational equivalence in
+    one hash check."""
+    from ..functions.compat import portable_hash32
+    from ..functions.text import shingles, tokens
+    from ..operators.dedup import shingle_rows
+    from .dedup_suite import _BLOOM_K, _BLOOM_M, _DECON_EVAL, _DECON_N
+    from .registry import t
+
+    # batch-side filter build: collect set-bit positions (≤ 2^17, the
+    # shipped artifact) and pack into 2048 longs
+    docs_static = t(spark, sf_dir, "documents")
+    eval_sh = shingle_rows(
+        docs_static.where(F.col("doc_id") % _DECON_EVAL == 0),
+        "text",
+        "doc_id",
+        n=_DECON_N,
+    ).select("s").distinct()
+    pos_rows = (
+        eval_sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        portable_hash32(F.concat(F.lit(f"bloom{j}:"), F.col("s")))
+                        % _BLOOM_M
+                        for j in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_M // 64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+
+    def _as_long(w: int) -> int:  # two's-complement into a signed long literal
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    bitmap = F.array(*[F.lit(_as_long(w)) for w in words])
+    pow2 = F.array(*[F.lit(_as_long(1 << b)) for b in range(64)])
+
+    def bit_ok(s, j: int):
+        pos = portable_hash32(F.concat(F.lit(f"bloom{j}:"), s)) % _BLOOM_M
+        bit = pos % 64
+        word = F.element_at(bitmap, ((pos - bit) / 64).cast("int") + 1)
+        return word.bitwiseAND(F.element_at(pow2, (bit + 1).cast("int"))) != 0
+
+    stream = read_documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % _DECON_EVAL != 0
+    )
+    from functools import reduce as _reduce
+
+    hits = F.size(
+        F.filter(
+            shingles(tokens("text"), n=_DECON_N),
+            lambda s: _reduce(
+                lambda a, b: a & b, [bit_ok(s, j) for j in range(_BLOOM_K)]
+            ),
+        )
+    )
+    flagged = stream.select(
+        "doc_id", hits.cast("bigint").alias("n_bloom_hits")
+    ).where(F.col("n_bloom_hits") > 0)
+    return run_available_now(flagged, spark, mode="append")
