@@ -855,3 +855,76 @@ def test_imi_fingerprint_tracks_build_constants(monkeypatch):
     monkeypatch.setattr(imi, "IMI_HALF_FLOOR", imi.IMI_HALF_FLOOR + 1)
     bumped = ann_store.imi_index_path(sf)
     assert bumped != base
+
+
+def test_dup_span_removal_consistent_with_maximal(spark):
+    """Cross-query invariant: the tokens q_dup_span_removal REMOVES are
+    exactly the tokens q_dup_span_maximal COUNTS as duplicated coverage —
+    two independently-written plans (gaps-and-islands vs union-merge
+    running max) over the same marked-gram relation must agree per doc."""
+    from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    removal = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in REGISTRY["q_dup_span_removal"].fn(spark, sf).collect()
+    }
+    maximal = {
+        r["doc_id"]: r["dup_token_coverage"]
+        for r in REGISTRY["q_dup_span_maximal"].fn(spark, sf).collect()
+    }
+    # every doc with measured spans must lose exactly its coverage
+    assert maximal, "maximal span query returned no rows"
+    for doc_id, cov in maximal.items():
+        assert removal[doc_id] == cov, (doc_id, removal[doc_id], cov)
+    # docs without spans must lose nothing
+    for doc_id, removed in removal.items():
+        if doc_id not in maximal:
+            assert removed == 0, (doc_id, removed)
+
+
+def test_sq8_reconstruction_error_bound(spark):
+    """SQ8 invariant: |x − dequant(quant(x))| ≤ step/2 + ulp slack per
+    dimension, where step = (vmax−vmin)/255 — the defining property of
+    midpoint linear quantization (floor(·+0.5) rounds to the nearest
+    level, saturating at the trained corpus extremes)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.operators.sq import (
+        SQ_LEVELS,
+        sq8_decode,
+        sq8_encode,
+        sq8_stats,
+    )
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint()
+    stats = sq8_stats(vecs)
+    deq = sq8_decode(sq8_encode(vecs, stats), stats)
+    row = (
+        vecs.join(deq, "vec_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.max(
+                F.expr(
+                    "aggregate(zip_with(v, xhat, (a, b) -> abs(a - b)), "
+                    "CAST(0.0 AS DOUBLE), (acc, z) -> greatest(acc, z))"
+                )
+            ).alias("max_err"),
+            F.max(
+                F.expr(
+                    "aggregate(zip_with(vmax, vmin, (a, b) -> a - b), "
+                    "CAST(0.0 AS DOUBLE), (acc, z) -> greatest(acc, z))"
+                )
+            ).alias("max_range"),
+        )
+        .collect()[0]
+    )
+    half_step = row["max_range"] / SQ_LEVELS / 2
+    assert row["max_err"] <= half_step * (1 + 1e-9), (
+        row["max_err"],
+        half_step,
+    )
