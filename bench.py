@@ -107,6 +107,7 @@ HEADLINE = [
     "q_ann_ivf_sq8_topk",
     "q_ann_imi_sq8_search",
     "q_ann_imi_rerank",
+    "q_ann_imi_stats",
     "q_decontaminate_bloom",
 ]
 
@@ -229,6 +230,8 @@ BASELINE_SEC = {
     "q_ann_imi_sq8_search": 1.4,
     # byte-shortlist winnow + exact float confirm from the same index
     "q_ann_imi_rerank": 2.0,
+    # two-level occupancy/marginal health profile over persisted lists
+    "q_ann_imi_stats": 0.8,
 }
 
 

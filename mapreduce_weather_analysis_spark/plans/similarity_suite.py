@@ -928,6 +928,92 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _imi_stats_oracle() -> str:
+    from ..operators.imi import imi_chain
+    from ..operators.ivf import IVF_ITERS
+
+    ctes = imi_chain("embeddings", _QUERY_FILTER)
+    last = f"c{IVF_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    occ AS (SELECT c1, c2, COUNT(*) AS n FROM imiassigned GROUP BY 1, 2),
+    m1 AS (SELECT c1, COUNT(*) AS n FROM imiassigned GROUP BY 1),
+    m2 AS (SELECT c2, COUNT(*) AS n FROM imiassigned GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM occ) AS n_pairs_nonempty,
+           (SELECT COUNT(*) FROM h1{last}) * (SELECT COUNT(*) FROM h2{last})
+             AS n_pairs_possible,
+           1.0 - CAST((SELECT COUNT(*) FROM occ) AS DOUBLE)
+                 / ((SELECT COUNT(*) FROM h1{last})
+                    * (SELECT COUNT(*) FROM h2{last})) AS empty_fraction,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM occ) AS n_vectors,
+           (SELECT MIN(n) FROM occ) AS min_occupancy,
+           (SELECT MAX(n) FROM occ) AS max_occupancy,
+           (SELECT MAX(n) FROM m1) AS max_marginal_c1,
+           (SELECT MAX(n) FROM m2) AS max_marginal_c2
+    """
+    )
+
+
+@register("q_ann_imi_stats", oracle=_imi_stats_oracle())
+def q_ann_imi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health profile of the PERSISTED two-level layout — the monitoring
+    query for IMI's documented weakness (Babenko & Lempitsky §4: product
+    cell occupancy is skewed and most of the k_h² cells are EMPTY at
+    modest N, because the two half-spaces are correlated). Reports
+    non-empty vs possible cell pairs, the empty fraction, per-pair
+    occupancy extremes, and the per-half marginal maxima (a hot c1
+    marginal means one half-quantizer is doing all the work). One narrow
+    agg over the (c1, c2)-partitioned lists; the oracle recomputes the
+    full two-level assignment from scratch, so a green row certifies the
+    persisted artifacts match the deterministic build bit-for-bit."""
+    import os
+
+    from ..operators.ann_store import imi_write
+
+    path = imi_write(spark, sf_dir)
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    cent1 = spark.read.parquet(os.path.join(path, "cent1"))
+    cent2 = spark.read.parquet(os.path.join(path, "cent2"))
+    occ = vecs.groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("n"))
+    m1 = vecs.groupBy("c1").agg(F.count(F.lit(1)).alias("n"))
+    m2 = vecs.groupBy("c2").agg(F.count(F.lit(1)).alias("n"))
+    possible = (
+        cent1.agg(F.count(F.lit(1)).alias("k1"))
+        .crossJoin(cent2.agg(F.count(F.lit(1)).alias("k2")))
+        .select((F.col("k1") * F.col("k2")).alias("n_pairs_possible"))
+    )
+    base = occ.agg(
+        F.count(F.lit(1)).alias("n_pairs_nonempty"),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_occupancy"),
+        F.max("n").alias("max_occupancy"),
+    )
+    marg = (
+        m1.agg(F.max("n").alias("max_marginal_c1"))
+        .crossJoin(m2.agg(F.max("n").alias("max_marginal_c2")))
+    )
+    return (
+        base.crossJoin(possible)
+        .crossJoin(marg)
+        .select(
+            "n_pairs_nonempty",
+            "n_pairs_possible",
+            (
+                F.lit(1.0)
+                - F.col("n_pairs_nonempty").cast("double")
+                / F.col("n_pairs_possible")
+            ).alias("empty_fraction"),
+            "n_vectors",
+            "min_occupancy",
+            "max_occupancy",
+            "max_marginal_c1",
+            "max_marginal_c2",
+        )
+    )
+
+
 @register("q_semdedup_persisted", oracle=_semdedup_oracle())
 def q_semdedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the PERSISTED cell assignment (operators/ann_store.py
