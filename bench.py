@@ -109,6 +109,7 @@ HEADLINE = [
     "q_ann_imi_rerank",
     "q_ann_imi_stats",
     "q_decontaminate_bloom",
+    "q_hybrid_search_persisted",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -232,6 +233,8 @@ BASELINE_SEC = {
     "q_ann_imi_rerank": 2.0,
     # two-level occupancy/marginal health profile over persisted lists
     "q_ann_imi_stats": 0.8,
+    # BM25 arm + persisted-docvec-index probed dense arm + RRF fusion
+    "q_hybrid_search_persisted": 2.8,
 }
 
 

@@ -889,24 +889,10 @@ def _hybrid_oracle() -> str:
     """
 
 
-@register("q_hybrid_search_rrf", oracle=_hybrid_oracle())
-def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
-    Büttcher, SIGIR'09 — RRF(d) = Σ 1/(k + rank_list(d)), k={RK}) of the
-    BM25 lexical list and a dense cosine list over the hashing-trick
-    document vectors, with the query vector featurized from the SAME
-    query string at plan-build time. This is the shape every modern
-    search stack runs: sparse and dense retrievers each produce a
-    bounded top-{N} list, fusion touches only those lists.
-
-    Scale shape: both candidate lists are bounded at {N} rows before
-    fusion — the full outer join and the final rank run on ≤2·{N} rows
-    regardless of corpus size. The lexical arm is q_bm25_topk's plan; the
-    dense arm here is exact cosine via a sparse dot against the ≤4-bucket
-    query literal (one hash-agg, no densify) — at 100 TB the dense list
-    comes from the persisted IVF serving path instead, same bounded-list
-    contract. Determinism: integer dots/ranks, dround-rounded cosines and
-    RRF sums, doc_id tie-breaks at every rank."""
+def _lex_rank_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rl): the BM25 lexical top-_HY_LIST list for the fixed
+    query — the sparse arm shared by both hybrid variants (same math as
+    q_bm25_topk, ranks dround-deterministic)."""
     toks_col = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
@@ -950,10 +936,58 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lex_top = bmdoc.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HY_LIST)
     wlex = bounded_rank_window(F.desc("score"), F.asc("doc_id"), anchor="doc_id")
-    lex = lex_top.select(
+    return lex_top.select(
         "doc_id", F.row_number().over(wlex).cast("int").alias("rl")
     )
 
+
+def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF fusion + deterministic top-_HY_TOPK — shared fusion tail."""
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = dround(
+        F.coalesce(1.0 / (_HY_RRF_K + F.col("rl")), F.lit(0.0))
+        + F.coalesce(1.0 / (_HY_RRF_K + F.col("rd")), F.lit(0.0)),
+        8,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rl").alias("lex_rank"),
+            F.col("rd").alias("dense_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_HY_TOPK)
+    )
+
+
+@register("q_hybrid_search_rrf", oracle=_hybrid_oracle())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR'09 — RRF(d) = Σ 1/(k + rank_list(d)), k={RK}) of the
+    BM25 lexical list and a dense cosine list over the hashing-trick
+    document vectors, with the query vector featurized from the SAME
+    query string at plan-build time. This is the shape every modern
+    search stack runs: sparse and dense retrievers each produce a
+    bounded top-{N} list, fusion touches only those lists.
+
+    Scale shape: both candidate lists are bounded at {N} rows before
+    fusion — the full outer join and the final rank run on ≤2·{N} rows
+    regardless of corpus size. The lexical arm is q_bm25_topk's plan; the
+    dense arm here is exact cosine via a sparse dot against the ≤4-bucket
+    query literal (one hash-agg, no densify) — at 100 TB the dense list
+    comes from the persisted IVF serving path instead, same bounded-list
+    contract. Determinism: integer dots/ranks, dround-rounded cosines and
+    RRF sums, doc_id tie-breaks at every rank."""
+    lex = _lex_rank_list(spark, sf_dir)
+
+    toks_col = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks_col.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    tok_rows = d.select("doc_id", F.explode("toks").alias("term"))
     qv = _query_vector()
     q_sq = sum(w * w for w in qv.values())
     w_expr = F.lit(0)
@@ -987,27 +1021,109 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(wd).cast("int").alias("rd")
     )
 
-    fused = lex.join(dense, "doc_id", "full_outer")
-    rrf = dround(
-        F.coalesce(1.0 / (_HY_RRF_K + F.col("rl")), F.lit(0.0))
-        + F.coalesce(1.0 / (_HY_RRF_K + F.col("rd")), F.lit(0.0)),
-        8,
-    )
-    return (
-        fused.select(
-            "doc_id",
-            F.col("rl").alias("lex_rank"),
-            F.col("rd").alias("dense_rank"),
-            rrf.alias("rrf"),
-        )
-        .orderBy(F.desc("rrf"), F.asc("doc_id"))
-        .limit(_HY_TOPK)
-    )
+    return _rrf_fuse(lex, dense)
 
 
 q_hybrid_search_rrf.__doc__ = q_hybrid_search_rrf.__doc__.format(
     RK=_HY_RRF_K, N=_HY_LIST
 )
+
+
+def _hybrid_persisted_oracle() -> str:
+    from ..functions.vectors import cosine_sql
+    from ..operators.ivf import IVF_ITERS, IVF_NPROBE, _sq_l2_sql, ivf_chain
+
+    qv = _query_vector()
+    qlist = ", ".join(str(float(qv.get(i, 0))) for i in range(_FEAT_DIM))
+    rrf = dround_sql(
+        f"COALESCE(1.0 / ({_HY_RRF_K} + rl), 0.0)"
+        f" + COALESCE(1.0 / ({_HY_RRF_K} + rd), 0.0)",
+        8,
+    )
+    # lexical CTEs are textually identical to _hybrid_oracle's (same
+    # BM25 arm); the dense arm is the PROBED persisted-index search
+    lex_block = _hybrid_oracle().split("hcounts AS (")[0].rstrip().rstrip(",")
+    cent = f"c{IVF_ITERS}"
+    chain = ",\n".join(
+        ["""dv AS (
+          SELECT doc_id AS vec_id,
+                 list_transform(v, x -> x * 1.0) AS embedding
+          FROM vec
+        )"""]
+        + ivf_chain("dv", "FALSE", materialize=True)
+    )
+    return f"""{lex_block},
+    {",".join(hashed_vec_ctes())},
+    {chain},
+    qlit AS (SELECT CAST(-1 AS BIGINT) AS query_id,
+                    [{qlist}]::DOUBLE[] AS qv),
+    dprobes AS (
+      SELECT cluster FROM (
+        SELECT {cent}.cluster,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_sq_l2_sql('qlit.qv', f'{cent}.c')}, {cent}.cluster
+               ) AS rn
+        FROM qlit, {cent}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    densecand AS (
+      SELECT fa.vec_id AS doc_id, {cosine_sql('qlit.qv', 'fa.v')} AS cos
+      FROM qlit, fa JOIN dprobes ON fa.cluster = dprobes.cluster
+    ),
+    dense AS (
+      SELECT doc_id, CAST(rk AS INTEGER) AS rd FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY cos DESC, doc_id ASC) AS rk FROM densecand
+      ) WHERE rk <= {_HY_LIST}
+    )
+    SELECT doc_id, rl AS lex_rank, rd AS dense_rank, rrf FROM (
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             rl, rd, {rrf} AS rrf,
+             ROW_NUMBER() OVER (
+               ORDER BY {rrf} DESC, COALESCE(lex.doc_id, dense.doc_id) ASC
+             ) AS frk
+      FROM lex FULL OUTER JOIN dense USING (doc_id)
+    ) WHERE frk <= {_HY_TOPK}
+    """
+
+
+@register("q_hybrid_search_persisted", oracle=_hybrid_persisted_oracle())
+def q_hybrid_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the dense arm on the PERSISTED index — the
+    promise in q_hybrid_search_rrf's docstring ("at 100 TB the dense list
+    comes from the persisted IVF serving path"), cashed. The lexical arm
+    is the same BM25 top-list; the dense arm featurizes the fixed query
+    string at plan-build time, probes the persisted document-vector IVF
+    index (operators/ann_store.docvec_write — the artifact
+    q_semantic_doc_search already maintains, shared and marker-amortized)
+    and ranks exact cosine WITHIN the probed cells only. Fusion is the
+    same bounded RRF. This is the full production retrieval stack in one
+    registered query: sparse scoring + persisted ANN serving + rank
+    fusion, with dense-arm I/O at nprobe/k of the doc-vector corpus
+    instead of a corpus-wide cosine pass. The oracle recomputes the
+    featurizer, the unrolled Lloyd chain, the literal-query probe
+    selection, and the fusion — bit-exact ranks both arms."""
+    from ..operators.ann_store import docvec_write, search_vectors
+
+    lex = _lex_rank_list(spark, sf_dir)
+    term_rows = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    vecs = hashed_count_vectors(term_rows).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    path = docvec_write(spark, sf_dir, vecs)
+    qv = _query_vector()
+    qlist = [float(qv.get(i, 0)) for i in range(_FEAT_DIM)]
+    qdf = spark.createDataFrame(
+        [(-1, qlist)], "query_id bigint, qv array<double>"
+    )
+    dense = search_vectors(spark, path, qdf, k_neighbors=_HY_LIST).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rd"),
+    )
+    return _rrf_fuse(lex, dense)
 
 
 # --- Count-min sketch: frequency estimation under sublinear memory ----------

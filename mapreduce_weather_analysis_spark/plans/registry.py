@@ -168,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_decontaminate_bloom",
     "q_stream_decontaminate",
     "q_ann_imi_stats",
+    "q_hybrid_search_persisted",
     "q_dup_span_removal",
     "q_ann_gemm_topk",
     "q_ann_ivf_sampled",
