@@ -8,6 +8,7 @@ at 100 TB)."""
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -343,3 +344,16 @@ def test_imi_sq8_search_prunes_and_stays_jvm(spark):
     assert "SortMergeJoin" not in plan
     assert plan.lower().count("dynamicpruning#") >= 2
     assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_hybrid_persisted_dense_arm_prunes(spark):
+    """The persisted-dense hybrid must keep the dense arm on the probed
+    cells (dynamic partition pruning against the docvec lists).  The one
+    join Spark cannot broadcast is the RRF fusion itself — a FULL OUTER
+    over two ≤_HY_LIST-row rank lists — so the plan may contain exactly
+    that SortMergeJoin and no other (a corpus-sized SMJ would mean the
+    probe restriction failed)."""
+    plan = _plan(REGISTRY["q_hybrid_search_persisted"].fn(spark, SMOKE_SF))
+    assert "dynamicpruning" in plan.lower()
+    smj = re.findall(r"SortMergeJoin (\w+)", plan)
+    assert smj == ["FullOuter"], smj
