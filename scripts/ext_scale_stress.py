@@ -55,6 +55,7 @@ QUERIES = [
     "q_dup_span_removal",
     "q_ann_sq8_topk",
     "q_ann_matryoshka_rerank",
+    "q_hybrid_search_persisted",
 ]
 
 
