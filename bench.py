@@ -110,6 +110,8 @@ HEADLINE = [
     "q_ann_imi_stats",
     "q_decontaminate_bloom",
     "q_hybrid_search_persisted",
+    "q_knn_join",
+    "q_quality_classifier",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -235,6 +237,10 @@ BASELINE_SEC = {
     "q_ann_imi_stats": 0.8,
     # BM25 arm + persisted-docvec-index probed dense arm + RRF fusion
     "q_hybrid_search_persisted": 2.8,
+    # corpus×corpus kNN join: Lloyd build + cell-key shuffled-hash join
+    "q_knn_join": 5.0,
+    # linear classifier inference: one scan, closed-form weights, no join
+    "q_quality_classifier": 0.8,
 }
 
 

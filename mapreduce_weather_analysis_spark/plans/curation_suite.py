@@ -1345,3 +1345,90 @@ def q_semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
     )
     return search_vectors(spark, path, qv)
+
+
+# --- Linear quality classifier (fastText-style inference) -------------------
+#
+# The model-based complement to the rule-based Gopher gate: production
+# pipelines (CCNet, RefinedWeb, FineWeb) score every document with a cheap
+# linear classifier over hashed bag-of-words features and keep/bucket on
+# the score. The MODEL here is deterministic-synthetic (hash-derived
+# milli-unit integer weights) because no trained artifact ships with the
+# fixtures — the inference PLAN is the real thing: at 10M+ features the
+# weight vector becomes a broadcast (bucket, weight) relation joined at
+# the explode, at 64 buckets it folds into a closed-form JVM expression
+# with ZERO joins. Either way inference is one scan + one partial agg.
+
+_QC_DIM = 64  # hashed feature buckets
+
+
+def _qc_weight_sql(b: str) -> str:
+    """Milli-unit integer weight for bucket expression ``b`` (DuckDB)."""
+    keyed = f"concat('qcw', CAST({b} AS VARCHAR))"
+    return f"{portable_hash32_sql(keyed)} % 2001 - 1000"
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_QC_DIM} AS b
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS term
+            FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM({_qc_weight_sql('b')}) AS logit_milli
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {dround_sql('logit_milli / (1000.0 * n_tokens)', 8)} AS logit,
+           {dround_sql(
+               '0.5 + (logit_milli / (1000.0 * n_tokens))'
+               ' / (2 * (1 + abs(logit_milli / (1000.0 * n_tokens))))', 6
+           )} AS score,
+           logit_milli >= 0 AS keep
+    FROM scored
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier INFERENCE (Joulin et al.
+    2016, arXiv:1607.01759 — the CCNet/FineWeb quality-scoring shape)
+    run fully relationally: hashing-trick bag-of-words features
+    (portable_hash32 % {D} buckets), a per-bucket milli-unit integer
+    weight, per-doc logit = Σ w(bucket(term)) / (1000·n_tokens), and a
+    keep flag at the 0-logit threshold.
+
+    Scale shape: the weight lookup is a pure JVM expression derived from
+    the bucket id — no join, no UDF, no model broadcast needed at this
+    feature width; with a real 10M-feature model the same plan swaps the
+    expression for a broadcast (bucket, weight) join at the explode and
+    nothing else moves. One corpus scan, map-side partial aggregation on
+    doc_id, output one row per document. Determinism: integer weight
+    sums (exact at any parallelism), one division at the end, and a
+    RATIONAL squash 0.5 + x/(2(1+|x|)) instead of the logistic exp() so
+    no transcendental library drift can split the engines."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    b = portable_hash32(F.col("term")) % _QC_DIM
+    w = (
+        portable_hash32(F.concat(F.lit("qcw"), b.cast("string"))) % 2001
+        - 1000
+    )
+    scored = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(w).alias("logit_milli"),
+    )
+    logit = F.col("logit_milli") / (1000.0 * F.col("n_tokens"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        dround(logit, 8).alias("logit"),
+        dround(0.5 + logit / (2 * (1 + F.abs(logit))), 6).alias("score"),
+        (F.col("logit_milli") >= 0).alias("keep"),
+    )
+
+
+q_quality_classifier.__doc__ = q_quality_classifier.__doc__.format(D=_QC_DIM)

@@ -291,6 +291,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_latest_per_key",
     "q_percentiles",
     "q_json_extract",
+    # -- round-7 late additions: ANN kNN self-join (corpus×corpus) and
+    #    linear quality-classifier inference: 2 --
+    "q_knn_join",
+    "q_quality_classifier",
 )
 
 

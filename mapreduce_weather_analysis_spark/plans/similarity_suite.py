@@ -1222,3 +1222,71 @@ def q_ann_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("new_id", F.col("cluster").cast("int").alias("cluster"))
     )
+
+
+# --- ANN kNN self-JOIN (corpus × corpus) ------------------------------------
+
+_KNN_K = 3
+
+
+def _knn_join_oracle() -> str:
+    inner = ivf_topk_sql("embeddings", "TRUE", k_neighbors=_KNN_K)
+    return (
+        "SELECT query_id AS vec_id, neighbor_id, rank, cosine "
+        f"FROM ({inner})"
+    )
+
+
+@register("q_knn_join", oracle=_knn_join_oracle())
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN self-JOIN: the top-3 neighbours of EVERY corpus
+    vector in one relation — the batch similarity join behind kNN-graph
+    construction, embedding-level dedup sweeps and retrieval-augmented
+    labeling, where the "query set" IS the corpus (contrast the bounded
+    query sets of the q_ann_*_search serving family).
+
+    The search-path plan does NOT transfer: there the |Q|·nprobe probe
+    relation is broadcast so the corpus never shuffles, but here |Q| = N
+    and broadcasting N·nprobe rows is exactly the driver-side ceiling
+    this family avoids. Instead both sides shuffle ONCE on the cell key
+    — probes (N·nprobe rows) and inverted lists (N rows) co-partition on
+    `cluster`, joined with a shuffled-hash hint (no sort: cell groups
+    are hash-bucketed, never ordered). Per-vector work is its nprobe
+    nearest cells' occupants ⇒ O(nprobe·N^1.5) cosine evals at the
+    ⌊√N⌋-cell policy, never the N² cross join; output is exactly N·k
+    rows. The quantizer build is the shared deterministic Lloyd chain,
+    so the oracle is the proven IVF CTE chain with the query filter
+    opened to TRUE."""
+    from pyspark.sql import Window as W
+
+    from ..operators.ivf import ivf_index, ivf_probes
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(e)
+    probes = ivf_probes(assigned, centroids, "TRUE")
+    cand = probes.hint("shuffle_hash").join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            "cluster",
+        ),
+        "cluster",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "neighbor_id",
+            "rank",
+            "cosine",
+        )
+    )

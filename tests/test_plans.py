@@ -357,3 +357,25 @@ def test_hybrid_persisted_dense_arm_prunes(spark):
     assert "dynamicpruning" in plan.lower()
     smj = re.findall(r"SortMergeJoin (\w+)", plan)
     assert smj == ["FullOuter"], smj
+
+
+def test_knn_join_shuffles_on_cell_key(spark):
+    """The corpus×corpus kNN join must co-partition probes and inverted
+    lists on the cell key via a shuffled-hash join — NOT broadcast the
+    N·nprobe probe relation (the search path's trick, wrong at |Q|=N)
+    and NOT fall back to a cartesian product. Python stays out of the
+    scoring loop."""
+    plan = _plan(REGISTRY["q_knn_join"].fn(spark, SMOKE_SF))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_single_scan_no_join(spark):
+    """Classifier inference is one corpus scan + one partial agg: the
+    closed-form weight expression means no join anywhere in the plan,
+    and the only wide dependency is the doc_id hash aggregation."""
+    plan = _plan(REGISTRY["q_quality_classifier"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
