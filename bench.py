@@ -112,6 +112,7 @@ HEADLINE = [
     "q_hybrid_search_persisted",
     "q_knn_join",
     "q_quality_classifier",
+    "q_knn_graph_clusters",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -241,6 +242,8 @@ BASELINE_SEC = {
     "q_knn_join": 5.0,
     # linear classifier inference: one scan, closed-form weights, no join
     "q_quality_classifier": 0.8,
+    # kNN join + mutual-edge intersect + large/small-star components
+    "q_knn_graph_clusters": 8.6,
 }
 
 

@@ -291,10 +291,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_latest_per_key",
     "q_percentiles",
     "q_json_extract",
-    # -- round-7 late additions: ANN kNN self-join (corpus×corpus) and
-    #    linear quality-classifier inference: 2 --
+    # -- round-7 late additions: ANN kNN self-join (corpus×corpus),
+    #    linear quality-classifier inference, mutual-kNN components: 3 --
     "q_knn_join",
     "q_quality_classifier",
+    "q_knn_graph_clusters",
 )
 
 

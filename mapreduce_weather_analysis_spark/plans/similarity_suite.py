@@ -1290,3 +1290,85 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+def _knn_graph_oracle() -> str:
+    inner = ivf_topk_sql("embeddings", "TRUE", k_neighbors=_KNN_K)
+    return f"""
+    WITH RECURSIVE knn AS MATERIALIZED (
+      SELECT query_id AS a, neighbor_id AS b FROM ({inner})
+    ),
+    mutual AS (
+      SELECT k1.a AS src, k1.b AS dst
+      FROM knn k1 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+      WHERE k1.a < k1.b
+    ),
+    und AS (
+      SELECT src AS a, dst AS b FROM mutual
+      UNION
+      SELECT dst AS a, src AS b FROM mutual
+    ),
+    reach(node, target) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.target FROM und u JOIN reach r ON u.b = r.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, MIN(target) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT c.vec_id, c.component, s.csize
+    FROM comp c
+    JOIN (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+      FROM comp GROUP BY component
+    ) s ON s.component = c.component
+    """
+
+
+@register("q_knn_graph_clusters", oracle=_knn_graph_oracle())
+def q_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space clustering by MUTUAL-kNN connected components —
+    the composition the kNN join exists for: keep edge (a, b) only when
+    each is in the other's top-3 (the standard symmetrization that
+    prunes hub-induced chains), then label components with the proven
+    alternating large-star/small-star operator. This is the
+    cluster-then-curate primitive (near-dup groups, topic cells,
+    diversity quotas) at kNN-graph granularity.
+
+    Scale shape: the mutuality check is a self-join of the N·k edge
+    relation on (dst, src) — shuffle-bounded by the kNN output size,
+    never the corpus; components converge in O(log n) star rounds with
+    per-round shuffles linear in surviving edges. Isolated vectors (no
+    mutual edge) are out of scope on both engines. The oracle embeds
+    the full IVF kNN chain as a materialized CTE and closes it with the
+    same recursive-CTE reachability used by q_dedup_clusters."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    knn = q_knn_join(spark, sf_dir).select("vec_id", "neighbor_id")
+    rev = knn.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    mutual = (
+        knn.intersect(rev)
+        .where(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+    )
+    comp = connected_components(mutual, "src", "dst").select(
+        F.col("node").alias("vec_id"), "component"
+    )
+    # size via a window over the component key: one shuffle, no second
+    # pass, and nothing to broadcast (the component relation is corpus-
+    # sized at scale — a broadcast size join would not survive 100 TB)
+    return comp.select(
+        "vec_id",
+        "component",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .alias("csize"),
+    )

@@ -928,3 +928,23 @@ def test_sq8_reconstruction_error_bound(spark):
         row["max_err"],
         half_step,
     )
+
+
+def test_knn_graph_clusters_mutuality_invariants(spark):
+    """Mutual-kNN components: every labeled node got there via a mutual
+    edge, so (a) every component has ≥2 members, (b) csize is consistent
+    with the actual member count, and (c) each member's label equals the
+    component's minimum vec_id (the large/small-star fixpoint contract)."""
+    from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+        q_knn_graph_clusters,
+    )
+
+    rows = q_knn_graph_clusters(spark, SMOKE_SF).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert by_comp
+    for comp, members in by_comp.items():
+        assert len(members) >= 2, (comp, members)
+        assert all(m.csize == len(members) for m in members)
+        assert comp == min(m.vec_id for m in members)
