@@ -113,6 +113,7 @@ HEADLINE = [
     "q_knn_join",
     "q_quality_classifier",
     "q_knn_graph_clusters",
+    "q_weighted_sample",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -244,6 +245,8 @@ BASELINE_SEC = {
     "q_quality_classifier": 0.8,
     # kNN join + mutual-edge intersect + large/small-star components
     "q_knn_graph_clusters": 8.6,
+    # A-ES weighted sample: explode+agg then partial top-25
+    "q_weighted_sample": 0.7,
 }
 
 

@@ -1432,3 +1432,79 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_quality_classifier.__doc__ = q_quality_classifier.__doc__.format(D=_QC_DIM)
+
+
+# --- Weighted sampling without replacement (Efraimidis–Spirakis) ------------
+
+_WS_N = 25  # sample size
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS term
+            FROM documents)
+      GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens,
+             {dround_sql(
+                 "-ln((" + portable_hash32_sql(
+                     "concat('ws', CAST(doc_id AS VARCHAR))"
+                 ) + f" % {HASH_PRIME} + 1) / ({HASH_PRIME} + 1.0))"
+                 " / n_tokens", 8
+             )} AS es_key
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, es_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY es_key ASC, doc_id ASC)
+                AS INTEGER) AS rank
+    FROM (SELECT * FROM keyed ORDER BY es_key ASC, doc_id ASC LIMIT {_WS_N})
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    2006 (IPL 97(5), the A-ES reservoir scheme): each doc draws a
+    deterministic hash-uniform u ∈ (0,1) and survives with key
+    −ln(u)/w, w = its token count; the {N} smallest keys ARE a sample
+    distributed ∝ w without replacement. This is the mixture-sampling
+    primitive that picks documents proportional to token mass with no
+    cumulative-distribution materialization, no driver state, and full
+    reproducibility (the "randomness" is portable_hash32, identical on
+    both engines).
+
+    Scale shape: one corpus scan + one partial agg for the weights,
+    then a global top-{N} via TakeOrderedAndProject — map-side partial
+    top-k per partition, never a global sort; the final rank runs on
+    the {N}-row result through the bounded single-partition window.
+    ln() is the repo's established dround(·,8) transcendental posture
+    (same as q_lm_quality / BM25 idf)."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    weights = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    u = (
+        portable_hash32(F.concat(F.lit("ws"), F.col("doc_id").cast("string")))
+        % HASH_PRIME
+        + 1
+    ) / (HASH_PRIME + 1.0)
+    keyed = weights.select(
+        "doc_id",
+        "n_tokens",
+        dround(-F.log(u) / F.col("n_tokens"), 8).alias("es_key"),
+    )
+    sel = keyed.orderBy(F.asc("es_key"), F.asc("doc_id")).limit(_WS_N)
+    w = bounded_rank_window(F.asc("es_key"), F.asc("doc_id"), anchor="doc_id")
+    return sel.select(
+        "doc_id",
+        "n_tokens",
+        "es_key",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+q_weighted_sample.__doc__ = q_weighted_sample.__doc__.format(N=_WS_N)

@@ -292,10 +292,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_percentiles",
     "q_json_extract",
     # -- round-7 late additions: ANN kNN self-join (corpus×corpus),
-    #    linear quality-classifier inference, mutual-kNN components: 3 --
+    #    linear quality-classifier inference, mutual-kNN components,
+    #    A-ES weighted sampling: 4 --
     "q_knn_join",
     "q_quality_classifier",
     "q_knn_graph_clusters",
+    "q_weighted_sample",
 )
 
 

@@ -379,3 +379,11 @@ def test_quality_classifier_single_scan_no_join(spark):
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_weighted_sample_partial_topk_no_global_sort(spark):
+    """A-ES selection must be a TakeOrderedAndProject (map-side partial
+    top-k) — a global Sort materialization of the per-doc key relation
+    would be the 100 TB failure mode."""
+    plan = _plan(REGISTRY["q_weighted_sample"].fn(spark, SMOKE_SF))
+    assert "TakeOrderedAndProject" in plan
