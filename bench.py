@@ -114,6 +114,7 @@ HEADLINE = [
     "q_quality_classifier",
     "q_knn_graph_clusters",
     "q_weighted_sample",
+    "q_knn_join_persisted",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -247,6 +248,8 @@ BASELINE_SEC = {
     "q_knn_graph_clusters": 8.6,
     # A-ES weighted sample: explode+agg then partial top-25
     "q_weighted_sample": 0.7,
+    # kNN join from the persisted lists: Lloyd amortized, probes + join
+    "q_knn_join_persisted": 3.1,
 }
 
 

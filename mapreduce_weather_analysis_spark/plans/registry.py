@@ -298,6 +298,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_quality_classifier",
     "q_knn_graph_clusters",
     "q_weighted_sample",
+    "q_knn_join_persisted",
 )
 
 

@@ -1259,10 +1259,22 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     opened to TRUE."""
     from pyspark.sql import Window as W
 
-    from ..operators.ivf import ivf_index, ivf_probes
+    from ..operators.ivf import ivf_index
 
     e = t(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_index(e)
+    return _knn_from_lists(assigned, centroids)
+
+
+def _knn_from_lists(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Shared kNN-join tail over (vec_id, v, cluster) inverted lists +
+    a k-row centroid relation — the probe selection and cell-key
+    shuffled-hash membership join documented in q_knn_join, used by
+    both the build-inline and persisted-index variants."""
+    from pyspark.sql import Window as W
+
+    from ..operators.ivf import ivf_probes
+
     probes = ivf_probes(assigned, centroids, "TRUE")
     cand = probes.hint("shuffle_hash").join(
         assigned.select(
@@ -1290,6 +1302,31 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@register("q_knn_join_persisted", oracle=_knn_join_oracle())
+def q_knn_join_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN self-join served from the PERSISTED index — the
+    build/serve split applied to the join family: q_knn_join's Lloyd
+    training amortizes into the one-time ann_store build, and the join
+    reads the cluster-partitioned ``vecs/`` lists as BOTH sides
+    (probing the index with its own database vectors — how kNN graphs
+    are built over production FAISS-style indexes). No partition
+    pruning applies — every cell is somebody's probe target, the join
+    is corpus×probed-cells by construction — so the win is purely the
+    amortized quantizer; the cell-key shuffled-hash join and the
+    O(nprobe·N^1.5) candidate bound are unchanged. Same oracle as
+    q_knn_join: the persisted artifacts are bit-certified equal to the
+    deterministic rebuild (q_ann_index_stats), so the CTE chain proves
+    this path too."""
+    import os
+
+    from ..operators.ann_store import ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    return _knn_from_lists(vecs, centroids)
 
 
 def _knn_graph_oracle() -> str:

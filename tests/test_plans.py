@@ -387,3 +387,13 @@ def test_weighted_sample_partial_topk_no_global_sort(spark):
     would be the 100 TB failure mode."""
     plan = _plan(REGISTRY["q_weighted_sample"].fn(spark, SMOKE_SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_join_persisted_same_join_shape(spark):
+    """The persisted-index kNN join keeps the cell-key shuffled-hash
+    join (never broadcasts the N·nprobe probe relation, never goes
+    cartesian) while reading both sides from the persisted lists."""
+    plan = _plan(REGISTRY["q_knn_join_persisted"].fn(spark, SMOKE_SF))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
