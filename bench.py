@@ -115,6 +115,7 @@ HEADLINE = [
     "q_knn_graph_clusters",
     "q_weighted_sample",
     "q_knn_join_persisted",
+    "q_knn_join_imi",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -250,6 +251,8 @@ BASELINE_SEC = {
     "q_weighted_sample": 0.7,
     # kNN join from the persisted lists: Lloyd amortized, probes + join
     "q_knn_join_persisted": 3.1,
+    # two-level kNN join: 4th-root probe maps + cell-pair SHJ
+    "q_knn_join_imi": 2.4,
 }
 
 

@@ -299,6 +299,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_knn_graph_clusters",
     "q_weighted_sample",
     "q_knn_join_persisted",
+    "q_knn_join_imi",
 )
 
 

@@ -1409,3 +1409,82 @@ def q_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("component"))
         .alias("csize"),
     )
+
+
+def _knn_join_imi_oracle() -> str:
+    from ..operators.imi import imi_topk_sql
+
+    inner = imi_topk_sql("embeddings", "TRUE", k_neighbors=_KNN_K)
+    return (
+        "SELECT query_id AS vec_id, neighbor_id, rank, cosine "
+        f"FROM ({inner})"
+    )
+
+
+@register("q_knn_join_imi", oracle=_knn_join_imi_oracle())
+def q_knn_join_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN self-join over the persisted TWO-LEVEL index — the scale
+    endgame of the join family. Flat-IVF probe selection costs N·k
+    quantizer distance evals, and at N = 10¹⁰ (k = ⌊√N⌋ = 10⁵) that
+    probe stage alone is 10¹⁵ evals — the join inherits exactly the
+    quantizer ceiling the IMI removed for search. Two-level probing
+    costs N·2·⌊⁴√N⌋ instead (632 vs 10⁵ per vector at 10¹⁰: a ~160×
+    cut), against KB-sized half-centroid broadcasts.
+
+    Every per-query relation that the bounded-|Q| serving path
+    broadcasts is corpus-sized here, so ALL three joins run
+    shuffled-hash: the two half-probe relations pair on query_id, the
+    N·nprobe² pair relation joins the (c1,c2)-partitioned lists on the
+    cell-pair key, and the query vectors re-join on query_id for
+    scoring. Candidate work is the probed pairs' occupants —
+    nprobe²/k_h² of the corpus per vector, the same rectangular
+    restriction the IMI search certifies. Oracle: the composed
+    half-space Lloyd chains with the query filter opened to TRUE."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.ann_store import imi_write
+    from ..operators.imi import IMI_NPROBE, _half_probes
+
+    path = imi_write(spark, sf_dir)
+    cent1 = spark.read.parquet(os.path.join(path, "cent1"))
+    cent2 = spark.read.parquet(os.path.join(path, "cent2"))
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    queries = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    p1 = _half_probes(queries, cent1, True, IMI_NPROBE).withColumnRenamed(
+        "cluster", "c1"
+    )
+    p2 = _half_probes(queries, cent2, False, IMI_NPROBE).withColumnRenamed(
+        "cluster", "c2"
+    )
+    pairs = p1.hint("shuffle_hash").join(p2, "query_id")
+    cand = pairs.hint("shuffle_hash").join(
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            "c1",
+            "c2",
+        ),
+        ["c1", "c2"],
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.hint("shuffle_hash").join(queries, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "neighbor_id",
+            "rank",
+            "cosine",
+        )
+    )

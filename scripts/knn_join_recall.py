@@ -8,7 +8,8 @@ Ground truth is the exact cosine top-3 per vector via the same
 brute_force_topk operator the q_ann_cosine_topk oracle certifies, with
 the query filter opened to the whole corpus.
 
-Usage: python scripts/knn_join_recall.py [SF_DIR]   (default sf0.1)
+Usage: python scripts/knn_join_recall.py [SF_DIR] [QUERY ...]
+(defaults: sf0.1, q_knn_join)
 """
 
 from __future__ import annotations
@@ -42,15 +43,17 @@ def main() -> None:
         .select(F.col("query_id").alias("vec_id"), "neighbor_id")
         .localCheckpoint()
     )
-    approx = REGISTRY["q_knn_join"].fn(spark, sf_dir).select(
-        "vec_id", "neighbor_id"
-    )
     n_vec = e.count()
-    hits = approx.intersect(truth).count()
-    print(
-        f"sf_dir={sf_dir} vectors={n_vec} "
-        f"recall@3={hits / (3 * n_vec):.3f} ({hits}/{3 * n_vec})"
-    )
+    names = sys.argv[2:] or ["q_knn_join"]
+    for name in names:
+        approx = REGISTRY[name].fn(spark, sf_dir).select(
+            "vec_id", "neighbor_id"
+        )
+        hits = approx.intersect(truth).count()
+        print(
+            f"{name} sf_dir={sf_dir} vectors={n_vec} "
+            f"recall@3={hits / (3 * n_vec):.3f} ({hits}/{3 * n_vec})"
+        )
 
 
 if __name__ == "__main__":

@@ -397,3 +397,14 @@ def test_knn_join_persisted_same_join_shape(spark):
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_knn_join_imi_all_shuffled_hash(spark):
+    """The IMI kNN join must keep every corpus-sized join shuffled-hash
+    (half-probe pairing, cell-pair membership, query-vector rescore) —
+    nothing per-query may broadcast, and nothing may sort-merge or go
+    cartesian."""
+    plan = _plan(REGISTRY["q_knn_join_imi"].fn(spark, SMOKE_SF))
+    assert plan.count(") ShuffledHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
