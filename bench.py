@@ -252,7 +252,7 @@ BASELINE_SEC = {
     # kNN join from the persisted lists: Lloyd amortized, probes + join
     "q_knn_join_persisted": 3.1,
     # two-level kNN join: 4th-root probe maps + cell-pair SHJ
-    "q_knn_join_imi": 2.4,
+    "q_knn_join_imi": 2.8,
 }
 
 

@@ -1432,14 +1432,20 @@ def q_knn_join_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut), against KB-sized half-centroid broadcasts.
 
     Every per-query relation that the bounded-|Q| serving path
-    broadcasts is corpus-sized here, so ALL three joins run
-    shuffled-hash: the two half-probe relations pair on query_id, the
-    N·nprobe² pair relation joins the (c1,c2)-partitioned lists on the
-    cell-pair key, and the query vectors re-join on query_id for
-    scoring. Candidate work is the probed pairs' occupants —
-    nprobe²/k_h² of the corpus per vector, the same rectangular
-    restriction the IMI search certifies. Oracle: the composed
-    half-space Lloyd chains with the query filter opened to TRUE."""
+    broadcasts is corpus-sized here, so all three joins run
+    shuffled-hash — and because a shuffled-hash build CANNOT spill,
+    the build sides are chosen deliberately: the half-probe pairing
+    builds the slim second-half relation, and both the membership and
+    rescore joins build an N-row relation (lists / query vectors),
+    per-partition memory N·row_width/P — the quantity
+    spark.sql.shuffle.partitions is sized to at any corpus. The one
+    illegal choice is building the FAT candidate relation
+    (nprobe²·N·occupancy rows): that exact hint placement OOMed at the
+    10× pack before the build sides were flipped. Candidate work is
+    the probed pairs' occupants — nprobe²/k_h² of the corpus per
+    vector, the same rectangular restriction the IMI search certifies.
+    Oracle: the composed half-space Lloyd chains with the query filter
+    opened to TRUE."""
     import os
 
     from pyspark.sql import Window as W
@@ -1460,17 +1466,26 @@ def q_knn_join_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = _half_probes(queries, cent2, False, IMI_NPROBE).withColumnRenamed(
         "cluster", "c2"
     )
-    pairs = p1.hint("shuffle_hash").join(p2, "query_id")
-    cand = pairs.hint("shuffle_hash").join(
+    pairs = p1.join(p2.hint("shuffle_hash"), "query_id")
+    # cell-pair membership: build side = the lists (N rows), the
+    # nprobe²·N pair relation streams — per-partition build memory is
+    # N·row_width/P, the quantity spark.sql.shuffle.partitions is sized
+    # to at any corpus scale
+    cand = pairs.join(
         vecs.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("v").alias("cv"),
             "c1",
             "c2",
-        ),
+        ).hint("shuffle_hash"),
         ["c1", "c2"],
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.hint("shuffle_hash").join(queries, "query_id").select(
+    # rescore join: build side = the SLIM corpus query relation, the
+    # same N·row_width/P sizing as the membership join. A shuffled-hash
+    # build cannot spill, so the one illegal choice is building the FAT
+    # candidate relation (nprobe²·N·occupancy rows) — that exact hint
+    # placement OOMed at the 10× pack before this was flipped.
+    scored = cand.join(queries.hint("shuffle_hash"), "query_id").select(
         "query_id",
         "neighbor_id",
         cosine(F.col("qv"), F.col("cv")).alias("cosine"),

@@ -401,10 +401,15 @@ def test_knn_join_persisted_same_join_shape(spark):
 
 def test_knn_join_imi_all_shuffled_hash(spark):
     """The IMI kNN join must keep every corpus-sized join shuffled-hash
-    (half-probe pairing, cell-pair membership, query-vector rescore) —
-    nothing per-query may broadcast, and nothing may sort-merge or go
-    cartesian."""
+    (half-probe pairing, cell-pair membership, rescore) with the FAT
+    candidate relation never on a build side — shuffled-hash builds
+    cannot spill, and building the candidates OOMed at the 10× pack.
+    Build-side check: every SHJ detail block must build an N-row
+    relation, which in this plan means BuildRight with the hinted slim
+    side on the right."""
     plan = _plan(REGISTRY["q_knn_join_imi"].fn(spark, SMOKE_SF))
-    assert plan.count(") ShuffledHashJoin") >= 3
+    main = plan.split("===== Subqueries =====")[0]
+    assert main.count(") ShuffledHashJoin") == 3, main
+    assert "ShuffledHashJoin Inner BuildLeft" not in main
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
