@@ -1276,12 +1276,16 @@ def _knn_from_lists(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     from ..operators.ivf import ivf_probes
 
     probes = ivf_probes(assigned, centroids, "TRUE")
-    cand = probes.hint("shuffle_hash").join(
+    # build side = the N-row lists, NOT the nprobe·N qv-carrying probe
+    # relation: a shuffled-hash build cannot spill, so the smaller,
+    # narrower relation must be the one hashed per partition (the same
+    # build-side rule the IMI join learned at the 10× pack)
+    cand = probes.join(
         assigned.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("v").alias("cv"),
             "cluster",
-        ),
+        ).hint("shuffle_hash"),
         "cluster",
     ).where(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
