@@ -116,6 +116,7 @@ HEADLINE = [
     "q_weighted_sample",
     "q_knn_join_persisted",
     "q_knn_join_imi",
+    "q_knn_refine",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -253,6 +254,8 @@ BASELINE_SEC = {
     "q_knn_join_persisted": 3.1,
     # two-level kNN join: 4th-root probe maps + cell-pair SHJ
     "q_knn_join_imi": 2.8,
+    # NN-descent round: edge self-join + 2 vector fetches + re-rank
+    "q_knn_refine": 6.8,
 }
 
 

@@ -300,6 +300,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_weighted_sample",
     "q_knn_join_persisted",
     "q_knn_join_imi",
+    "q_knn_refine",
 )
 
 

@@ -1507,3 +1507,102 @@ def q_knn_join_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+def _knn_refine_oracle() -> str:
+    inner = ivf_topk_sql("embeddings", "TRUE", k_neighbors=_KNN_K)
+    cos = cosine_sql("q.v", "n.v")
+    return f"""
+    WITH knn AS MATERIALIZED (
+      SELECT query_id AS vec_id, neighbor_id FROM ({inner})
+    ),
+    cands AS (
+      SELECT DISTINCT vec_id, cand FROM (
+        SELECT vec_id, neighbor_id AS cand FROM knn
+        UNION ALL
+        SELECT a.vec_id, b.neighbor_id AS cand
+        FROM knn a JOIN knn b ON a.neighbor_id = b.vec_id
+      ) WHERE vec_id <> cand
+    ),
+    vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT c.vec_id, c.cand AS neighbor_id, {cos} AS cosine
+      FROM cands c
+      JOIN vv q ON q.vec_id = c.vec_id
+      JOIN vv n ON n.vec_id = c.cand
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= {_KNN_K}
+    """
+
+
+@register("q_knn_refine", oracle=_knn_refine_oracle())
+def q_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-DESCENT refinement round over the kNN-join edges (Dong,
+    Moses & Li, WWW'11): a neighbor of my neighbor is likely my
+    neighbor, so the candidate set becomes edges ∪ two-hop expansions,
+    rescored exactly and re-ranked to top-3. This is how production
+    kNN graphs close the gap the coarse quantizer leaves: the probe
+    stage finds a decent graph cheaply, descent rounds walk it toward
+    the true graph WITHOUT ever touching the quantizer again.
+
+    Scale shape: the expansion is the N·k edge relation self-joined on
+    the neighbor key (≤ N·k² candidate rows, k=3 ⇒ ≤9 two-hop rows per
+    vector), then two vector-fetch joins against the corpus — every
+    join keys on vec_id with N-row or N·k-row relations, shuffle-
+    bounded by the GRAPH size, independent of cell occupancy. Each
+    additional round is the same plan re-applied; the classic result
+    is convergence in O(log N)-ish rounds, and the measured single-
+    round recall lift is in SCALE.md. Oracle: the kNN CTE chain plus
+    the identical expansion/rescore in SQL."""
+    from pyspark.sql import Window as W
+
+    knn = q_knn_join(spark, sf_dir).select("vec_id", "neighbor_id")
+    hop2 = (
+        knn.alias("a")
+        .join(
+            knn.alias("b").hint("shuffle_hash"),
+            F.col("a.neighbor_id") == F.col("b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.neighbor_id").alias("cand"),
+        )
+    )
+    cands = (
+        knn.select("vec_id", F.col("neighbor_id").alias("cand"))
+        .unionByName(hop2)
+        .where(F.col("vec_id") != F.col("cand"))
+        .distinct()
+    )
+    vv = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    scored = (
+        cands.join(
+            vv.select(
+                F.col("vec_id"), F.col("v").alias("qv")
+            ).hint("shuffle_hash"),
+            "vec_id",
+        )
+        .join(
+            vv.select(
+                F.col("vec_id").alias("cand"), F.col("v").alias("cv")
+            ).hint("shuffle_hash"),
+            "cand",
+        )
+        .select(
+            "vec_id",
+            F.col("cand").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )

@@ -413,3 +413,14 @@ def test_knn_join_imi_all_shuffled_hash(spark):
     assert "ShuffledHashJoin Inner BuildLeft" not in main
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_refine_graph_bounded_joins(spark):
+    """The NN-descent round must stay graph-bounded: the two-hop
+    expansion and both vector fetches are shuffled-hash equi-joins
+    (nothing corpus-sized broadcasts, nothing goes cartesian), and no
+    quantizer probing appears — the round never re-probes cells."""
+    plan = _plan(REGISTRY["q_knn_refine"].fn(spark, SMOKE_SF))
+    main = plan.split("===== Subqueries =====")[0]
+    assert main.count(") ShuffledHashJoin") >= 3
+    assert "CartesianProduct" not in plan
