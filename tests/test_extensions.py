@@ -948,3 +948,17 @@ def test_knn_graph_clusters_mutuality_invariants(spark):
         assert len(members) >= 2, (comp, members)
         assert all(m.csize == len(members) for m in members)
         assert comp == min(m.vec_id for m in members)
+
+
+def test_knn_join_persisted_equals_inline(spark):
+    """The persisted-index kNN join must reproduce the inline-build
+    join EXACTLY (same quantizer chain, amortized storage) — the
+    build/serve-split contract the driver hash identity certifies,
+    pinned here as row-set equality."""
+    inline = set(
+        map(tuple, _run(spark, "q_knn_join").collect())
+    )
+    served = set(
+        map(tuple, _run(spark, "q_knn_join_persisted").collect())
+    )
+    assert inline == served and len(inline) > 0
