@@ -1558,13 +1558,24 @@ def q_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is convergence in O(log N)-ish rounds, and the measured single-
     round recall lift is in SCALE.md. Oracle: the kNN CTE chain plus
     the identical expansion/rescore in SQL."""
+    knn = q_knn_join(spark, sf_dir).select("vec_id", "neighbor_id")
+    vv = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    return nn_descent_round(knn, vv)
+
+
+def nn_descent_round(edges: DataFrame, vv: DataFrame) -> DataFrame:
+    """One NN-descent round over ``edges`` (vec_id, neighbor_id) given
+    the vector relation ``vv`` (vec_id, v) — q_knn_refine's body, shared
+    with scripts/nn_descent_curve.py so the measured multi-round
+    convergence curve exercises the registered plan, not a re-derivation."""
     from pyspark.sql import Window as W
 
-    knn = q_knn_join(spark, sf_dir).select("vec_id", "neighbor_id")
     hop2 = (
-        knn.alias("a")
+        edges.alias("a")
         .join(
-            knn.alias("b").hint("shuffle_hash"),
+            edges.alias("b").hint("shuffle_hash"),
             F.col("a.neighbor_id") == F.col("b.vec_id"),
         )
         .select(
@@ -1573,13 +1584,10 @@ def q_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cands = (
-        knn.select("vec_id", F.col("neighbor_id").alias("cand"))
+        edges.select("vec_id", F.col("neighbor_id").alias("cand"))
         .unionByName(hop2)
         .where(F.col("vec_id") != F.col("cand"))
         .distinct()
-    )
-    vv = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
     )
     scored = (
         cands.join(
