@@ -1266,7 +1266,9 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_from_lists(assigned, centroids)
 
 
-def _knn_from_lists(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+def _knn_from_lists(
+    assigned: DataFrame, centroids: DataFrame, k: int = _KNN_K
+) -> DataFrame:
     """Shared kNN-join tail over (vec_id, v, cluster) inverted lists +
     a k-row centroid relation — the probe selection and cell-key
     shuffled-hash membership join documented in q_knn_join, used by
@@ -1298,7 +1300,7 @@ def _knn_from_lists(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _KNN_K)
+        .where(F.col("rank") <= k)
         .select(
             F.col("query_id").alias("vec_id"),
             "neighbor_id",
@@ -1565,7 +1567,9 @@ def q_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn_descent_round(knn, vv)
 
 
-def nn_descent_round(edges: DataFrame, vv: DataFrame) -> DataFrame:
+def nn_descent_round(
+    edges: DataFrame, vv: DataFrame, k: int = _KNN_K
+) -> DataFrame:
     """One NN-descent round over ``edges`` (vec_id, neighbor_id) given
     the vector relation ``vv`` (vec_id, v) — q_knn_refine's body, shared
     with scripts/nn_descent_curve.py so the measured multi-round
@@ -1611,6 +1615,6 @@ def nn_descent_round(edges: DataFrame, vv: DataFrame) -> DataFrame:
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _KNN_K)
+        .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank", "cosine")
     )

@@ -8,8 +8,12 @@ rescore, re-rank). Ground truth is exact brute-force top-3 over every
 vector. Edges are localCheckpointed between rounds so round r+1's plan
 does not re-execute rounds 0..r.
 
-Usage: python scripts/nn_descent_curve.py [SF_DIR] [ROUNDS]
-(defaults: sf0.1, 3)
+A third argument widens the GRAPH degree k while still evaluating
+recall@3 of each round's top-3 — the experiment behind SCALE.md's
+"the recall lever is k, not rounds" reading.
+
+Usage: python scripts/nn_descent_curve.py [SF_DIR] [ROUNDS] [K]
+(defaults: sf0.1, 3, 3)
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     from pyspark.sql import functions as F
 
@@ -53,30 +58,33 @@ def main() -> None:
     vv = e.select("vec_id", as_double("embedding").alias("v")).localCheckpoint()
 
     def recall(edges) -> float:
-        return edges.select("vec_id", "neighbor_id").intersect(truth).count() / (
-            3 * n_vec
-        )
+        # recall@3 of each round's TOP-3, whatever the graph degree k
+        top3 = edges.where(F.col("rank") <= 3).select("vec_id", "neighbor_id")
+        return top3.intersect(truth).count() / (3 * n_vec)
 
     t0 = time.perf_counter()
-    edges = (
-        REGISTRY["q_knn_join"].fn(spark, sf_dir)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    if k == 3:
+        edges = REGISTRY["q_knn_join"].fn(spark, sf_dir).localCheckpoint()
+    else:
+        from mapreduce_weather_analysis_spark.operators.ivf import ivf_index
+        from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+            _knn_from_lists,
+        )
+
+        assigned, centroids = ivf_index(e)
+        edges = _knn_from_lists(assigned, centroids, k=k).localCheckpoint()
     print(
-        f"round 0 (kNN join): recall@3={recall(edges):.3f} "
+        f"k={k} round 0 (kNN join): recall@3={recall(edges):.3f} "
         f"wall={time.perf_counter() - t0:.1f}s",
         flush=True,
     )
     for r in range(1, rounds + 1):
         t0 = time.perf_counter()
-        edges = (
-            nn_descent_round(edges, vv)
-            .select("vec_id", "neighbor_id")
-            .localCheckpoint()
-        )
+        edges = nn_descent_round(
+            edges.select("vec_id", "neighbor_id"), vv, k=k
+        ).localCheckpoint()
         print(
-            f"round {r}: recall@3={recall(edges):.3f} "
+            f"k={k} round {r}: recall@3={recall(edges):.3f} "
             f"wall={time.perf_counter() - t0:.1f}s",
             flush=True,
         )
