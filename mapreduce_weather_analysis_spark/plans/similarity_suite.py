@@ -1390,7 +1390,12 @@ def q_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graph import connected_components
 
-    knn = q_knn_join(spark, sf_dir).select("vec_id", "neighbor_id")
+    # edge source = the PERSISTED join (hash-identical to the inline
+    # build, q_knn_join_persisted's pinned equality) — the clustering
+    # pass reuses the index artifact instead of retraining the quantizer
+    knn = q_knn_join_persisted(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
     rev = knn.select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("vec_id").alias("neighbor_id"),
@@ -1560,7 +1565,10 @@ def q_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is convergence in O(log N)-ish rounds, and the measured single-
     round recall lift is in SCALE.md. Oracle: the kNN CTE chain plus
     the identical expansion/rescore in SQL."""
-    knn = q_knn_join(spark, sf_dir).select("vec_id", "neighbor_id")
+    # round-0 edges from the PERSISTED join (hash-identical to inline)
+    knn = q_knn_join_persisted(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
     vv = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
