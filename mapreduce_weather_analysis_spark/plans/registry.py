@@ -291,9 +291,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_latest_per_key",
     "q_percentiles",
     "q_json_extract",
-    # -- round-7 late additions: ANN kNN self-join (corpus×corpus),
-    #    linear quality-classifier inference, mutual-kNN components,
-    #    A-ES weighted sampling: 4 --
+    # -- round-7 late additions: the kNN self-join family (inline /
+    #    persisted / two-level / NN-descent / mutual-kNN components),
+    #    linear quality-classifier inference, A-ES weighted sampling: 7 --
     "q_knn_join",
     "q_quality_classifier",
     "q_knn_graph_clusters",
