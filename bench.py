@@ -117,6 +117,7 @@ HEADLINE = [
     "q_knn_join_persisted",
     "q_knn_join_imi",
     "q_knn_refine",
+    "q_weighted_sample_stratified",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -250,6 +251,8 @@ BASELINE_SEC = {
     "q_knn_graph_clusters": 8.6,
     # A-ES weighted sample: explode+agg then partial top-25
     "q_weighted_sample": 0.7,
+    # stratified A-ES: one stratum-key shuffle + per-group rank window
+    "q_weighted_sample_stratified": 0.9,
     # kNN join from the persisted lists: Lloyd amortized, probes + join
     "q_knn_join_persisted": 3.1,
     # two-level kNN join: 4th-root probe maps + cell-pair SHJ

@@ -1508,3 +1508,79 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_weighted_sample.__doc__ = q_weighted_sample.__doc__.format(N=_WS_N)
+
+
+_WS_PER_GROUP = 5  # per-source sample size
+
+
+@register(
+    "q_weighted_sample_stratified",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM documents d, unnest({tokens_sql('d.text')}) AS t(term)
+      GROUP BY d.doc_id, d.source
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_tokens,
+             {dround_sql(
+                 "-ln((" + portable_hash32_sql(
+                     "concat('ws', CAST(doc_id AS VARCHAR))"
+                 ) + f" % {HASH_PRIME} + 1) / ({HASH_PRIME} + 1.0))"
+                 " / n_tokens", 8
+             )} AS es_key
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, es_key, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY es_key ASC, doc_id ASC
+      ) AS INTEGER) AS rank
+      FROM keyed
+    ) WHERE rank <= {_WS_PER_GROUP}
+    """,
+)
+def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED A-ES: q_weighted_sample's reservoir scheme applied
+    per source — {G} docs per source, each stratum sampled ∝ token mass
+    with the same deterministic hash-uniform keys. This is the shape
+    production mixers actually run: the mixture table fixes how much
+    each source contributes (q_mixing_weights / q_sample_temperature),
+    and the per-stratum weighted reservoir picks WHICH documents carry
+    that budget.
+
+    Scale shape: one explode+agg scan for the weights, then one shuffle
+    on the stratum key feeding a per-source rank window — top-{G} per
+    group, never a global sort, and the window state per partition is
+    one group's rows. Reuses q_weighted_sample's exact key expression,
+    so the two samples are consistent (a doc's key is identical in both
+    relations)."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(tokens("text")).alias("term")
+    )
+    weights = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    u = (
+        portable_hash32(F.concat(F.lit("ws"), F.col("doc_id").cast("string")))
+        % HASH_PRIME
+        + 1
+    ) / (HASH_PRIME + 1.0)
+    keyed = weights.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        dround(-F.log(u) / F.col("n_tokens"), 8).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("es_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _WS_PER_GROUP)
+        .select("doc_id", "source", "n_tokens", "es_key", "rank")
+    )
+
+
+q_weighted_sample_stratified.__doc__ = (
+    q_weighted_sample_stratified.__doc__.format(G=_WS_PER_GROUP)
+)

@@ -301,6 +301,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_knn_join_persisted",
     "q_knn_join_imi",
     "q_knn_refine",
+    "q_weighted_sample_stratified",
 )
 
 

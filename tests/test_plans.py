@@ -424,3 +424,12 @@ def test_knn_refine_graph_bounded_joins(spark):
     main = plan.split("===== Subqueries =====")[0]
     assert main.count(") ShuffledHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_stratified_single_shuffle(spark):
+    """The stratified A-ES sample is one shuffle on the stratum key
+    (beyond the weight agg) feeding a per-source rank window — never a
+    global sort, no join anywhere."""
+    plan = _plan(REGISTRY["q_weighted_sample_stratified"].fn(spark, SMOKE_SF))
+    assert "hashpartitioning(source" in plan
+    assert "Join" not in plan
