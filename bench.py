@@ -1,8 +1,13 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines: the full record first (headline + per-query map +
+controls), then a COMPACT summary line LAST —
+  {"metric": "headline_suite_wall", "value": N, "unit": "sec", "sf": ...,
+   "n_queries": K, "controls_first": {...}, "controls_last": {...}}
+— so a bounded tail capture of stdout always ends on a parseable record
+(the full line outgrew the driver's ~2 KB tail at 82 queries: BENCH_r07
+recorded parsed=null).
 
 Methodology: one session-warmup action, then each query timed end-to-end
 (plan construction + execution) with results materialized through the
@@ -267,11 +272,20 @@ def _sf_of(path: str) -> float:
     return float(m.group(1).rstrip(".")) if m else -1.0
 
 
-def _tee_stderr() -> list[bytes]:
+def _tee_stderr():
     """Route fd 2 through a pipe that forwards to the real stderr AND
     accumulates into a buffer, so the run can assert on the JVM's log
     output (log4j writes to fd 2, which the JVM inherits at launch).
-    Must run BEFORE the SparkSession starts."""
+    Must run BEFORE the SparkSession starts.
+
+    Returns ``(buf, drain)``. ``drain()`` restores the real fd 2, closes
+    the pipe's only write end (which EOFs the pump thread), joins the
+    pump, and returns the now-complete buffer as one bytes object. Call
+    it before reading the buffer or printing gate diagnostics: without
+    the drain, bytes still in the pipe when the process exits are lost
+    (VERDICT r7: an rc=1 run whose BOUND EXCEEDED lines never appeared),
+    and a warning written just before the check could be missed
+    (ADVICE r7 on the unsynchronized read)."""
     import threading
 
     real = os.dup(2)
@@ -288,8 +302,41 @@ def _tee_stderr() -> list[bytes]:
             os.write(real, chunk)
             buf.append(chunk)
 
-    threading.Thread(target=pump, daemon=True).start()
-    return buf
+    thread = threading.Thread(target=pump, daemon=True)
+    thread.start()
+
+    def drain() -> bytes:
+        sys.stderr.flush()
+        os.dup2(real, 2)  # fd 2 was the pipe's last write end -> EOF
+        thread.join(timeout=10)
+        os.close(r)
+        os.close(real)
+        return b"".join(buf)
+
+    return buf, drain
+
+
+def _breaches(tm: dict[str, float]) -> dict[str, tuple[float, float]]:
+    """Queries exceeding 2x their sf0.1 baseline (plus a 0.75 s absolute
+    floor so sub-second queries don't flake on scheduler noise)."""
+    return {
+        n: (t, BASELINE_SEC[n])
+        for n, t in tm.items()
+        if n in BASELINE_SEC
+        and t > max(2 * BASELINE_SEC[n], BASELINE_SEC[n] + 0.75)
+    }
+
+
+def _control_drift(first: dict[str, float], last: dict[str, float]) -> float:
+    """Worst first-vs-last ratio over the control queries; >2.0 means the
+    box degraded during the run and breaches may be load artifacts."""
+    return max(
+        (
+            max(a, b) / max(min(a, b), 1e-3)
+            for a, b in ((first[n], last[n]) for n in first if n in last)
+        ),
+        default=1.0,
+    )
 
 
 def _time_best_of_2(spark, fn) -> float:
@@ -302,7 +349,7 @@ def _time_best_of_2(spark, fn) -> float:
 
 
 def main() -> None:
-    stderr_buf = _tee_stderr()
+    _stderr_buf, drain_tee = _tee_stderr()
 
     from mapreduce_weather_analysis_spark.plans.registry import REGISTRY, _import_plans
     from mapreduce_weather_analysis_spark.session import get_spark
@@ -315,6 +362,12 @@ def main() -> None:
     # each plan's generated code (worth seconds on the widest plans).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     names = [n for n in HEADLINE if n in REGISTRY]
+    # Dev knob: comma-separated subset for quick local iteration and for
+    # exercising the gate paths without a 2-minute full run.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = set(only.split(","))
+        names = [n for n in names if n in keep]
     warm_sf = "/root/testdata/sf0.001"
     for name in names:
         try:
@@ -343,26 +396,75 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = _sf_of(SF_DIR)
+    full_record = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "controls_first": controls_first,
+        "controls_last": controls_last,
+        "sf": sf,
+    }
+
+    # Per-query regression gate (bounds are calibrated at sf0.1 only).
+    # Retime-under-load policy (VERDICT r7 ask #6): the controls exist to
+    # attribute drift — if the first-pass and last-pass control timings
+    # disagree by >2x on any control, the box degraded DURING the run
+    # (concurrent load, GC, page-cache churn), so a bound breach may be a
+    # load artifact, not a plan regression. In that case each breaching
+    # query is retimed once (best-of-2, keeping the minimum over all
+    # draws) before the gate decides. A breach that survives the retime
+    # on a quiet-controls rerun is real.
+    over: dict[str, tuple[float, float]] = {}
+    if sf == 0.1:
+        over = _breaches(timings)
+        control_drift = _control_drift(controls_first, controls_last)
+        if over and control_drift > 2.0:
+            print(
+                f"RETIMING {len(over)} breaching queries (control drift "
+                f"{control_drift:.1f}x indicates box load)",
+                file=sys.stderr,
+            )
+            for n in list(over):
+                timings[n] = min(
+                    timings[n], _time_best_of_2(spark, REGISTRY[n].fn)
+                )
+            total = round(sum(timings.values()), 3)
+            full_record["value"] = total
+            full_record["retimed"] = sorted(over)
+            over = _breaches(timings)
+
+    # Full record first (complete per-query map for humans/scripts)...
+    print(json.dumps(full_record))
+    # ...then a compact summary LAST, so the driver's bounded tail capture
+    # always ends on a parseable record (VERDICT r7: the one-line full
+    # JSON outgrew the ~2 KB tail and BENCH_r07 recorded parsed=null).
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
                 "controls_first": controls_first,
                 "controls_last": controls_last,
-                "sf": sf,
             }
         )
     )
+    sys.stdout.flush()
+
+    # Drain the tee BEFORE gate diagnostics: restores the real fd 2 so
+    # the prints below cannot be lost in an unpumped pipe at exit, and
+    # guarantees the buffer holds everything the JVM wrote.
+    stderr_bytes = drain_tee()
 
     # Noise-policy gate: every legitimate single-partition window routes
     # through functions/compat.bounded_rank_window, whose partition key is
     # non-foldable — so ANY WindowExec single-partition warning in this
     # run's log is an unguarded window regression. (The tee starts before
     # the JVM, so log4j's fd-2 output lands in the buffer.)
-    win_warns = b"".join(stderr_buf).count(b"WARN WindowExec")
+    win_warns = stderr_bytes.count(b"WARN WindowExec")
     if win_warns:
         print(
             f"WINDOWEXEC WARNINGS IN LOG: {win_warns} "
@@ -371,20 +473,13 @@ def main() -> None:
         )
         sys.exit(1)
 
-    # Per-query regression gate (bounds are calibrated at sf0.1 only).
-    if sf == 0.1:
-        over = {
-            n: (t, BASELINE_SEC[n])
-            for n, t in timings.items()
-            if n in BASELINE_SEC and t > max(2 * BASELINE_SEC[n], BASELINE_SEC[n] + 0.75)
-        }
-        if over:
-            for n, (t, base) in over.items():
-                print(
-                    f"BOUND EXCEEDED {n}: {t:.3f}s > 2x baseline {base:.1f}s",
-                    file=sys.stderr,
-                )
-            sys.exit(1)
+    if over:
+        for n, (t, base) in over.items():
+            print(
+                f"BOUND EXCEEDED {n}: {t:.3f}s > 2x baseline {base:.1f}s",
+                file=sys.stderr,
+            )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -806,79 +806,64 @@ def _query_vector() -> dict[int, int]:
     return qv
 
 
-def _hybrid_oracle() -> str:
-    qv = _query_vector()
-    q_sq = sum(w * w for w in qv.values())
-    w_case = (
-        "CASE b "
-        + " ".join(f"WHEN {b} THEN {w}" for b, w in qv.items())
-        + " ELSE 0 END"
-    )
+def _lex_ctes() -> list[str]:
+    """The BM25 lexical-arm CTE list (toks → … → lex), shared verbatim
+    by _hybrid_oracle and _hybrid_persisted_oracle. Returned as CTE
+    strings so both oracles COMPOSE from the same helper instead of one
+    string-splitting the other's generated SQL (ADVICE r7: the old
+    split on the literal 'hcounts AS (' was brittle textual coupling)."""
     terms = "[" + ", ".join(f"'{w}'" for w in _BM25_QUERY) + "]"
     tf_term = (
         f"tf * ({_BM25_K1} + 1.0) / "
         f"(tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
     )
     idf = "ln((nn - df + 0.5) / (df + 0.5) + 1.0)"
+    return [
+        f"""toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    )""",
+        "dls AS (SELECT doc_id, len(toks) AS dl FROM toks"
+        " WHERE len(toks) > 0)",
+        """stats AS (
+      SELECT COUNT(*) * 1.0 AS nn,
+             CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(dl)
+               AS avgdl
+      FROM dls
+    )""",
+        f"""hits AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      WHERE list_contains({terms}, term)
+      GROUP BY 1, 2
+    )""",
+        "dfs AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1)",
+        f"""bmscored AS (
+      SELECT h.doc_id, {dround_sql(f"{idf} * {tf_term}", 8)} AS s
+      FROM hits h JOIN dfs USING (term) JOIN dls USING (doc_id), stats
+    )""",
+        f"""bmdoc AS (
+      SELECT doc_id, {dround_sql(psum_sql('s', 8), 6)} AS score
+      FROM bmscored GROUP BY doc_id
+    )""",
+        f"""lex AS (
+      SELECT doc_id, CAST(rk AS INTEGER) AS rl FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id ASC) AS rk FROM bmdoc
+      ) WHERE rk <= {_HY_LIST}
+    )""",
+    ]
+
+
+def _rrf_final_select() -> str:
+    """The bounded-RRF fusion tail shared by both hybrid oracles: full
+    outer join of the lex/dense rank lists, deterministic dround'd RRF,
+    doc_id tie-break, top-_HY_TOPK."""
     rrf = dround_sql(
         f"COALESCE(1.0 / ({_HY_RRF_K} + rl), 0.0)"
         f" + COALESCE(1.0 / ({_HY_RRF_K} + rd), 0.0)",
         8,
     )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
-    ),
-    dls AS (SELECT doc_id, len(toks) AS dl FROM toks WHERE len(toks) > 0),
-    stats AS (
-      SELECT COUNT(*) * 1.0 AS nn,
-             CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(dl)
-               AS avgdl
-      FROM dls
-    ),
-    hits AS (
-      SELECT doc_id, term, COUNT(*) AS tf
-      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
-      WHERE list_contains({terms}, term)
-      GROUP BY 1, 2
-    ),
-    dfs AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
-    bmscored AS (
-      SELECT h.doc_id, {dround_sql(f"{idf} * {tf_term}", 8)} AS s
-      FROM hits h JOIN dfs USING (term) JOIN dls USING (doc_id), stats
-    ),
-    bmdoc AS (
-      SELECT doc_id, {dround_sql(psum_sql('s', 8), 6)} AS score
-      FROM bmscored GROUP BY doc_id
-    ),
-    lex AS (
-      SELECT doc_id, CAST(rk AS INTEGER) AS rl FROM (
-        SELECT doc_id, ROW_NUMBER() OVER (
-          ORDER BY score DESC, doc_id ASC) AS rk FROM bmdoc
-      ) WHERE rk <= {_HY_LIST}
-    ),
-    hcounts AS (
-      SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
-             COUNT(*) AS n
-      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
-      GROUP BY 1, 2
-    ),
-    cosrel AS (
-      SELECT doc_id,
-             {dround_sql(
-                 f"SUM(n * ({w_case})) / "
-                 f"(sqrt(SUM(n * n) * 1.0) * sqrt({q_sq}.0))", 8)} AS cos
-      FROM hcounts
-      GROUP BY doc_id
-      HAVING SUM(n * ({w_case})) > 0
-    ),
-    dense AS (
-      SELECT doc_id, CAST(rk AS INTEGER) AS rd FROM (
-        SELECT doc_id, ROW_NUMBER() OVER (
-          ORDER BY cos DESC, doc_id ASC) AS rk FROM cosrel
-      ) WHERE rk <= {_HY_LIST}
-    )
-    SELECT doc_id, rl AS lex_rank, rd AS dense_rank, rrf FROM (
+    return f"""SELECT doc_id, rl AS lex_rank, rd AS dense_rank, rrf FROM (
       SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
              rl, rd, {rrf} AS rrf,
              ROW_NUMBER() OVER (
@@ -887,6 +872,45 @@ def _hybrid_oracle() -> str:
       FROM lex FULL OUTER JOIN dense USING (doc_id)
     ) WHERE frk <= {_HY_TOPK}
     """
+
+
+def _hybrid_oracle() -> str:
+    qv = _query_vector()
+    q_sq = sum(w * w for w in qv.values())
+    w_case = (
+        "CASE b "
+        + " ".join(f"WHEN {b} THEN {w}" for b, w in qv.items())
+        + " ELSE 0 END"
+    )
+    dense_ctes = [
+        f"""hcounts AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
+             COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      GROUP BY 1, 2
+    )""",
+        f"""cosrel AS (
+      SELECT doc_id,
+             {dround_sql(
+                 f"SUM(n * ({w_case})) / "
+                 f"(sqrt(SUM(n * n) * 1.0) * sqrt({q_sq}.0))", 8)} AS cos
+      FROM hcounts
+      GROUP BY doc_id
+      HAVING SUM(n * ({w_case})) > 0
+    )""",
+        f"""dense AS (
+      SELECT doc_id, CAST(rk AS INTEGER) AS rd FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY cos DESC, doc_id ASC) AS rk FROM cosrel
+      ) WHERE rk <= {_HY_LIST}
+    )""",
+    ]
+    return (
+        "\n    WITH "
+        + ",\n    ".join(_lex_ctes() + dense_ctes)
+        + "\n    "
+        + _rrf_final_select()
+    )
 
 
 def _lex_rank_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,29 +1059,21 @@ def _hybrid_persisted_oracle() -> str:
 
     qv = _query_vector()
     qlist = ", ".join(str(float(qv.get(i, 0))) for i in range(_FEAT_DIM))
-    rrf = dround_sql(
-        f"COALESCE(1.0 / ({_HY_RRF_K} + rl), 0.0)"
-        f" + COALESCE(1.0 / ({_HY_RRF_K} + rd), 0.0)",
-        8,
-    )
-    # lexical CTEs are textually identical to _hybrid_oracle's (same
-    # BM25 arm); the dense arm is the PROBED persisted-index search
-    lex_block = _hybrid_oracle().split("hcounts AS (")[0].rstrip().rstrip(",")
     cent = f"c{IVF_ITERS}"
-    chain = ",\n".join(
-        ["""dv AS (
+    # lexical arm: the shared BM25 CTE helper (same math as
+    # _hybrid_oracle); dense arm: the PROBED persisted-index search
+    dense_ctes = (
+        list(hashed_vec_ctes())
+        + ["""dv AS (
           SELECT doc_id AS vec_id,
                  list_transform(v, x -> x * 1.0) AS embedding
           FROM vec
         )"""]
         + ivf_chain("dv", "FALSE", materialize=True)
-    )
-    return f"""{lex_block},
-    {",".join(hashed_vec_ctes())},
-    {chain},
-    qlit AS (SELECT CAST(-1 AS BIGINT) AS query_id,
-                    [{qlist}]::DOUBLE[] AS qv),
-    dprobes AS (
+        + [
+            f"""qlit AS (SELECT CAST(-1 AS BIGINT) AS query_id,
+                    [{qlist}]::DOUBLE[] AS qv)""",
+            f"""dprobes AS (
       SELECT cluster FROM (
         SELECT {cent}.cluster,
                ROW_NUMBER() OVER (
@@ -1065,26 +1081,25 @@ def _hybrid_persisted_oracle() -> str:
                ) AS rn
         FROM qlit, {cent}
       ) WHERE rn <= {IVF_NPROBE}
-    ),
-    densecand AS (
+    )""",
+            f"""densecand AS (
       SELECT fa.vec_id AS doc_id, {cosine_sql('qlit.qv', 'fa.v')} AS cos
       FROM qlit, fa JOIN dprobes ON fa.cluster = dprobes.cluster
-    ),
-    dense AS (
+    )""",
+            f"""dense AS (
       SELECT doc_id, CAST(rk AS INTEGER) AS rd FROM (
         SELECT doc_id, ROW_NUMBER() OVER (
           ORDER BY cos DESC, doc_id ASC) AS rk FROM densecand
       ) WHERE rk <= {_HY_LIST}
+    )""",
+        ]
     )
-    SELECT doc_id, rl AS lex_rank, rd AS dense_rank, rrf FROM (
-      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
-             rl, rd, {rrf} AS rrf,
-             ROW_NUMBER() OVER (
-               ORDER BY {rrf} DESC, COALESCE(lex.doc_id, dense.doc_id) ASC
-             ) AS frk
-      FROM lex FULL OUTER JOIN dense USING (doc_id)
-    ) WHERE frk <= {_HY_TOPK}
-    """
+    return (
+        "\n    WITH "
+        + ",\n    ".join(_lex_ctes() + dense_ctes)
+        + "\n    "
+        + _rrf_final_select()
+    )
 
 
 @register("q_hybrid_search_persisted", oracle=_hybrid_persisted_oracle())

@@ -85,80 +85,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Driver-facing emission order. The correctness driver verifies registry
-# entries front-to-back with a bounded budget (50 slots), so the dict
-# order below is load-bearing. Round-6 window (VERDICT_r5 asks #1/#2/#8):
-# the 5 never-driver-certified round-5 additions take slots 1-5; the 25
-# r1-stale and 17 r2-stale greens re-certify at slots 6-47 (after round 6
-# no green is older than r3); the two protobuf-gated TWS names take their
-# first-ever driver rows (env-gate marker rows in this environment, real
-# streaming queries where protobuf exists) at slots 48-49; the round-6
-# maximal-duplicated-span query takes slot 50. The round-6 IMI index
-# query leads the tail at slot 51 (sim-green + pytest-oracle-green;
-# first driver row next round). Section arithmetic: 5+25+17+2+1 = 50.
-_PRIORITY: tuple[str, ...] = (
-    # -- VERDICT r5 ask #1: first driver rows for the five round-5
-    #    additions parked past the round-5 window boundary: 5 --
-    "q_sample_temperature",
-    "q_zorder_key",
-    "q_event_anomaly",
-    "q_constraint_audit",
-    "q_semantic_doc_search",
-    # -- VERDICT r5 ask #2: re-certify the r1-stale greens (last driver
-    #    row predates four fixture regenerations): 25 --
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_array_funcs",
-    "q_except",
-    "q_grouping_sets",
-    "q_having_cte",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_local_supplier_volume",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_order_priority_count",
-    "q_pandas_udaf",
-    "q_salted_agg",
-    "q_split_explode",
-    "q_string_funcs",
-    "q_subquery_scalar",
-    "q_union_all",
-    "q_unpivot",
-    "q_window_lag_delta",
-    "q_window_range_frame",
-    "q_window_rank_family",
-    "q_events_tumbling",
-    # -- VERDICT r5 ask #2 continued: the r2-stale greens: 17 --
-    "q_ann_cosine_topk",
-    "q_ann_filtered_topk",
-    "q_ann_lsh_topk",
-    "q_corpus_split",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_embed_neardup",
-    "q_events_funnel",
-    "q_events_funnel_windowed",
-    "q_events_sliding",
-    "q_group_trend_pandas",
-    "q_lang_id",
-    "q_pandas_udf_cosine",
-    "q_retention_cohorts",
-    "q_scd2_history",
-    "q_stratified_sample",
-    "q_text_quality",
-    # -- VERDICT r5 ask #8: first driver-visible rows for the
-    #    protobuf-gated transformWithState pair: 2 --
-    "q_stream_tws_counts",
-    "q_stream_tws_idle_sessions",
-    # -- round-6 addition (VERDICT r5 ask #6, ExactSubstr-style maximal
-    #    duplicated spans): 1 --
-    "q_dup_span_maximal",
-    # -- window boundary (slot 50) ------------------------------------
-    # -- tail: round-7 IMI two-level quantizer first (newest,
-    #    pytest-oracle-green; first driver row next rotation), then r3
-    #    greens stalest-first, then r4, then the round-5 window --
+# entries front-to-back with a bounded budget (_WINDOW slots), so the
+# concatenation order below is load-bearing. Sections are named by the
+# round of their last driver-green row and concatenated stalest-feature-
+# first: never-certified names lead, then re-certification candidates
+# stalest-first, freshest greens last. The window boundary is implicit
+# (the driver takes the first _WINDOW names); a guard test asserts the
+# never-certified sections fit inside it and that every registered name
+# appears exactly once (VERDICT r7 asks #2/#10).
+_WINDOW = 50
+
+# Round-7 family — never driver-certified (first official rows this
+# round, VERDICT r7 ask #2): IMI/SQ8/Matryoshka/IVF-SQ8 serving, Bloom
+# decontamination, ExactSubstr removal, hybrid-persisted retrieval, the
+# kNN self-join family, quality classifier, A-ES weighted sampling.
+_R7_FAMILY: tuple[str, ...] = (
     "q_ann_imi_search",
     "q_ann_sq8_topk",
     "q_ann_matryoshka_rerank",
@@ -170,6 +111,23 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_imi_stats",
     "q_hybrid_search_persisted",
     "q_dup_span_removal",
+    "q_knn_join",
+    "q_quality_classifier",
+    "q_knn_graph_clusters",
+    "q_weighted_sample",
+    "q_knn_join_persisted",
+    "q_knn_join_imi",
+    "q_knn_refine",
+    "q_weighted_sample_stratified",
+)
+
+# Round-8 additions — never certified; inserted in-window ahead of the
+# re-certification fill as they land.
+_R8_NEW: tuple[str, ...] = ()
+
+# Greens whose last driver row is round 3 — stalest re-certification
+# candidates; the head of this section fills the window's free slots.
+_R3_GREEN: tuple[str, ...] = (
     "q_ann_gemm_topk",
     "q_ann_ivf_sampled",
     "q_ann_ivf_topk",
@@ -201,6 +159,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_repetition",
     "q_token_budget",
     "q_vocab_coverage",
+)
+
+# Greens last certified in round 4.
+_R4_GREEN: tuple[str, ...] = (
     "q_agg_pricing_summary",
     "q_ann_index_stats",
     "q_ann_ivf_search",
@@ -240,7 +202,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_udtf_chunk_text",
     "q_window_running_sum",
     "q_window_topk_per_group",
-    # -- freshest: the full round-5 window (all green in r5) --
+)
+
+# Greens last certified in round 5 (the full round-5 window).
+_R5_GREEN: tuple[str, ...] = (
     "q_max_month",
     "q_city_month",
     "q_city_month_formatted",
@@ -291,17 +256,66 @@ _PRIORITY: tuple[str, ...] = (
     "q_latest_per_key",
     "q_percentiles",
     "q_json_extract",
-    # -- round-7 late additions: the kNN self-join family (inline /
-    #    persisted / two-level / NN-descent / mutual-kNN components),
-    #    linear quality-classifier inference, A-ES weighted sampling: 7 --
-    "q_knn_join",
-    "q_quality_classifier",
-    "q_knn_graph_clusters",
-    "q_weighted_sample",
-    "q_knn_join_persisted",
-    "q_knn_join_imi",
-    "q_knn_refine",
-    "q_weighted_sample_stratified",
+)
+
+# Greens certified in round 7 (the re-certified round-6 window: the five
+# round-5 additions, the r1/r2-stale re-certifications, the two
+# protobuf-gated TWS marker rows, q_dup_span_maximal) — freshest.
+_R7_GREEN: tuple[str, ...] = (
+    "q_sample_temperature",
+    "q_zorder_key",
+    "q_event_anomaly",
+    "q_constraint_audit",
+    "q_semantic_doc_search",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_array_funcs",
+    "q_except",
+    "q_grouping_sets",
+    "q_having_cte",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_local_supplier_volume",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_order_priority_count",
+    "q_pandas_udaf",
+    "q_salted_agg",
+    "q_split_explode",
+    "q_string_funcs",
+    "q_subquery_scalar",
+    "q_union_all",
+    "q_unpivot",
+    "q_window_lag_delta",
+    "q_window_range_frame",
+    "q_window_rank_family",
+    "q_events_tumbling",
+    "q_ann_cosine_topk",
+    "q_ann_filtered_topk",
+    "q_ann_lsh_topk",
+    "q_corpus_split",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_embed_neardup",
+    "q_events_funnel",
+    "q_events_funnel_windowed",
+    "q_events_sliding",
+    "q_group_trend_pandas",
+    "q_lang_id",
+    "q_pandas_udf_cosine",
+    "q_retention_cohorts",
+    "q_scd2_history",
+    "q_stratified_sample",
+    "q_text_quality",
+    "q_stream_tws_counts",
+    "q_stream_tws_idle_sessions",
+    "q_dup_span_maximal",
+)
+
+_PRIORITY: tuple[str, ...] = (
+    _R7_FAMILY + _R8_NEW + _R3_GREEN + _R4_GREEN + _R5_GREEN + _R7_GREEN
 )
 
 

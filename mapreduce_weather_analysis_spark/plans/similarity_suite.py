@@ -1386,8 +1386,6 @@ def q_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual edge) are out of scope on both engines. The oracle embeds
     the full IVF kNN chain as a materialized CTE and closes it with the
     same recursive-CTE reachability used by q_dedup_clusters."""
-    from pyspark.sql import Window
-
     from ..operators.graph import connected_components
 
     # edge source = the PERSISTED join (hash-identical to the inline
@@ -1410,15 +1408,19 @@ def q_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(mutual, "src", "dst").select(
         F.col("node").alias("vec_id"), "component"
     )
-    # size via a window over the component key: one shuffle, no second
-    # pass, and nothing to broadcast (the component relation is corpus-
-    # sized at scale — a broadcast size join would not survive 100 TB)
-    return comp.select(
-        "vec_id",
-        "component",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("component"))
-        .alias("csize"),
+    # size via groupBy + join-back on the component key, NOT a window
+    # partitioned on component: a count window puts an entire component
+    # in one task, and duplicate clusters are exactly the key that goes
+    # degenerate at corpus scale (one viral near-dup family = one giant
+    # component = one straggler). The agg's map-side combine bounds the
+    # shuffle at distinct components, and AQE's skew-join handling
+    # applies to the join-back (it does not apply to windows) —
+    # VERDICT r7 ask #4. Result-identical, same oracle.
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return comp.join(sizes, "component").select(
+        "vec_id", "component", "csize"
     )
 
 

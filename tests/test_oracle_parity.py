@@ -73,3 +73,25 @@ def test_registry_docs_fully_formatted():
         if re.search(r"\{[A-Za-z_][A-Za-z0-9_]*\}", s.doc)
     }
     assert not offenders, f"unformatted doc placeholders: {offenders}"
+
+
+def test_priority_sections_cover_registry_exactly():
+    """Window accounting as code, not comments (VERDICT r7 asks #2/#10):
+    the concatenated staleness sections must cover every registered name
+    exactly once, and the never-driver-certified sections must fit
+    entirely inside the driver's verification window so each new query
+    gets an official row on its first rotation."""
+    from mapreduce_weather_analysis_spark.plans.registry import (
+        _PRIORITY,
+        _R7_FAMILY,
+        _R8_NEW,
+        _WINDOW,
+        _import_plans,
+    )
+
+    _import_plans()
+    assert len(_PRIORITY) == len(set(_PRIORITY)) == len(REGISTRY)
+    assert set(_PRIORITY) == set(REGISTRY)
+    assert len(_R7_FAMILY) + len(_R8_NEW) <= _WINDOW
+    # the round-8 window leads with the never-certified sections
+    assert _PRIORITY[: len(_R7_FAMILY) + len(_R8_NEW)] == _R7_FAMILY + _R8_NEW

@@ -307,15 +307,26 @@ def test_matryoshka_shortlist_broadcasts(spark):
     assert _n_ops(plan, "BroadcastNestedLoopJoin") >= 1  # query × prefix scan
 
 
+def _window_partition_keys(plan: str) -> list[str]:
+    """First partition column of every window spec in a formatted plan.
+
+    Formatted explain prints window operators as ``(N) Window`` with
+    ``Arguments: [... windowspecdefinition(<part1>, ...)]`` — the
+    operator name is never the physical class 'WindowExec' (ADVICE r7:
+    asserting on 'WindowExec' is vacuous), so partition-spec checks must
+    read the windowspecdefinition args."""
+    return re.findall(r"windowspecdefinition\(([^,#]+)", plan)
+
+
 def test_dup_span_removal_per_doc_window_and_semi_join(spark):
     """ExactSubstr removal: the dup-gram mark is a LEFT SEMI join (build
-    side only the df≥2 keys), and the coverage scan's window partitions
+    side only the df≥2 keys), and every window in the plan partitions
     by doc_id — per-doc state, never a single-partition corpus window."""
     plan = _plan(REGISTRY["q_dup_span_removal"].fn(spark, SMOKE_SF))
     assert "LeftSemi" in plan
-    assert "WindowExec" not in plan  # the warning-path operator name
-    # the coverage window's partition spec is doc_id
-    assert "partitionBy=[doc_id" in plan.replace(" ", "") or "doc_id" in plan
+    keys = _window_partition_keys(plan)
+    assert keys, "expected the coverage-scan window in the plan"
+    assert all(k == "doc_id" for k in keys), keys
 
 
 def test_ivf_sq8_broadcasts_probes(spark):
@@ -433,3 +444,15 @@ def test_weighted_sample_stratified_single_shuffle(spark):
     plan = _plan(REGISTRY["q_weighted_sample_stratified"].fn(spark, SMOKE_SF))
     assert "hashpartitioning(source" in plan
     assert "Join" not in plan
+
+
+def test_knn_graph_clusters_csize_has_no_component_window(spark):
+    """Component size must come from groupBy + join-back, never from a
+    count window partitioned on the component key: a window puts an
+    entire component in one task (a viral near-dup family = one giant
+    component = one straggler), and AQE skew handling covers joins, not
+    windows (VERDICT r7 ask #4)."""
+    plan = _plan(REGISTRY["q_knn_graph_clusters"].fn(spark, SMOKE_SF))
+    assert "component" not in _window_partition_keys(plan)
+    # the size path exists as an aggregate + equi-join on component
+    assert "hashpartitioning(component" in plan
