@@ -123,6 +123,18 @@ HEADLINE = [
     "q_knn_join_imi",
     "q_knn_refine",
     "q_weighted_sample_stratified",
+    # round-8: two-round NN-descent; per-component diversity sampling;
+    # triangle count / clustering coefficient; per-component medoid
+    "q_knn_refine2",
+    "q_diverse_sample",
+    "q_knn_triangles",
+    "q_component_medoid",
+    "q_components_persisted",
+    "q_curation_gate",
+    "q_graph_profile",
+    "q_component_profile",
+    "q_kcore",
+    "q_curation_report",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -264,6 +276,26 @@ BASELINE_SEC = {
     "q_knn_join_imi": 2.8,
     # NN-descent round: edge self-join + 2 vector fetches + re-rank
     "q_knn_refine": 6.8,
+    # two descent rounds with a lineage cut between them
+    "q_knn_refine2": 4.6,
+    # component labeling + token-weight join + salted two-phase top-G
+    "q_diverse_sample": 6.2,
+    # checkpointed mutual edges + wedge join + closure probe + explode agg
+    "q_knn_triangles": 3.1,
+    # component labels + decimal centroid agg + cosine + max-struct pick
+    "q_component_medoid": 5.7,
+    # label-artifact scan (build amortized into components_write)
+    "q_components_persisted": 0.3,
+    # three doc_id-keyed verdict joins; the LSH canonical arm dominates
+    "q_curation_gate": 5.8,
+    # one-row stats over the persisted edges/labels (wedge join largest)
+    "q_graph_profile": 0.5,
+    # per-component rollup joins over the persisted edges/labels
+    "q_component_profile": 0.7,
+    # 4 peel rounds: degree agg + two semi-joins each, edge-bounded
+    "q_kcore": 0.9,
+    # per-source rollup of the three-stage gate (LSH arm dominates)
+    "q_curation_report": 4.9,
 }
 
 

@@ -207,3 +207,55 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, degree) of the subgraph surviving ``rounds`` k-core peel
+    iterations — the third iterative operator, bounded-round semantics
+    like :func:`pagerank` (an exact oracle needs a fixed unroll depth;
+    a convergence test asserts rounds+1 changes nothing at test scale).
+
+    Each round recomputes degrees over the SURVIVING edge relation and
+    drops every vertex with degree < k together with its incident edges
+    (Matula & Beck's peeling, one bulk round per iteration — the
+    standard bulk-synchronous k-core; at fixpoint the remainder is
+    exactly the k-core). Per round: one partial-agg'd degree count plus
+    two semi-joins of the edge relation against the (smaller) surviving
+    vertex set — everything edge-bounded, nothing corpus-sized, and the
+    relation only shrinks. Lineage is cut per round (localCheckpoint),
+    the same posture as the other driver-loop operators; without it the
+    replayed plan doubles every round.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        alive = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .where(F.col("degree") >= k)
+        )
+        # the survivor keys MUST be re-aliased to fresh names: ``alive``
+        # derives from ``e`` (a self-join), so a USING-style join on the
+        # shared "u" attribute misresolves once ``e`` is itself a
+        # checkpointed join output (observed: round 2 diverged from the
+        # oracle both directions). Distinct names force unambiguous
+        # resolution; semi-join output drops the right side anyway.
+        ka = alive.select(F.col("u").alias("ka"))
+        kb = alive.select(F.col("u").alias("kb"))
+        e = (
+            e.join(ka, F.col("u") == F.col("ka"), "left_semi")
+            .join(kb, F.col("v") == F.col("kb"), "left_semi")
+            .localCheckpoint()
+        )
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -42,15 +42,17 @@ _G_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
 _ALPHA_RE = "[a-z]"  # tokens() lowercases first
 
 
-def gopher_sig_sql(id_col: str) -> str:
-    """Oracle twin of :func:`gopher_signals`, keyed by ``id_col`` — shared
-    by the batch gate and the streaming ingest gate's oracle."""
+def gopher_ctes(id_col: str) -> list[str]:
+    """The Gopher gate's CTE list (g_toks → g_sig → g_keep), keyed by
+    ``id_col`` — returned as strings so multi-stage oracles (the full
+    curation gate) compose them next to other CTE chains without
+    splicing generated SQL."""
     stop_list = "[" + ", ".join(chr(39) + w + chr(39) for w in _G_STOPWORDS) + "]"
-    return f"""
-    WITH g_toks AS (
+    return [
+        f"""g_toks AS (
       SELECT {id_col}, text, {tokens_sql('text')} AS toks FROM documents
-    ),
-    g_sig AS (
+    )""",
+        f"""g_sig AS (
       SELECT {id_col},
              len(toks) AS n_words,
              list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
@@ -63,8 +65,8 @@ def gopher_sig_sql(id_col: str) -> str:
                w -> list_contains({stop_list}, w))))
                AS n_distinct_stopwords
       FROM g_toks WHERE len(toks) > 0
-    ),
-    g_keep AS (
+    )""",
+        f"""g_keep AS (
       SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
              symbol_ratio, alpha_word_frac,
              CAST(n_distinct_stopwords AS BIGINT) AS n_distinct_stopwords,
@@ -74,8 +76,14 @@ def gopher_sig_sql(id_col: str) -> str:
               AND alpha_word_frac >= {_G_MIN_ALPHA_FRAC}
               AND n_distinct_stopwords >= {_G_MIN_STOPWORDS}) AS keep
       FROM g_sig
-    )
-    """
+    )""",
+    ]
+
+
+def gopher_sig_sql(id_col: str) -> str:
+    """Oracle twin of :func:`gopher_signals`, keyed by ``id_col`` — shared
+    by the batch gate and the streaming ingest gate's oracle."""
+    return "\n    WITH " + ",\n    ".join(gopher_ctes(id_col)) + "\n    "
 
 
 def gopher_signals(d: DataFrame, *id_cols: str) -> DataFrame:
@@ -1599,3 +1607,338 @@ def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_weighted_sample_stratified.__doc__ = (
     q_weighted_sample_stratified.__doc__.format(G=_WS_PER_GROUP)
 )
+
+
+# --- Diversity sampling from kNN components ---------------------------------
+
+_DS_PER_COMP = 2  # docs kept per mutual-kNN component
+_DS_SALT = 4  # pre-aggregation fan-out for the skew-safe per-component top-G
+
+
+def _diverse_sample_oracle() -> str:
+    from .similarity_suite import _knn_graph_ctes
+
+    es_key = dround_sql(
+        "-ln(("
+        + portable_hash32_sql("concat('ws', CAST(c.vec_id AS VARCHAR))")
+        + f" % {HASH_PRIME} + 1) / ({HASH_PRIME} + 1.0)) / t.n_tokens",
+        8,
+    )
+    extra = [
+        """sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+      FROM comp GROUP BY component
+    )""",
+        f"""dtoks AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS term
+            FROM documents)
+      GROUP BY doc_id
+    )""",
+        f"""dskeyed AS (
+      SELECT c.vec_id, c.component, s.csize, t.n_tokens,
+             {es_key} AS es_key
+      FROM comp c
+      JOIN sizes s ON s.component = c.component
+      JOIN dtoks t ON t.doc_id = c.vec_id
+    )""",
+    ]
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(_knn_graph_ctes() + extra)
+        + f"""
+    SELECT vec_id, component, csize, n_tokens, es_key, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY component ORDER BY es_key ASC, vec_id ASC
+      ) AS INTEGER) AS rank
+      FROM dskeyed
+    ) WHERE rank <= {_DS_PER_COMP}
+    """
+    )
+
+
+@register("q_diverse_sample", oracle=_diverse_sample_oracle())
+def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY sampling from the mutual-kNN components — the
+    cluster-then-curate composition the clustering exists for (VERDICT
+    r7 ask #7): each near-dup/topic component contributes at most {G}
+    documents, picked by the SAME Efraimidis–Spirakis token-mass keys
+    as q_weighted_sample (identical 'ws' hash seed, so a doc's key is
+    consistent across every registered sample — a doc sampled here is
+    the same doc the global and stratified samples would pick first).
+    Big viral clusters stop dominating the mixture: a 10⁶-doc near-dup
+    family and a 10-doc topic cell contribute {G} docs each.
+
+    Scale shape: components and csize come from the persisted label
+    artifact (components_write — graph-bounded build amortized across
+    every component consumer); the per-component top-{G}
+    is TWO-PHASE — a first rank window partitioned on (component,
+    salt={S}-way xxhash64 of vec_id) takes per-salt top-{G}, then the
+    final window on component ranks at most {G}·{S} survivors per
+    component. A single window on the raw component key would put a
+    whole component in one task — exactly the straggler the csize fix
+    removed (duplicate clusters ARE the skewed key at corpus scale);
+    the salted pre-filter caps any task's window state at ~1/{S} of the
+    biggest component while computing the identical global top-{G}
+    (top-{G} of the union of per-salt top-{G}s). Oracle: the component
+    CTE chain + the plain rank — result-identical to the two-phase
+    plan."""
+    from .similarity_suite import read_components
+
+    # labels from the persisted artifact (hash-identical to the inline
+    # q_knn_graph_clusters build — q_components_persisted certifies it)
+    comp = read_components(spark, sf_dir)
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .select(F.col("doc_id").alias("vec_id"), "n_tokens")
+    )
+    u = (
+        portable_hash32(F.concat(F.lit("ws"), F.col("vec_id").cast("string")))
+        % HASH_PRIME
+        + 1
+    ) / (HASH_PRIME + 1.0)
+    keyed = comp.join(toks, "vec_id").select(
+        "vec_id",
+        "component",
+        "csize",
+        "n_tokens",
+        dround(-F.log(u) / F.col("n_tokens"), 8).alias("es_key"),
+    )
+    # the repartition must be EXPLICIT: keyed arrives already
+    # hash-partitioned on component (the csize join), which satisfies
+    # the (component, salt) clustered distribution, so EnsureRequirements
+    # would elide the salt exchange and the whole component would sit in
+    # one task anyway — exactly the straggler the salt exists to split
+    salted = keyed.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_DS_SALT))
+    ).repartition(F.col("component"), F.col("salt"))
+    w1 = Window.partitionBy("component", "salt").orderBy(
+        F.asc("es_key"), F.asc("vec_id")
+    )
+    survivors = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= _DS_PER_COMP)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("component").orderBy(
+        F.asc("es_key"), F.asc("vec_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= _DS_PER_COMP)
+        .select("vec_id", "component", "csize", "n_tokens", "es_key", "rank")
+    )
+
+
+q_diverse_sample.__doc__ = q_diverse_sample.__doc__.format(
+    G=_DS_PER_COMP, S=_DS_SALT
+)
+
+
+# --- End-to-end curation gate -----------------------------------------------
+
+
+def _curation_verdict_ctes() -> list[str]:
+    """The full three-stage gate as a CTE chain ending in ``verdicts``
+    (doc_id, gopher_keep, canonical_keep, classifier_keep, keep,
+    reason) — shared by the per-document gate oracle and the per-source
+    report oracle so the stage definitions exist once (the same
+    compose-don't-splice rule as gopher_ctes / hybrid's BM25 helper).
+    Callers must open with WITH RECURSIVE (the reach CTE)."""
+    from ..operators.dedup import minhash_lsh_pairs_sql
+
+    gk = "COALESCE(g.keep, FALSE)"
+    ck = "COALESCE(c.ck, FALSE)"
+    qk = "COALESCE(q.logit_milli >= 0, FALSE)"
+    canon_ctes = [
+        f"""pairs AS (
+      SELECT doc_a, doc_b FROM (
+        {minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5)}
+      ) p
+    )""",
+        """und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    )""",
+        """reach(node, target) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.target FROM und u JOIN reach r ON u.b = r.node
+    )""",
+        "comp AS (SELECT node, MIN(target) AS component FROM reach"
+        " GROUP BY node)",
+        """labeled AS (
+      SELECT d.doc_id, LENGTH(d.text) AS len,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )""",
+        """canon AS (
+      SELECT doc_id,
+             doc_id = FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component ORDER BY len DESC, doc_id ASC
+             ) AS ck
+      FROM labeled
+    )""",
+    ]
+    qc_ctes = [
+        f"""qc_toks AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_QC_DIM} AS b
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS term
+            FROM documents)
+    )""",
+        f"""qc_scored AS (
+      SELECT doc_id, SUM({_qc_weight_sql('b')}) AS logit_milli
+      FROM qc_toks GROUP BY doc_id
+    )""",
+    ]
+    verdicts = f"""verdicts AS (
+      SELECT d.doc_id,
+             {gk} AS gopher_keep,
+             {ck} AS canonical_keep,
+             {qk} AS classifier_keep,
+             ({gk} AND {ck} AND {qk}) AS keep,
+             CASE WHEN NOT {gk} THEN 'gopher'
+                  WHEN NOT {ck} THEN 'duplicate'
+                  WHEN NOT {qk} THEN 'classifier'
+                  ELSE 'kept' END AS reason
+      FROM documents d
+      LEFT JOIN g_keep g ON g.doc_id = d.doc_id
+      LEFT JOIN canon c ON c.doc_id = d.doc_id
+      LEFT JOIN qc_scored q ON q.doc_id = d.doc_id
+    )"""
+    return canon_ctes + gopher_ctes("doc_id") + qc_ctes + [verdicts]
+
+
+def _curation_gate_oracle() -> str:
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(_curation_verdict_ctes())
+        + """
+    SELECT doc_id, gopher_keep, canonical_keep, classifier_keep,
+           keep, reason
+    FROM verdicts
+    """
+    )
+
+
+@register("q_curation_gate", oracle=_curation_gate_oracle())
+def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline as one relation — every document
+    through all three production gates in pipeline order, with the
+    per-stage verdicts and the first-failing-stage reason code:
+    (1) Gopher rules (cheap shuffle-free signals — the gate that runs
+    first because it costs a scan), (2) near-dup canonical selection
+    (MinHash-LSH pairs → components → longest-doc keeper: only the
+    cluster representative survives), (3) fastText-shape quality
+    classifier (logit ≥ 0). ``WHERE keep`` is the corpus a pipeline
+    ships to the tokenizer; the reason column is the per-stage loss
+    ledger every curation report needs (how much did each gate cost?).
+
+    Scale shape: the three stages are independent single-purpose
+    subplans joined on doc_id — Gopher is scan-bound (zero shuffles),
+    the dedup arm is the banded-LSH chain (never all-pairs), the
+    classifier is one explode+agg; the final assembly is three
+    doc_id-keyed shuffles of slim verdict relations. Stage flags are
+    null-safe (a doc skipped by a stage — e.g. empty token list —
+    fails that stage, conservatively). Oracle: the three stages' CTE
+    chains composed verbatim (gopher_ctes, the canonical chain, the
+    classifier aggregate) + the same reason CASE."""
+    from .dedup_suite import q_dedup_canonical
+
+    d = t(spark, sf_dir, "documents")
+    g = gopher_signals(d, "doc_id").select(
+        "doc_id", F.col("keep").alias("gk")
+    )
+    c = q_dedup_canonical(spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 1).alias("ck")
+    )
+    q = q_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("qk")
+    )
+    j = (
+        d.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .join(q, "doc_id", "left")
+    )
+    gk = F.coalesce(F.col("gk"), F.lit(False))
+    ck = F.coalesce(F.col("ck"), F.lit(False))
+    qk = F.coalesce(F.col("qk"), F.lit(False))
+    return j.select(
+        "doc_id",
+        gk.alias("gopher_keep"),
+        ck.alias("canonical_keep"),
+        qk.alias("classifier_keep"),
+        (gk & ck & qk).alias("keep"),
+        F.when(~gk, F.lit("gopher"))
+        .when(~ck, F.lit("duplicate"))
+        .when(~qk, F.lit("classifier"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+    )
+
+
+def _curation_report_oracle() -> str:
+    kept = "SUM(CASE WHEN v.reason = 'kept' THEN 1 ELSE 0 END)"
+    frac = dround_sql(f"{kept} * 1.0 / COUNT(*)", 8)
+    cases = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN v.reason = '{r}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{r}"
+        for r in ("kept", "gopher", "duplicate", "classifier")
+    )
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(_curation_verdict_ctes())
+        + f"""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {cases},
+           {frac} AS kept_frac
+    FROM documents d JOIN verdicts v ON v.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+    )
+
+
+@register("q_curation_report", oracle=_curation_report_oracle())
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE curation loss ledger — the report a data team reads
+    after a gate run: for each ingest source, how many documents
+    entered, how many each stage rejected (first-failing-stage
+    attribution, so the columns partition n_docs exactly), and the
+    surviving fraction. A source whose kept_frac craters is a feed
+    gone bad (scraper drift, spam injection) — this one relation is
+    the monitoring surface for that.
+
+    Scale shape: one pass over q_curation_gate's verdict relation
+    joined doc_id-keyed to the slim (doc_id, source) projection, then
+    a partial-agg'd groupBy on the low-cardinality source key (the
+    conditional sums combine map-side; no skew hazard because the agg
+    state per task is |sources| rows). Oracle: the shared verdict CTE
+    chain + the same conditional-sum rollup."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    v = q_curation_gate(spark, sf_dir).select("doc_id", "reason")
+    j = d.join(v, "doc_id")
+
+    def n(r: str):
+        return F.sum(
+            F.when(F.col("reason") == r, 1).otherwise(0)
+        ).cast("bigint").alias(f"n_{r}")
+
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n("kept"),
+        n("gopher"),
+        n("duplicate"),
+        n("classifier"),
+        dround(
+            F.sum(F.when(F.col("reason") == "kept", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            8,
+        ).alias("kept_frac"),
+    )

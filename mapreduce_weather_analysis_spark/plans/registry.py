@@ -123,7 +123,18 @@ _R7_FAMILY: tuple[str, ...] = (
 
 # Round-8 additions — never certified; inserted in-window ahead of the
 # re-certification fill as they land.
-_R8_NEW: tuple[str, ...] = ()
+_R8_NEW: tuple[str, ...] = (
+    "q_knn_refine2",
+    "q_diverse_sample",
+    "q_knn_triangles",
+    "q_component_medoid",
+    "q_components_persisted",
+    "q_curation_gate",
+    "q_graph_profile",
+    "q_component_profile",
+    "q_kcore",
+    "q_curation_report",
+)
 
 # Greens whose last driver row is round 3 — stalest re-certification
 # candidates; the head of this section fills the window's free slots.

@@ -124,7 +124,11 @@ def main() -> None:
     queries = list(QUERIES)
     if len(sys.argv) > 3:
         only = set(sys.argv[3].split(","))
-        queries = [q for q in queries if q in only]
+        # keep QUERIES order for known names; ONLY may also name any
+        # registered query not in the default list
+        queries = [q for q in queries if q in only] + sorted(
+            q for q in only - set(QUERIES) if q in REGISTRY
+        )
     if mult >= 30 and "q_ann_cosine_topk" in queries:
         # the documented-quadratic baseline scales as mult^2 (both |Q| and
         # |N| grow) — 10,000x work at 100x; the LSH/IVF scale paths stand in

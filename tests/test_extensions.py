@@ -357,6 +357,32 @@ def test_connected_components_star_correct_and_logarithmic(spark):
     assert stats["rounds"] <= 10, stats  # O(log n); naive needs ~diameter
 
 
+def test_kcore_peel_dissolves_chains_keeps_cliques(spark):
+    """2-core peel semantics on a synthetic graph: a pendant chain
+    dissolves completely (one vertex per end per round), a 4-clique
+    survives untouched with all degrees 3, and once the fixpoint is
+    reached extra rounds change nothing (the bounded-round query's
+    semantics agree with the true k-core when converged)."""
+    from mapreduce_weather_analysis_spark.operators.graph import kcore_peel
+
+    # 6-chain (1..6) + K4 clique (10,11,12,13), disjoint
+    clique = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] + clique, ["src", "dst"]
+    )
+    got3 = {(r.node, r.degree) for r in kcore_peel(edges, 2, 3).collect()}
+    assert got3 == {(n, 3) for n in (10, 11, 12, 13)}, got3
+    # fixpoint: an extra round is a no-op
+    got4 = {(r.node, r.degree) for r in kcore_peel(edges, 2, 4).collect()}
+    assert got4 == got3
+    # mid-peel bounded-round semantics: after 1 round only the chain's
+    # endpoints are gone
+    got1 = {(r.node, r.degree) for r in kcore_peel(edges, 2, 1).collect()}
+    assert got1 == {(2, 1), (3, 2), (4, 2), (5, 1)} | {
+        (n, 3) for n in (10, 11, 12, 13)
+    }, got1
+
+
 def test_minhash_operating_points_recall_precision(spark):
     """Parameterized (k, bands): measure the LSH candidate stage against
     exact all-pairs Jaccard at two operating points. The 128-perm/32-band

@@ -456,3 +456,89 @@ def test_knn_graph_clusters_csize_has_no_component_window(spark):
     assert "component" not in _window_partition_keys(plan)
     # the size path exists as an aggregate + equi-join on component
     assert "hashpartitioning(component" in plan
+
+
+def test_diverse_sample_salted_two_phase_topg(spark):
+    """The per-component quota must be two-phase: a first window
+    partitioned on (component, salt) bounds any task's window state at
+    ~1/SALT of the largest component, then the final component window
+    ranks at most G·SALT survivors — never one raw window over the
+    skewed component key."""
+    plan = _plan(REGISTRY["q_diverse_sample"].fn(spark, SMOKE_SF))
+    assert re.search(r"hashpartitioning\(component#\d+L?, salt", plan), plan
+    # both phases partition on component first; no unpartitioned window
+    keys = _window_partition_keys(plan)
+    assert keys and all(k == "component" for k in keys), keys
+
+
+def test_knn_refine2_lineage_cut_between_rounds(spark):
+    """Round 2 must read round 1's edges from a materialized checkpoint
+    (three scans of the edge relation would otherwise replay round 1's
+    whole plan each; at depth d the replay is O(3^d) rounds), and stay
+    graph-bounded like the single round."""
+    plan = _plan(REGISTRY["q_knn_refine2"].fn(spark, SMOKE_SF))
+    assert "ExistingRDD" in plan  # the checkpointed round-1 edges
+    main = plan.split("===== Subqueries =====")[0]
+    assert main.count(") ShuffledHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_triangles_persisted_edges_no_cartesian(spark):
+    """Triangle counting must read the mutual edges from the persisted
+    graph artifact (degree, both wedge sides, and the closure probe
+    would otherwise each replay the kNN join + intersect — so no
+    quantizer-assignment pandas stage may appear), join wedge/closure
+    as shuffled-hash on the slim edge relation (corpus-sized at scale —
+    nothing may broadcast it), and never go cartesian."""
+    plan = _plan(REGISTRY["q_knn_triangles"].fn(spark, SMOKE_SF))
+    assert "MapInPandas" not in plan  # edges are served, not rebuilt
+    main = plan.split("===== Subqueries =====")[0]
+    assert main.count(") ShuffledHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_component_medoid_aggregate_argmax_no_window(spark):
+    """The medoid pick must be a max-of-struct AGGREGATE (map-side
+    combinable, skew-safe), never a rank window partitioned on the
+    skewed component key — and the centroid path is agg+join, so the
+    whole plan is window-free."""
+    plan = _plan(REGISTRY["q_component_medoid"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "Window") == 0, _window_partition_keys(plan)
+    assert "hashpartitioning(component" in plan
+
+
+def test_component_profile_window_free_served_edges(spark):
+    """Per-component rollups must be partial-agg'd counters (groupBy on
+    the component key — skew-safe state), never component-keyed windows
+    or per-component collects; inputs come from the persisted graph
+    artifact (no quantizer pandas stage), and the triangle arm stays
+    shuffled-hash with no cartesian."""
+    plan = _plan(REGISTRY["q_component_profile"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "Window") == 0, _window_partition_keys(plan)
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+    main = plan.split("===== Subqueries =====")[0]
+    assert main.count(") ShuffledHashJoin") >= 2
+
+
+def test_kcore_rounds_are_checkpointed(spark):
+    """The peel loop must cut lineage every round (the returned plan
+    reads a checkpointed RDD, not a 4-round replay of semi-joins over
+    the kNN build), and the final degree count is one partial-agg'd
+    groupBy — no windows, no cartesian, no pandas stage."""
+    plan = _plan(REGISTRY["q_kcore"].fn(spark, SMOKE_SF))
+    assert "ExistingRDD" in plan  # checkpointed final round
+    assert "MapInPandas" not in plan
+    assert _n_ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_report_partial_agg_on_source(spark):
+    """The per-source rollup must be a partial-agg'd groupBy on the
+    low-cardinality source key (conditional-sum state combines
+    map-side); the verdict relation joins doc_id-keyed, and no
+    cartesian appears anywhere in the three-stage composition."""
+    plan = _plan(REGISTRY["q_curation_report"].fn(spark, SMOKE_SF))
+    assert "hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
