@@ -135,6 +135,12 @@ HEADLINE = [
     "q_component_profile",
     "q_kcore",
     "q_curation_report",
+    # round-8 second wave: exemplar pairs, edge support / local bridges,
+    # label-propagation communities, cross-source contamination ledger
+    "q_component_exemplars",
+    "q_bridge_edges",
+    "q_lp_communities",
+    "q_cross_source_pairs",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -296,6 +302,14 @@ BASELINE_SEC = {
     "q_kcore": 0.9,
     # per-source rollup of the three-stage gate (LSH arm dominates)
     "q_curation_report": 4.9,
+    # shared scored relation + one groupBy serving both struct argmaxes
+    "q_component_exemplars": 0.9,
+    # wedge join + closure probe + 3-way unpivot count over served edges
+    "q_bridge_edges": 0.5,
+    # 2 LP rounds: label join + (node,label) count + argmax, per round
+    "q_lp_communities": 0.8,
+    # banded-LSH pairs + two doc_id-keyed source annotation joins
+    "q_cross_source_pairs": 1.8,
 }
 
 

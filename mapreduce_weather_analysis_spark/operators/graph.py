@@ -259,3 +259,63 @@ def kcore_peel(
     return und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, label) after ``rounds`` synchronous label-propagation
+    iterations (Raghavan, Albert & Kumara 2007, the synchronous
+    variant): every node starts labeled with its own id, and each round
+    adopts the MOST FREQUENT label among its neighbors, ties broken by
+    the smallest label — fully deterministic, so a SQL oracle can
+    unroll the identical rounds (the async/randomized variants of the
+    paper trade determinism for convergence speed; bounded-round
+    deterministic semantics is this engine's posture for every
+    iterative operator, like pagerank and kcore_peel).
+
+    Communities differ from connected components: LP splits a weakly
+    chained component at its thin waist (a hub label can't out-vote a
+    dense clique across a single bridge edge), so it is the label to
+    group by when components are too coarse.
+
+    Scale shape: per round one edge-bounded join (labels onto the
+    undirected edge relation), one (node, label) partial-agg'd count,
+    and one max-of-struct argmax per node — map-side combinable,
+    skew-safe (no windows; a viral label adds rows to a count, not
+    bytes to one task). Labels are localCheckpoint'd per round — the
+    loop's three consumers of the previous round's labels would
+    otherwise replay every prior round (the kcore_peel posture).
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        # fresh alias for the neighbor key: labels shares lineage with
+        # und in round 1 (both derive from e), so a USING-style join on
+        # a shared name would hit the same ambiguous-self-join
+        # misresolution the k-core peel documents above
+        nb = und.join(
+            labels.select(F.col("node").alias("nbr"), "label"),
+            F.col("v") == F.col("nbr"),
+        ).select("u", "label")
+        cnt = nb.groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        best = cnt.groupBy("u").agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("b")
+        )
+        labels = best.select(
+            F.col("u").alias("node"), (-F.col("b.nl")).alias("label")
+        ).localCheckpoint()
+    return labels

@@ -672,3 +672,63 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             (keep_lang * keep_quality * F.col("keep_dedup")).alias("keep"),
         )
     )
+
+
+@register(
+    "q_cross_source_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      {minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5)}
+    ),
+    srcs AS (SELECT doc_id, source FROM documents)
+    SELECT p.doc_a, p.doc_b, sa.source AS source_a, sb.source AS source_b,
+           p.jaccard
+    FROM pairs p
+    JOIN srcs sa ON sa.doc_id = p.doc_a
+    JOIN srcs sb ON sb.doc_id = p.doc_b
+    WHERE sa.source <> sb.source
+    """,
+)
+def q_cross_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE near-duplicate pairs — verified MinHash-LSH pairs
+    whose two documents come from DIFFERENT ingest sources. Within-
+    source duplicates are crawl noise (dedup handles them); cross-
+    source duplicates are a pipeline signal: the same document arriving
+    through two feeds means double-weighted content in the training
+    mixture (q_mixing_weights assumes sources are disjoint) and,
+    when one "source" is an evaluation set, leakage the Bloom
+    decontamination pass must catch. This is the between-feeds
+    contamination ledger: which feed pairs overlap, document by
+    document, with the verified Jaccard as severity.
+
+    Scale shape: the pair relation is the full banded-LSH scale path
+    (signatures one pass, candidates from the band-bucket self-join,
+    exact Jaccard on candidates only — never all-pairs); the source
+    annotation is two doc_id-keyed joins of the slim (doc_id, source)
+    projection onto the (near-dup-bounded, ≪ corpus) pair relation, and
+    the cross-source filter prunes before any downstream rollup. Column
+    pruning keeps text out of the annotation joins. Oracle: the shared
+    LSH pairs SQL as a CTE + the identical source joins."""
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    srcs = d.select("doc_id", "source")
+    return (
+        pairs.join(
+            srcs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("source_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("source_b"),
+            ),
+            "doc_b",
+        )
+        .where(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+    )

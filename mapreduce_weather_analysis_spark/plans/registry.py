@@ -134,6 +134,10 @@ _R8_NEW: tuple[str, ...] = (
     "q_component_profile",
     "q_kcore",
     "q_curation_report",
+    "q_component_exemplars",
+    "q_bridge_edges",
+    "q_lp_communities",
+    "q_cross_source_pairs",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -1919,11 +1919,85 @@ def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("vec_id", "degree", "triangles", coeff.alias("coeff"))
 
 
-def _component_medoid_oracle() -> str:
+def _bridge_edges_oracle() -> str:
+    extra = [
+        _TRI_CTE,
+        """esup AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT ta AS src, tb AS dst FROM tri
+        UNION ALL SELECT ta AS src, tc AS dst FROM tri
+        UNION ALL SELECT tb AS src, tc AS dst FROM tri
+      ) GROUP BY src, dst
+    )""",
+    ]
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(_knn_graph_ctes() + extra)
+        + """
+    SELECT m.src, m.dst,
+           COALESCE(e.support, CAST(0 AS BIGINT)) AS support,
+           COALESCE(e.support, 0) = 0 AS is_local_bridge
+    FROM mutual m LEFT JOIN esup e ON e.src = m.src AND e.dst = m.dst
+    """
+    )
+
+
+@register("q_bridge_edges", oracle=_bridge_edges_oracle())
+def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge TRIANGLE SUPPORT and local-bridge flag over the
+    mutual-kNN graph — the edge-granularity companion to
+    q_knn_triangles' vertex view. An edge's support is the number of
+    triangles containing it (its endpoints' common neighbors); support
+    0 makes it a LOCAL BRIDGE in the standard sense (removing it puts
+    its endpoints at distance > 2). Curation reading: local bridges are
+    the accidental mutual pairs that chain unrelated near-dup families
+    into one component — exactly the edges to cut before trusting
+    component labels (the k-truss intuition: q_kcore peels weak
+    VERTICES, this scores weak EDGES), and the support column is the
+    edge's embeddedness for graders that want a threshold other than 0.
+
+    Scale shape: triangles come from the shared ordered-wedge
+    enumeration (_wedge_triangles — O(Σ deg²) shuffled-hash joins on
+    the persisted slim edge relation, nothing broadcast, never
+    corpus-quadratic); each triangle (a<b<c) contributes its three
+    (src<dst)-oriented edges via one 3-way unpivot, support is a
+    partial-agg'd count on the edge key, and the final left join back
+    to the mutual edges is edge-bounded. Oracle: the shared graph +
+    triangle CTEs with the identical 3-way unpivot."""
+    e = read_mutual_edges(spark, sf_dir)
+    tris = _wedge_triangles(e)
+    pairs = (
+        tris.select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
+        .unionAll(
+            tris.select(F.col("ta").alias("src"), F.col("tc").alias("dst"))
+        )
+        .unionAll(
+            tris.select(F.col("tb").alias("src"), F.col("tc").alias("dst"))
+        )
+    )
+    sup = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    out = e.join(sup, ["src", "dst"], "left")
+    support = F.coalesce(F.col("support"), F.lit(0).cast("bigint"))
+    return out.select(
+        "src",
+        "dst",
+        support.alias("support"),
+        (support == 0).alias("is_local_bridge"),
+    )
+
+
+def _component_scored_ctes() -> list[str]:
+    """CTE chain ending in ``cscored`` (component, vec_id, cos) plus
+    ``csz`` — the decimal-exact per-component centroid and every
+    member's cosine against it, shared by the medoid and exemplar
+    oracles so the centroid arithmetic is defined once (appended after
+    :func:`_knn_graph_ctes`)."""
     from ..operators.similarity import EMBED_DIM as _DIM
 
     cos = cosine_sql("m.v", "cents.cvec")
-    extra = [
+    return [
         "vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
         " FROM embeddings)",
         f"""cdims AS (
@@ -1951,9 +2025,12 @@ def _component_medoid_oracle() -> str:
       JOIN cents ON cents.component = c.component
     )""",
     ]
+
+
+def _component_medoid_oracle() -> str:
     return (
         "\n    WITH RECURSIVE "
-        + ",\n    ".join(_knn_graph_ctes() + extra)
+        + ",\n    ".join(_knn_graph_ctes() + _component_scored_ctes())
         + """
     SELECT component, vec_id AS medoid_id, csize, cos FROM (
       SELECT s.component, s.vec_id, z.csize, s.cos,
@@ -1963,6 +2040,44 @@ def _component_medoid_oracle() -> str:
       FROM cscored s JOIN csz z ON z.component = s.component
     ) WHERE rn = 1
     """
+    )
+
+
+def _component_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(component, vec_id, csize, cos) — every member scored against its
+    component's centroid; the relation the medoid (argmax) and exemplar
+    (argmax + argmin) picks both reduce. Labels come from the persisted
+    artifact (hash-identical to the inline build — the three downstream
+    scans re-read cheap parquet instead of replaying the kNN join + star
+    rounds); centroids are LINEAR, never pairwise — posexplode to
+    (component, dim, val), decimal-exact per-dim means (the same
+    DECIMAL(28,12) order-independent sums as the Lloyd recompute in
+    operators/ivf.py), re-assembled per component by sorted collect of
+    ≤64 dim rows. DataFrame twin of :func:`_component_scored_ctes`."""
+    comp = read_components(spark, sf_dir).select(
+        "vec_id", "component", "csize"
+    )
+    vv = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    memb = comp.join(vv.hint("shuffle_hash"), "vec_id")
+    dims = memb.select("component", F.posexplode("v").alias("dim", "val"))
+    means = dims.groupBy("component", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cents = means.groupBy("component").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+        ).alias("cvec")
+    )
+    return memb.join(cents.hint("shuffle_hash"), "component").select(
+        "component",
+        "vec_id",
+        "csize",
+        dround(cosine(F.col("v"), F.col("cvec")), 8).alias("cos"),
     )
 
 
@@ -1986,35 +2101,7 @@ def q_component_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact (components_write), so the three downstream scans re-read
     cheap parquet. Oracle: the shared component CTEs + the
     identical decimal centroid chain in SQL."""
-    # labels from the persisted artifact (hash-identical to the inline
-    # build): the three downstream scans re-read cheap parquet instead
-    # of replaying the kNN join + star rounds
-    comp = read_components(spark, sf_dir).select(
-        "vec_id", "component", "csize"
-    )
-    vv = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
-    memb = comp.join(vv.hint("shuffle_hash"), "vec_id")
-    dims = memb.select("component", F.posexplode("v").alias("dim", "val"))
-    means = dims.groupBy("component", "dim").agg(
-        (
-            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("m")
-    )
-    cents = means.groupBy("component").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
-        ).alias("cvec")
-    )
-    scored = memb.join(cents.hint("shuffle_hash"), "component").select(
-        "component",
-        "vec_id",
-        "csize",
-        dround(cosine(F.col("v"), F.col("cvec")), 8).alias("cos"),
-    )
-    best = scored.groupBy("component").agg(
+    best = _component_scored(spark, sf_dir).groupBy("component").agg(
         F.max(
             F.struct(
                 F.col("cos"),
@@ -2028,6 +2115,85 @@ def q_component_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.nv")).alias("medoid_id"),
         F.col("b.csize").alias("csize"),
         F.col("b.cos").alias("cos"),
+    )
+
+
+def _component_exemplars_oracle() -> str:
+    spread = dround_sql("md.cos - fr.cos", 8)
+    extra = [
+        """md AS (
+      SELECT component, vec_id, cos FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+          PARTITION BY component ORDER BY cos DESC, vec_id ASC
+        ) AS rn FROM cscored s
+      ) WHERE rn = 1
+    )""",
+        """fr AS (
+      SELECT component, vec_id, cos FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+          PARTITION BY component ORDER BY cos ASC, vec_id ASC
+        ) AS rn FROM cscored s
+      ) WHERE rn = 1
+    )""",
+    ]
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(
+            _knn_graph_ctes() + _component_scored_ctes() + extra
+        )
+        + f"""
+    SELECT z.component, z.csize,
+           md.vec_id AS medoid_id, md.cos AS medoid_cos,
+           fr.vec_id AS far_id, fr.cos AS far_cos,
+           {spread} AS spread
+    FROM csz z
+    JOIN md ON md.component = z.component
+    JOIN fr ON fr.component = z.component
+    """
+    )
+
+
+@register("q_component_exemplars", oracle=_component_exemplars_oracle())
+def q_component_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component EXEMPLAR PAIR — the medoid (member closest to the
+    centroid) and the antipode (member farthest from it), plus the
+    spread between their centroid-cosines: the diameter probe next to
+    q_component_medoid's keep-one. Curation reading: spread ≈ 0 means
+    the whole component hugs its centroid (a true near-dup family —
+    collapse it; inspecting the medoid alone suffices), while a large
+    spread flags a component whose label lumped genuinely different
+    documents together (inspect BOTH exemplars before deciding — the
+    antipode is exactly the member a medoid-only review would miss).
+    The per-component refinement knob for the collapse-vs-sample
+    routing in q_component_profile.
+
+    Scale shape: one shared scored relation (_component_scored — the
+    same decimal-exact linear centroid chain as the medoid, persisted
+    labels, no pairwise distances), then BOTH picks are min/max-of-
+    struct AGGREGATES over the same single groupBy: map-side
+    combinable, skew-safe (no rank window over the skewed component
+    key), and one shuffle serves the two argmaxes. Tie-break matches
+    the medoid's (max: negated id ⇒ smaller vec_id wins; min: struct
+    orders by cos then vec_id ascending, so the smaller id wins there
+    too). Oracle: the shared component + centroid CTEs with two ranked
+    picks joined on the component key."""
+    scored = _component_scored(spark, sf_dir)
+    best = scored.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("cos"), (-F.col("vec_id")).alias("nv"), F.col("csize")
+            )
+        ).alias("mx"),
+        F.min(F.struct(F.col("cos"), F.col("vec_id"))).alias("mn"),
+    )
+    return best.select(
+        "component",
+        F.col("mx.csize").alias("csize"),
+        (-F.col("mx.nv")).alias("medoid_id"),
+        F.col("mx.cos").alias("medoid_cos"),
+        F.col("mn.vec_id").alias("far_id"),
+        F.col("mn.cos").alias("far_cos"),
+        dround(F.col("mx.cos") - F.col("mn.cos"), 8).alias("spread"),
     )
 
 
@@ -2342,3 +2508,80 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_kcore.__doc__ = q_kcore.__doc__.format(K=_KC_K, R=_KC_ROUNDS)
+
+
+# --- Label-propagation communities ------------------------------------------
+
+_LP_ROUNDS = 2  # fixed unroll depth (bounded-round semantics, like q_kcore)
+
+
+def _lp_oracle(rounds: int = _LP_ROUNDS) -> str:
+    ctes = ["lab0 AS (SELECT DISTINCT a AS node, a AS label FROM und)"]
+    for i in range(rounds):
+        ctes += [
+            f"""cnt{i} AS (
+      SELECT u.a AS node, l.label, COUNT(*) AS c
+      FROM und u JOIN lab{i} l ON l.node = u.b
+      GROUP BY u.a, l.label
+    )""",
+            f"""lab{i + 1} AS (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label, c, MAX(c) OVER (PARTITION BY node) AS mx
+        FROM cnt{i}
+      ) WHERE c = mx GROUP BY node
+    )""",
+        ]
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(_knn_graph_ctes() + ctes)
+        + f"""
+    SELECT l.node AS vec_id, l.label AS community, s.comm_size
+    FROM lab{rounds} l
+    JOIN (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS comm_size
+      FROM lab{rounds} GROUP BY label
+    ) s ON s.label = l.label
+    """
+    )
+
+
+@register("q_lp_communities", oracle=_lp_oracle())
+def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION communities over the mutual-kNN graph — {R}
+    synchronous rounds of "adopt the most frequent neighbor label, ties
+    to the smallest" (Raghavan et al. 2007), starting from self-labels.
+    The finer-grained sibling of q_knn_graph_clusters: connected
+    components glue everything a chain of accidental mutual pairs
+    touches into one blob (exactly the hazard q_bridge_edges scores),
+    while LP lets a dense near-dup clique keep its own label across a
+    thin bridge — the community column is what diversity sampling
+    should quota on when q_graph_profile shows a max_csize blowup.
+    Fourth iterative driver-loop operator (components, pagerank,
+    k-core, LP), bounded-round deterministic semantics so the oracle
+    unrolls the identical rounds.
+
+    Scale shape: per round one edge-bounded label join + one
+    (node, label) partial-agg'd count + one max-of-struct argmax —
+    map-side combinable, skew-safe (no windows anywhere; a viral label
+    adds rows to counts, not bytes to one task's buffer), labels
+    lineage-cut per round (operators/graph.label_propagation). Edges
+    come from the persisted graph artifact; community sizes are a
+    groupBy + join-back on the final labels (the csize de-skew
+    pattern). Oracle: the shared graph CTEs + the same rounds unrolled
+    (mode via MAX-over-count window, MIN tie-break — window use is
+    oracle-only)."""
+    from ..operators.graph import label_propagation
+
+    e = read_mutual_edges(spark, sf_dir)
+    labels = label_propagation(e, rounds=_LP_ROUNDS)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("comm_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("community"),
+        "comm_size",
+    )
+
+
+q_lp_communities.__doc__ = q_lp_communities.__doc__.format(R=_LP_ROUNDS)

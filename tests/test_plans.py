@@ -542,3 +542,53 @@ def test_curation_report_partial_agg_on_source(spark):
     plan = _plan(REGISTRY["q_curation_report"].fn(spark, SMOKE_SF))
     assert "hashpartitioning(source" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_component_exemplars_single_groupby_no_window(spark):
+    """Both exemplar picks (medoid max-struct, antipode min-struct) must
+    reduce over ONE shared groupBy on the component key — window-free
+    like the medoid (the skewed component key never feeds a rank
+    window), with the centroid path as agg+join."""
+    plan = _plan(REGISTRY["q_component_exemplars"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "Window") == 0, _window_partition_keys(plan)
+    assert "hashpartitioning(component" in plan
+    # one aggregate computes both picks: min & max structs side by side
+    assert plan.count("min(struct") + plan.count("max(struct") >= 2
+
+
+def test_bridge_edges_served_edges_shuffled_hash(spark):
+    """Edge-support scoring must read the persisted mutual edges (no
+    quantizer pandas stage), keep the wedge/closure joins shuffled-hash
+    on the slim edge relation, and stay window- and cartesian-free —
+    support is a partial-agg'd count on the edge key."""
+    plan = _plan(REGISTRY["q_bridge_edges"].fn(spark, SMOKE_SF))
+    assert "MapInPandas" not in plan
+    assert _n_ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    main = plan.split("===== Subqueries =====")[0]
+    assert main.count(") ShuffledHashJoin") >= 2
+
+
+def test_lp_communities_checkpointed_rounds_window_free(spark):
+    """Each LP round must read the previous round's labels from a
+    materialized checkpoint (three lineage consumers per round would
+    otherwise replay all prior rounds), and the mode-label argmax must
+    be a max-of-struct aggregate — no windows, no cartesian, no pandas
+    stage anywhere."""
+    plan = _plan(REGISTRY["q_lp_communities"].fn(spark, SMOKE_SF))
+    assert "ExistingRDD" in plan  # checkpointed round labels
+    assert "MapInPandas" not in plan
+    assert _n_ops(plan, "Window") == 0, _window_partition_keys(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_pairs_no_cartesian_pruned_annotation(spark):
+    """The contamination ledger must stay on the banded-LSH scale path
+    (band-bucket self-join — never an all-pairs cartesian), and the
+    source-annotation joins must read only (doc_id, source): the text
+    column may enter the plan once for shingling, never through the
+    annotation branches."""
+    plan = _plan(REGISTRY["q_cross_source_pairs"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    # two slim annotation scans: ReadSchema carries doc_id+source only
+    assert plan.count("ReadSchema: struct<doc_id:bigint,source:string>") >= 2
