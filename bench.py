@@ -141,6 +141,11 @@ HEADLINE = [
     "q_bridge_edges",
     "q_lp_communities",
     "q_cross_source_pairs",
+    # round-8 fourth wave: truss peel ledger, feed-overlap matrix,
+    # per-source embedding drift
+    "q_ktruss",
+    "q_source_overlap_matrix",
+    "q_embedding_drift",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -310,6 +315,12 @@ BASELINE_SEC = {
     "q_lp_communities": 0.8,
     # banded-LSH pairs + two doc_id-keyed source annotation joins
     "q_cross_source_pairs": 1.8,
+    # 2 truss rounds on the sym-kNN graph: triangles + support + split each
+    "q_ktruss": 3.3,
+    # LSH pair path + (least, greatest) feed-pair partial-agg rollup
+    "q_source_overlap_matrix": 1.7,
+    # (source, dim) decimal means + 1-row global-centroid broadcast
+    "q_embedding_drift": 0.7,
 }
 
 

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     simhash_bands,
     simhash_relational,
 )
+from ..functions.compat import psum, psum_sql
 from .registry import register, t
 
 
@@ -674,9 +675,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_cross_source_pairs",
-    oracle=f"""
+def _cross_source_sql() -> str:
+    """The cross-source pair relation in SQL — shared by the pair-level
+    ledger's oracle and the per-feed-pair overlap matrix's oracle."""
+    return f"""
     WITH pairs AS (
       {minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5)}
     ),
@@ -687,8 +689,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN srcs sa ON sa.doc_id = p.doc_a
     JOIN srcs sb ON sb.doc_id = p.doc_b
     WHERE sa.source <> sb.source
-    """,
-)
+    """
+
+
+@register("q_cross_source_pairs", oracle=_cross_source_sql())
 def q_cross_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-SOURCE near-duplicate pairs — verified MinHash-LSH pairs
     whose two documents come from DIFFERENT ingest sources. Within-
@@ -709,6 +713,13 @@ def q_cross_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-source filter prunes before any downstream rollup. Column
     pruning keeps text out of the annotation joins. Oracle: the shared
     LSH pairs SQL as a CTE + the identical source joins."""
+    return _cross_source_pairs(spark, sf_dir)
+
+
+def _cross_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, source_a, source_b, jaccard) — DataFrame twin of
+    :func:`_cross_source_sql`, shared by the pair ledger and the
+    overlap matrix."""
     d = t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5).select(
         "doc_a", "doc_b", "jaccard"
@@ -731,4 +742,52 @@ def q_cross_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("source_a") != F.col("source_b"))
         .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+    )
+
+
+@register(
+    "q_source_overlap_matrix",
+    oracle=f"""
+    WITH xp AS ({_cross_source_sql()})
+    SELECT LEAST(source_a, source_b) AS source_lo,
+           GREATEST(source_a, source_b) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {psum_sql('jaccard', 6)} / COUNT(*) AS avg_jaccard,
+           MAX(jaccard) AS max_jaccard
+    FROM xp
+    GROUP BY 1, 2
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FEED-PAIR overlap matrix — the rollup of
+    q_cross_source_pairs into one row per unordered source pair:
+    how many verified near-dup pairs cross the two feeds, at what
+    average and worst-case Jaccard. This is the table an ingest owner
+    actually reads: a (src3, src7) row with hundreds of pairs at
+    jaccard ≈ 1 means one feed mirrors the other (de-prioritize one);
+    a scattering of low-jaccard rows is benign boilerplate overlap.
+    The contamination ledger's monitoring surface, same role
+    q_curation_report plays for the gate.
+
+    Scale shape: the pair relation stays on the banded-LSH scale path
+    and is near-dup-bounded (≪ corpus); the rollup groups on the
+    unordered (LEAST, GREATEST) feed-pair key — at most |sources|²
+    groups, partial-agg'd with counter/decimal-sum/max state that
+    combines map-side. avg routes the computed-double jaccard through
+    its shortest decimal string (psum) so the mean is order-independent
+    and bit-identical to DuckDB. Oracle: the
+    shared cross-source SQL + the identical rollup."""
+    xp = _cross_source_pairs(spark, sf_dir)
+    return (
+        xp.groupBy(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (psum(F.col("jaccard"), 6) / F.count(F.lit(1))).alias(
+                "avg_jaccard"
+            ),
+            F.max("jaccard").alias("max_jaccard"),
+        )
     )

@@ -138,6 +138,9 @@ _R8_NEW: tuple[str, ...] = (
     "q_bridge_edges",
     "q_lp_communities",
     "q_cross_source_pairs",
+    "q_ktruss",
+    "q_source_overlap_matrix",
+    "q_embedding_drift",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

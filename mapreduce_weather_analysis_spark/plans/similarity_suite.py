@@ -1794,14 +1794,30 @@ def q_knn_refine2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Ordered-wedge triangle enumeration in SQL — every triangle a<b<c once.
-# Shared by the per-vertex count, the global profile, and the per-
-# component profile so the wedge/closure definition exists exactly once.
-_TRI_CTE = """tri AS (
-      SELECT x.src AS ta, x.dst AS tb, y.dst AS tc
-      FROM mutual x
-      JOIN mutual y ON x.dst = y.src
-      JOIN mutual z ON z.src = x.src AND z.dst = y.dst
-    )"""
+# Shared by the per-vertex count, the global/per-component profiles,
+# edge support, and the k-truss peel (parameterized on the edge CTE so
+# the peel can unroll it per round) — the wedge/closure definition
+# exists exactly once.
+
+
+def _tri_select(edges: str) -> str:
+    return f"""SELECT x.src AS ta, x.dst AS tb, y.dst AS tc
+      FROM {edges} x
+      JOIN {edges} y ON x.dst = y.src
+      JOIN {edges} z ON z.src = x.src AND z.dst = y.dst"""
+
+
+def _support_select(tri: str) -> str:
+    """Per-edge triangle count of ``tri`` via the 3-way unpivot — each
+    triangle (a<b<c) contributes its three (src<dst)-oriented edges."""
+    return f"""SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT ta AS src, tb AS dst FROM {tri}
+        UNION ALL SELECT ta AS src, tc AS dst FROM {tri}
+        UNION ALL SELECT tb AS src, tc AS dst FROM {tri}
+      ) GROUP BY src, dst"""
+
+
+_TRI_CTE = "tri AS (\n      " + _tri_select("mutual") + "\n    )"
 
 
 def _wedge_triangles(e: DataFrame) -> DataFrame:
@@ -1919,16 +1935,33 @@ def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("vec_id", "degree", "triangles", coeff.alias("coeff"))
 
 
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(src, dst, support) — per-edge triangle count over the
+    (src < dst)-oriented edge relation: 3-way unpivot of the shared
+    ordered-wedge enumeration + one partial-agg'd count on the edge
+    key. Only edges in ≥1 triangle appear (join back to the edge
+    relation for the zero rows). DataFrame twin of
+    :func:`_support_select`; shared by the local-bridge scorer and the
+    k-truss peel."""
+    tris = _wedge_triangles(e)
+    pairs = (
+        tris.select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
+        .unionAll(
+            tris.select(F.col("ta").alias("src"), F.col("tc").alias("dst"))
+        )
+        .unionAll(
+            tris.select(F.col("tb").alias("src"), F.col("tc").alias("dst"))
+        )
+    )
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+
+
 def _bridge_edges_oracle() -> str:
     extra = [
         _TRI_CTE,
-        """esup AS (
-      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
-        SELECT ta AS src, tb AS dst FROM tri
-        UNION ALL SELECT ta AS src, tc AS dst FROM tri
-        UNION ALL SELECT tb AS src, tc AS dst FROM tri
-      ) GROUP BY src, dst
-    )""",
+        "esup AS (\n      " + _support_select("tri") + "\n    )",
     ]
     return (
         "\n    WITH RECURSIVE "
@@ -1961,24 +1994,11 @@ def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted slim edge relation, nothing broadcast, never
     corpus-quadratic); each triangle (a<b<c) contributes its three
     (src<dst)-oriented edges via one 3-way unpivot, support is a
-    partial-agg'd count on the edge key, and the final left join back
-    to the mutual edges is edge-bounded. Oracle: the shared graph +
-    triangle CTEs with the identical 3-way unpivot."""
+    partial-agg'd count on the edge key (_edge_support), and the final
+    left join back to the mutual edges is edge-bounded. Oracle: the
+    shared graph + triangle CTEs with the identical 3-way unpivot."""
     e = read_mutual_edges(spark, sf_dir)
-    tris = _wedge_triangles(e)
-    pairs = (
-        tris.select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
-        .unionAll(
-            tris.select(F.col("ta").alias("src"), F.col("tc").alias("dst"))
-        )
-        .unionAll(
-            tris.select(F.col("tb").alias("src"), F.col("tc").alias("dst"))
-        )
-    )
-    sup = pairs.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).alias("support")
-    )
-    out = e.join(sup, ["src", "dst"], "left")
+    out = e.join(_edge_support(e), ["src", "dst"], "left")
     support = F.coalesce(F.col("support"), F.lit(0).cast("bigint"))
     return out.select(
         "src",
@@ -2585,3 +2605,283 @@ def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_lp_communities.__doc__ = q_lp_communities.__doc__.format(R=_LP_ROUNDS)
+
+
+# --- k-truss peel ledger over the symmetrized kNN graph ---------------------
+
+_KT_K = 4  # truss order: a surviving edge must sit in >= K-2 = 2 triangles
+_KT_ROUNDS = 2  # fixed unroll depth (bounded-round semantics, like q_kcore)
+
+
+def _sym_knn_cte() -> list[str]:
+    """CTE chain ending in ``symk`` (src < dst) — the SYMMETRIZED full
+    kNN edge set (an edge wherever EITHER endpoint lists the other in
+    its top-k), denser than the mutual graph: the truss peel needs
+    triangle structure to cascade through, and mutuality already
+    strips most of it."""
+    inner = ivf_topk_sql("embeddings", "TRUE", k_neighbors=_KNN_K)
+    return [
+        f"""kknn AS MATERIALIZED (
+      SELECT query_id AS a, neighbor_id AS b FROM ({inner})
+    )""",
+        """symk AS (
+      SELECT DISTINCT LEAST(a, b) AS src, GREATEST(a, b) AS dst
+      FROM kknn WHERE a <> b
+    )""",
+    ]
+
+
+def _ktruss_oracle(k: int = _KT_K, rounds: int = _KT_ROUNDS) -> str:
+    ctes = _sym_knn_cte() + ["te0 AS (SELECT src, dst FROM symk)"]
+    deads = []
+    for i in range(rounds):
+        ctes += [
+            f"ttri{i} AS (\n      " + _tri_select(f"te{i}") + "\n    )",
+            f"tsup{i} AS (\n      " + _support_select(f"ttri{i}") + "\n    )",
+            f"""tj{i} AS (
+      SELECT e.src, e.dst, COALESCE(s.support, 0) AS support
+      FROM te{i} e
+      LEFT JOIN tsup{i} s ON s.src = e.src AND s.dst = e.dst
+    )""",
+            f"""te{i + 1} AS (
+      SELECT src, dst FROM tj{i} WHERE support >= {k - 2}
+    )""",
+        ]
+        deads.append(
+            f"SELECT src, dst, {i + 1} AS died_round FROM tj{i}"
+            f" WHERE support < {k - 2}"
+        )
+    deads.append(f"SELECT src, dst, 0 AS died_round FROM te{rounds}")
+    union = "\n      UNION ALL ".join(deads)
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT src, dst, CAST(died_round AS INTEGER) AS died_round
+    FROM ({union})
+    """
+    )
+
+
+def sym_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of :func:`_sym_knn_cte` — (src < dst) edges of the
+    symmetrized kNN graph, from the persisted join artifact."""
+    knn = q_knn_join_persisted(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    return (
+        knn.where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            F.least("vec_id", "neighbor_id").alias("src"),
+            F.greatest("vec_id", "neighbor_id").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register("q_ktruss", oracle=_ktruss_oracle())
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-TRUSS PEEL LEDGER over the symmetrized kNN graph — for every
+    edge, the round the truss peel removed it (died_round 1..{R}, or 0
+    if it survived all {R} rounds). One peel round drops every edge in
+    fewer than {K}−2 triangles (Cohen 2008); removals cascade, because
+    killing an edge erases the triangles leaning on it — an edge whose
+    only triangles ride round-1 casualties dies in round 2, which is
+    the cascade the fixture actually exhibits (the bounded-round ledger
+    is the truss analog of an onion-layer decomposition: died_round
+    stratifies edges by cohesion strength). Edge-granularity sibling of
+    q_kcore's vertex peel and the iterative extension of
+    q_bridge_edges' one-shot score; sixth iterative driver-loop
+    operator, bounded-round deterministic semantics (the oracle unrolls
+    identical rounds). Runs on the SYMMETRIZED kNN edge set (either
+    endpoint lists the other) rather than the mutual graph: mutuality
+    already strips most triangle tissue, and the peel needs structure
+    to cascade through.
+
+    Curation reading: died_round 1 edges are the loose tissue
+    (q_bridge_edges' local bridges plus barely-supported pairs),
+    died_round {R} edges looked solid but leaned on loose tissue, and
+    survivors are the hard duplicate cores worth collapsing outright.
+
+    Scale shape: each round re-enumerates triangles over the SHRUNKEN
+    edge relation (the shared ordered-wedge joins — O(Σ deg²)
+    shuffled-hash, never corpus-quadratic, strictly decreasing), one
+    partial-agg'd support count, one edge-keyed left join to split
+    dead from surviving (both splits read the same checkpointed
+    support relation — computed once per round), lineage cut per
+    round; the ledger is a union of per-round dead slices, each
+    edge-bounded. Oracle: the same rounds unrolled as CTEs."""
+    return ktruss_peel(
+        sym_knn_edges(spark, sf_dir), k=_KT_K, rounds=_KT_ROUNDS
+    )
+
+
+def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """(src, dst, died_round) — the k-truss peel ledger of the
+    (src < dst)-oriented edge relation: died_round is the 1-based peel
+    round that removed the edge, 0 if it survived all ``rounds``. See
+    :func:`q_ktruss` for semantics and scale posture; factored so the
+    synthetic cascade test can run the peel on a hand-built graph."""
+    e = edges.select("src", "dst").localCheckpoint()
+    dead_slices = []
+    for i in range(rounds):
+        sup = _edge_support(e)
+        # one checkpointed support relation serves BOTH splits (dead
+        # slice + survivors) — without it each filter would replay the
+        # round's triangle enumeration; fresh right-side names dodge
+        # the ambiguous-self-join hazard (kcore_peel's documented
+        # lesson: sup derives from e's self-joins)
+        tj = e.join(
+            sup.select(
+                F.col("src").alias("ksrc"),
+                F.col("dst").alias("kdst"),
+                "support",
+            ),
+            (F.col("src") == F.col("ksrc"))
+            & (F.col("dst") == F.col("kdst")),
+            "left",
+        ).select(
+            "src",
+            "dst",
+            F.coalesce(F.col("support"), F.lit(0).cast("bigint")).alias(
+                "support"
+            ),
+        ).localCheckpoint()
+        dead_slices.append(
+            tj.where(F.col("support") < k - 2).select(
+                "src", "dst", F.lit(i + 1).alias("died_round")
+            )
+        )
+        e = (
+            tj.where(F.col("support") >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    survivors = e.select("src", "dst", F.lit(0).alias("died_round"))
+    out = survivors
+    for d in dead_slices:
+        out = out.unionAll(d)
+    return out.select(
+        "src", "dst", F.col("died_round").cast("int").alias("died_round")
+    )
+
+
+q_ktruss.__doc__ = q_ktruss.__doc__.format(K=_KT_K, R=_KT_ROUNDS)
+
+
+# --- Per-source embedding drift ----------------------------------------------
+
+
+def _embedding_drift_oracle() -> str:
+    from ..operators.similarity import EMBED_DIM as _DIM
+
+    cos = cosine_sql("s.svec", "g.gvec")
+    return f"""
+    WITH vv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    j AS (
+      SELECT d.source, vv.v FROM vv JOIN documents d ON d.doc_id = vv.vec_id
+    ),
+    dims AS (
+      SELECT source, i AS dim, v[i] AS val
+      FROM j, (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+    ),
+    smeans AS (
+      SELECT source, dim,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY source, dim
+    ),
+    scents AS (
+      SELECT source, list(m ORDER BY dim) AS svec
+      FROM smeans GROUP BY source
+    ),
+    nv AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM j GROUP BY source
+    ),
+    gmeans AS (
+      SELECT dim,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY dim
+    ),
+    gcent AS (SELECT list(m ORDER BY dim) AS gvec FROM gmeans),
+    scored AS (
+      SELECT s.source, nv.n_vecs, {dround_sql(cos, 8)} AS cos_to_global
+      FROM scents s
+      JOIN nv ON nv.source = s.source
+      CROSS JOIN gcent g
+    )
+    SELECT source, n_vecs, cos_to_global,
+           {dround_sql("1.0 - cos_to_global", 8)} AS drift
+    FROM scored
+    """
+
+
+@register("q_embedding_drift", oracle=_embedding_drift_oracle())
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE embedding drift — each ingest feed's centroid compared
+    (by cosine) against the corpus-wide centroid, with drift = 1 − cos:
+    the embedding-space health check a training pipeline runs per feed
+    per snapshot. A feed whose drift jumps between snapshots changed
+    character (new domain, encoder regression, or a poisoned batch)
+    before any downstream metric notices; a feed with persistent high
+    drift is a distribution-shifted source q_mixing_weights should see.
+    The embedding-space sibling of q_curation_report's token-space
+    per-feed ledger.
+
+    Scale shape: one join of the embeddings against the slim
+    (doc_id, source) projection, then LINEAR decimal-exact per-dim
+    means at both granularities (the _component_scored pattern —
+    DECIMAL(28,12) order-independent sums; never pairwise distances),
+    re-assembled by sorted collect of ≤{{DIM}} dim rows per source; the
+    global centroid is ONE row cross-joined (broadcast) onto at most
+    |sources| rows. Everything partial-agg'd on (source, dim) — a
+    viral feed adds rows to sums, not bytes to a task. Oracle: the
+    identical decimal chain in SQL."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    src = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    j = emb.join(src.hint("shuffle_hash"), "vec_id")
+    dims = j.select("source", F.posexplode("v").alias("dim", "val"))
+    dmean = (
+        F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+        / F.count(F.lit(1))
+    ).alias("m")
+    scents = (
+        dims.groupBy("source", "dim")
+        .agg(dmean)
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.m,
+            ).alias("svec")
+        )
+    )
+    nv = j.groupBy("source").agg(F.count(F.lit(1)).alias("n_vecs"))
+    gcent = (
+        dims.groupBy("dim")
+        .agg(dmean)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.m,
+            ).alias("gvec")
+        )
+    )
+    cosr = dround(cosine(F.col("svec"), F.col("gvec")), 8)
+    return (
+        scents.join(nv, "source")
+        .crossJoin(gcent)
+        .select("source", "n_vecs", cosr.alias("cos_to_global"))
+        .select(
+            "source",
+            "n_vecs",
+            "cos_to_global",
+            dround(F.lit(1.0) - F.col("cos_to_global"), 8).alias("drift"),
+        )
+    )

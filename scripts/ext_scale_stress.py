@@ -75,6 +75,24 @@ def main() -> None:
     _import_plans()
     spark = get_spark(app_name="ext-scale-stress")
 
+    # Idempotent pack generation: rewriting identical parquet changes file
+    # mtimes/footers, which changes the ANN index fingerprint and forces a
+    # full artifact rebuild into the FIRST graph query timed afterward
+    # (observed: a 0.5 s query "measuring" a 30 s index+graph build). A
+    # marker records the mult; only a different mult regenerates.
+    import pathlib
+
+    marker = pathlib.Path(out) / f"_PACK_COMPLETE_x{mult}"
+    if marker.exists():
+        docs = spark.read.parquet(f"{out}/documents.parquet")
+        emb = spark.read.parquet(f"{out}/embeddings.parquet")
+        print(
+            f"pack exists: documents {docs.count()}, embeddings "
+            f"{emb.count()} (delete {marker} to regenerate)"
+        )
+        _run_queries(spark, out, base, mult)
+        return
+
     docs = spark.read.parquet(f"{base}/documents.parquet")
     n_docs = docs.count()
     reps = []
@@ -120,6 +138,12 @@ def main() -> None:
     big_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     print(f"scaled: documents {n_docs}->{n_docs * mult}, "
           f"embeddings {n_emb}->{n_emb * mult}")
+    marker.touch()
+    _run_queries(spark, out, base, mult)
+
+
+def _run_queries(spark, out: str, base: str, mult: int) -> None:
+    from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
 
     queries = list(QUERIES)
     if len(sys.argv) > 3:

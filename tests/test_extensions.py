@@ -988,3 +988,53 @@ def test_knn_join_persisted_equals_inline(spark):
         map(tuple, _run(spark, "q_knn_join_persisted").collect())
     )
     assert inline == served and len(inline) > 0
+
+
+def test_ktruss_peel_cascade_and_fixpoint(spark):
+    """4-truss peel ledger on a synthetic graph: a bowtie (two triangles
+    sharing edge (2,3)) cascades — the four outer edges die in round 1
+    (support 1 < 2), which erases both triangles, so the shared edge
+    (support 2 initially) dies in round 2 — while a K4 clique (every
+    edge in 2 triangles, none leaning on casualties) survives with
+    died_round 0, and an extra round changes nothing at the fixpoint."""
+    from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+        ktruss_peel,
+    )
+
+    bowtie = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    clique = [
+        (a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b
+    ]
+    edges = spark.createDataFrame(bowtie + clique, ["src", "dst"])
+    got = {
+        (r.src, r.dst): r.died_round
+        for r in ktruss_peel(edges, 4, 2).collect()
+    }
+    expect = {(a, b): 0 for a, b in clique}
+    expect.update({(1, 2): 1, (1, 3): 1, (2, 4): 1, (3, 4): 1, (2, 3): 2})
+    assert got == expect, got
+    got3 = {
+        (r.src, r.dst): r.died_round
+        for r in ktruss_peel(edges, 4, 3).collect()
+    }
+    assert got3 == expect  # fixpoint: round 3 peels nothing
+
+
+def test_label_propagation_clique_beats_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after 2 synchronous LP
+    rounds each clique converges to its own min-id label (the bridge
+    can't out-vote 3 in-clique neighbors), so communities split where
+    connected components would blob — the exact distinction
+    q_lp_communities exists to provide."""
+    from mapreduce_weather_analysis_spark.operators.graph import (
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    c2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], ["src", "dst"])
+    got = {
+        r.node: r.label for r in label_propagation(edges, rounds=2).collect()
+    }
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}, got
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}, got

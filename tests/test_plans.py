@@ -592,3 +592,40 @@ def test_cross_source_pairs_no_cartesian_pruned_annotation(spark):
     assert "CartesianProduct" not in plan
     # two slim annotation scans: ReadSchema carries doc_id+source only
     assert plan.count("ReadSchema: struct<doc_id:bigint,source:string>") >= 2
+
+
+def test_ktruss_checkpointed_rounds_one_support_per_round(spark):
+    """Each truss round must split dead/surviving edges from ONE
+    checkpointed support relation (the triangle enumeration may not
+    replay per filter), cut lineage per round, and stay window- and
+    cartesian-free with shuffled-hash wedge joins."""
+    plan = _plan(REGISTRY["q_ktruss"].fn(spark, SMOKE_SF))
+    assert "ExistingRDD" in plan  # checkpointed per-round splits
+    assert _n_ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_source_overlap_matrix_partial_agg_rollup(spark):
+    """The feed-pair rollup must group on the unordered (least,
+    greatest) source-pair key with partial-agg'd counter/decimal/max
+    state, stay on the banded-LSH pair path (no cartesian), and keep
+    the annotation joins slim."""
+    plan = _plan(REGISTRY["q_source_overlap_matrix"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert _n_ops(plan, "Window") == 0
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_embedding_drift_linear_centroids_broadcast_global(spark):
+    """Per-source centroids must be linear decimal means on the
+    (source, dim) key (partial-agg'd; never pairwise), the global
+    centroid must arrive as a one-row broadcast (BroadcastNestedLoop
+    over a single row — the stats-row pattern), and no window or
+    cartesian may appear."""
+    plan = _plan(REGISTRY["q_embedding_drift"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row global centroid
+    assert "hashpartitioning(source" in plan
