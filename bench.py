@@ -146,6 +146,7 @@ HEADLINE = [
     "q_ktruss",
     "q_source_overlap_matrix",
     "q_embedding_drift",
+    "q_parts_supplier_breadth",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -321,6 +322,8 @@ BASELINE_SEC = {
     "q_source_overlap_matrix": 1.7,
     # (source, dim) decimal means + 1-row global-centroid broadcast
     "q_embedding_drift": 0.7,
+    # broadcast part dim + two-level distinct-agg (expand, then count)
+    "q_parts_supplier_breadth": 0.7,
 }
 
 

@@ -141,6 +141,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_ktruss",
     "q_source_overlap_matrix",
     "q_embedding_drift",
+    "q_parts_supplier_breadth",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

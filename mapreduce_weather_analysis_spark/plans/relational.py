@@ -121,13 +121,22 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all (NOT EXISTS)."""
+    """Left-anti join: customers with NO orders since 2001-01-01
+    (NOT EXISTS with a pushed-down filter on the right side). The
+    recency cutoff keeps the result NONEMPTY at every fixture SF — the
+    original "no orders at all" matched zero customers on every
+    fixture, so the anti-join semantics were only ever certified
+    against an empty relation (the q_local_supplier_volume lesson:
+    a hash-match on empty is a vacuous row)."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
     )

@@ -153,7 +153,7 @@ def q_sql_api_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'REGION_0'
+    WHERE r.r_name = 'ASIA'
       AND c.c_nationkey = s.s_nationkey
     GROUP BY 1, 2
     """,
@@ -170,7 +170,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
     s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     n = F.broadcast(t(spark, sf_dir, "nation"))
-    r = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "REGION_0"))
+    r = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

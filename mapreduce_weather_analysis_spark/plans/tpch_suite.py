@@ -827,3 +827,58 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(psum(profit, alias="profit"))
         .orderBy(F.asc("nation"), F.desc("yr"))
     )
+
+
+@register(
+    "q_parts_supplier_breadth",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, brand ASC, type ASC, size ASC
+    """,
+)
+def q_parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can furnish each
+    (brand, type, size) bucket, excluding one brand and restricted to a
+    size band — the supplier-diversity report. Fixture adaptation: no
+    partsupp table, so the supplier-part relationship is taken from the
+    FACT (every (l_partkey, l_suppkey) pair that actually shipped) —
+    Q16's plan reason survives intact: a distinct-aggregate over a
+    fact⋈dim join with a dim-side filter.
+
+    Plan: part (dim) broadcasts with both predicates pushed into its
+    scan; the distinct-agg is the interesting part at 100 TB — Spark
+    plans COUNT(DISTINCT) as a two-level expand/partial-agg (first
+    de-dup (group, suppkey) pairs map-side, then count), so the shuffle
+    carries de-duplicated pairs, never raw fact rows, and a hot bucket
+    adds distinct keys rather than bytes on one task. Cited: TPC-H
+    spec Q16; partsupp absence per TESTDATA.md."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = F.broadcast(
+        t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(1, 2, 3, 4, 5)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("brand"),
+            F.asc("type"),
+            F.asc("size"),
+        )
+    )

@@ -95,3 +95,45 @@ def test_priority_sections_cover_registry_exactly():
     assert len(_R7_FAMILY) + len(_R8_NEW) <= _WINDOW
     # the round-8 window leads with the never-certified sections
     assert _PRIORITY[: len(_R7_FAMILY) + len(_R8_NEW)] == _R7_FAMILY + _R8_NEW
+
+
+def test_no_oracle_is_vacuously_empty():
+    """Every oracle must return at least one row at the DRIVER's SF
+    (sf0.01 — the official correctness gate's inputs).
+
+    A query whose result is empty hash-matches trivially — the driver
+    row certifies nothing about the operator's semantics. This audit
+    caught two long-green vacuous rows (q_local_supplier_volume
+    filtered on a region name no fixture ever had; q_join_anti's
+    NOT-EXISTS matched zero customers at every SF). DuckDB-only: one
+    cheap COUNT per oracle, no Spark session. Queries that are
+    LEGITIMATELY empty at sf0.01 must be allowlisted here with a
+    reason. (At the sf0.001 smoke SF a further handful are empty —
+    q_zorder_key / q_having_cte / q_nation_volume — which is why this
+    guard pins the driver's SF, not the local harness's.)"""
+    import duckdb
+
+    from .conftest import ORACLE_SF
+
+    allow_empty: set[str] = set()  # none today — add (name, reason) comments
+    _import_plans()
+    con = duckdb.connect()
+    for tname in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM"
+            f" read_parquet('{ORACLE_SF}/{tname}.parquet')"
+        )
+    empty = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or name in allow_empty:
+            continue
+        n = con.execute(
+            f"SELECT COUNT(*) FROM ({spec.oracle})"
+        ).fetchone()[0]
+        if n == 0:
+            empty.append(name)
+    con.close()
+    assert not empty, f"oracles returning zero rows at sf0.01: {empty}"
