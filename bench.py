@@ -293,6 +293,9 @@ BASELINE_SEC = {
     # component labeling + token-weight join + salted two-phase top-G
     "q_diverse_sample": 6.2,
     # checkpointed mutual edges + wedge join + closure probe + explode agg
+    # (re-baselined after the degree-ordered forward-algorithm rewrite —
+    # two extra degree joins raise the small-scale floor of every
+    # triangle consumer while bounding wedges O(m^1.5) at corpus scale)
     "q_knn_triangles": 3.1,
     # component labels + decimal centroid agg + cosine + max-struct pick
     "q_component_medoid": 5.7,
@@ -301,9 +304,9 @@ BASELINE_SEC = {
     # three doc_id-keyed verdict joins; the LSH canonical arm dominates
     "q_curation_gate": 5.8,
     # one-row stats over the persisted edges/labels (wedge join largest)
-    "q_graph_profile": 0.5,
+    "q_graph_profile": 0.8,
     # per-component rollup joins over the persisted edges/labels
-    "q_component_profile": 0.7,
+    "q_component_profile": 0.9,
     # 4 peel rounds: degree agg + two semi-joins each, edge-bounded
     "q_kcore": 0.9,
     # per-source rollup of the three-stage gate (LSH arm dominates)
@@ -311,7 +314,7 @@ BASELINE_SEC = {
     # shared scored relation + one groupBy serving both struct argmaxes
     "q_component_exemplars": 0.9,
     # wedge join + closure probe + 3-way unpivot count over served edges
-    "q_bridge_edges": 0.5,
+    "q_bridge_edges": 0.8,
     # 2 LP rounds: label join + (node,label) count + argmax, per round
     "q_lp_communities": 0.8,
     # banded-LSH pairs + two doc_id-keyed source annotation joins
