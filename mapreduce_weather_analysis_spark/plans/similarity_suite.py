@@ -2924,7 +2924,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, source) projection, then LINEAR decimal-exact per-dim
     means at both granularities (the _component_scored pattern —
     DECIMAL(28,12) order-independent sums; never pairwise distances),
-    re-assembled by sorted collect of ≤{{DIM}} dim rows per source; the
+    re-assembled by sorted collect of ≤64 dim rows per source; the
     global centroid is ONE row cross-joined (broadcast) onto at most
     |sources| rows. Everything partial-agg'd on (source, dim) — a
     viral feed adds rows to sums, not bytes to a task. Oracle: the
