@@ -374,3 +374,146 @@ def test_portable_hash32_three_way_parity(spark, duck, words):
         for w in words
     ]
     assert duck_vals == expected
+
+
+# --- Graph operator properties vs pure-Python references -------------------
+
+# distinct (a < b) edges over a 9-node id space
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=18,
+).map(
+    lambda ps: sorted({(min(a, b), max(a, b)) for a, b in ps})
+)
+
+
+def _adj(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _py_triangles(edges):
+    es = set(edges)
+    nodes = sorted({v for e in edges for v in e})
+    out = set()
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    out.add((a, b, c))
+    return out
+
+
+@given(edges=graph_edges)
+@settings(**_SETTINGS)
+def test_wedge_triangles_match_bruteforce(spark, edges):
+    """The degree-ordered forward-algorithm enumeration must produce
+    EXACTLY the brute-force triangle set, each once — the invariant the
+    100× hub fix is not allowed to bend."""
+    from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+        _wedge_triangles,
+    )
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = [(r.ta, r.tb, r.tc) for r in _wedge_triangles(e).collect()]
+    assert len(got) == len(set(got))  # each triangle exactly once
+    assert set(got) == _py_triangles(edges)
+
+
+def _py_kcore(edges, k):
+    adj = _adj(edges)
+    while True:
+        drop = [v for v, ns in adj.items() if len(ns) < k]
+        if not drop:
+            return {v: len(ns) for v, ns in adj.items()}
+        for v in drop:
+            for w in adj[v]:
+                adj[w].discard(v)
+            del adj[v]
+
+
+@given(edges=graph_edges)
+@settings(**_SETTINGS)
+def test_kcore_fixpoint_matches_python_peel(spark, edges):
+    """Enough peel rounds (≥ node count) must land exactly on the true
+    2-core (surviving vertices AND their in-core degrees)."""
+    from mapreduce_weather_analysis_spark.operators.graph import kcore_peel
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore_peel(e, 2, 9).collect()}
+    assert got == _py_kcore(edges, 2)
+
+
+def _py_ktruss_ledger(edges, k, rounds):
+    cur = set(edges)
+    ledger = {}
+    for i in range(1, rounds + 1):
+        tris = _py_triangles(sorted(cur))
+        sup = {e: 0 for e in cur}
+        for a, b, c in tris:
+            for e in ((a, b), (a, c), (b, c)):
+                sup[e] += 1
+        dead = {e for e in cur if sup[e] < k - 2}
+        for e in dead:
+            ledger[e] = i
+        cur -= dead
+    for e in cur:
+        ledger[e] = 0
+    return ledger
+
+
+@given(edges=graph_edges)
+@settings(**_SETTINGS)
+def test_ktruss_ledger_matches_python_peel(spark, edges):
+    """The peel ledger must agree round-for-round with a reference
+    Python peel: same edges dead in the same round, same survivors —
+    and the ledger must partition the edge set exactly."""
+    from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+        ktruss_peel,
+    )
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.src, r.dst): r.died_round for r in ktruss_peel(e, 4, 3).collect()}
+    assert got == _py_ktruss_ledger(edges, 4, 3)
+
+
+def _py_lp(edges, rounds):
+    adj = _adj(edges)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in adj.items():
+            counts = {}
+            for w in ns:
+                counts[labels[w]] = counts.get(labels[w], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+@given(edges=graph_edges)
+@settings(**_SETTINGS)
+def test_label_propagation_matches_python_rounds(spark, edges):
+    """Synchronous deterministic LPA must agree with the Python
+    reference after every unrolled round count (mode label, min
+    tie-break)."""
+    from mapreduce_weather_analysis_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 2):
+        got = {
+            r.node: r.label
+            for r in label_propagation(e, rounds=rounds).collect()
+        }
+        assert got == _py_lp(edges, rounds), rounds
