@@ -147,6 +147,7 @@ HEADLINE = [
     "q_source_overlap_matrix",
     "q_embedding_drift",
     "q_parts_supplier_breadth",
+    "q_stream_embedding_drift",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -327,6 +328,8 @@ BASELINE_SEC = {
     "q_embedding_drift": 0.7,
     # broadcast part dim + two-level distinct-agg (expand, then count)
     "q_parts_supplier_breadth": 0.7,
+    # stateless stream drain (join+unpivot) + batch decimal-mean chain
+    "q_stream_embedding_drift": 2.6,
 }
 
 

@@ -142,6 +142,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_source_overlap_matrix",
     "q_embedding_drift",
     "q_parts_supplier_breadth",
+    "q_stream_embedding_drift",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

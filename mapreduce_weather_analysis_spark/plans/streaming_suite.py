@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.events_stream import (
     read_documents_stream,
+    read_embeddings_stream,
     read_events_stream,
     run_available_now,
     running_user_counts,
@@ -625,3 +626,84 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", hits.cast("bigint").alias("n_bloom_hits")
     ).where(F.col("n_bloom_hits") > 0)
     return run_available_now(flagged, spark, mode="append")
+
+
+def _stream_drift_oracle() -> str:
+    from .similarity_suite import _embedding_drift_oracle
+
+    return _embedding_drift_oracle()
+
+
+@register("q_stream_embedding_drift", oracle=_stream_drift_oracle())
+def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding DRIFT computed AT INGEST: the live embedding
+    feed (an encoder writing vectors as documents arrive) is enriched
+    with each document's source via a stream-static broadcast join and
+    unpivoted to (source, dim, val) rows — all stateless, append-mode,
+    zero streaming state — then the drained rows feed the identical
+    decimal-mean/centroid-cosine chain as the batch monitor
+    (q_embedding_drift). This is the deployment where a poisoned or
+    re-encoded feed is caught within one micro-batch of arriving,
+    instead of at the next batch audit.
+
+    Streaming posture at scale: the static (doc_id, source) projection
+    is broadcast per micro-batch (no watermark, no join state — the
+    q_stream_static_join argument), the unpivot is a per-row projection,
+    and the heavy aggregation happens on the drained relation — so the
+    stream itself never shuffles and cannot build state, which is what
+    lets the gate run inline on a 100 TB/day feed. Oracle: the batch
+    drift oracle verbatim — provable batch/stream equivalence of the
+    full monitor."""
+    from ..functions.compat import dround
+    from ..functions.vectors import as_double, cosine
+    from .registry import t as _t
+
+    emb = read_embeddings_stream(spark, sf_dir)
+    src = F.broadcast(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("vec_id"), "source"
+        )
+    )
+    dims = (
+        emb.join(src, "vec_id")
+        .select("source", as_double("embedding").alias("v"))
+        .select("source", F.posexplode("v").alias("dim", "val"))
+    )
+    # localCheckpoint: the drained relation fans out to three consumers
+    # (per-source means, counts, global centroid) that later JOIN each
+    # other — self-joins over the raw memory-sink table trip an analyzer
+    # INTERNAL_ERROR (observed on Spark 4.1) and would re-read the sink
+    # thrice anyway; the checkpoint gives the batch math a plain
+    # materialized relation
+    drained = run_available_now(dims, spark, mode="append").localCheckpoint()
+    dmean = (
+        F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+        / F.count(F.lit(1))
+    ).alias("m")
+    cvec = F.transform(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+    )
+    scents = (
+        drained.groupBy("source", "dim")
+        .agg(dmean)
+        .groupBy("source")
+        .agg(cvec.alias("svec"))
+    )
+    nv = (
+        drained.where(F.col("dim") == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    gcent = drained.groupBy("dim").agg(dmean).agg(cvec.alias("gvec"))
+    cosr = dround(cosine(F.col("svec"), F.col("gvec")), 8)
+    return (
+        scents.join(nv, "source")
+        .crossJoin(gcent)
+        .select("source", "n_vecs", cosr.alias("cos_to_global"))
+        .select(
+            "source",
+            "n_vecs",
+            "cos_to_global",
+            dround(F.lit(1.0) - F.col("cos_to_global"), 8).alias("drift"),
+        )
+    )

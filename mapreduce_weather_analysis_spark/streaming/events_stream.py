@@ -323,6 +323,23 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_table(spark, sf_dir, "documents", DOCUMENTS_SCHEMA)
 
 
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded stream over the embeddings fixture — the ingestion shape
+    of a live embedding feed (an encoder writing vectors as documents
+    arrive); the drift monitor consumes it."""
+    ensure_session_conf(spark)
+    return _stream_table(spark, sf_dir, "embeddings", EMBEDDINGS_SCHEMA)
+
+
 def _merge_snapshot(target_dir: str) -> tuple[int, str | None]:
     """Resolve the merge target's current (version, snapshot-dir) from the
     ``_LATEST`` pointer file; (0, None) for an empty/new target."""
