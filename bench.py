@@ -148,6 +148,11 @@ HEADLINE = [
     "q_embedding_drift",
     "q_parts_supplier_breadth",
     "q_stream_embedding_drift",
+    "q_phash_dedup",
+    "q_mincost_supplier",
+    "q_important_parts",
+    "q_lateness_priority_split",
+    "q_dominant_supplier",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -330,6 +335,16 @@ BASELINE_SEC = {
     "q_parts_supplier_breadth": 0.7,
     # stateless stream drain (join+unpivot) + batch decimal-mean chain
     "q_stream_embedding_drift": 2.6,
+    # Arrow decode + JVM integer signature + one hash-agg on a long key
+    "q_phash_dedup": 1.0,
+    # Q2 shape: derived min-cost catalog, dims broadcast, TakeOrdered
+    "q_mincost_supplier": 1.8,
+    # Q11 shape: one fact shuffle + 1-row broadcast threshold join
+    "q_important_parts": 1.4,
+    # Q12 shape: pushed year filter + orderkey fact-fact join, int aggs
+    "q_lateness_priority_split": 0.8,
+    # Q20 shape: broadcast part filter, pair agg + per-part total join
+    "q_dominant_supplier": 1.6,
 }
 
 

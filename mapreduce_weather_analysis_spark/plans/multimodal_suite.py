@@ -148,3 +148,90 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     blobs = attach_blob(d, "text", "doc_id")
     return frame_sample_relational(blobs, frame_bytes=256, every_n=4)
+
+
+_PHASH_BINS = 8  # one signature bit per histogram bin
+
+
+def _phash_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN 8 * c{j} > n THEN {1 << j} ELSE 0 END)"
+        for j in range(_PHASH_BINS)
+    )
+    counts = ",\n               ".join(
+        f"SUM(CASE WHEN bin = {j} THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(_PHASH_BINS)
+    )
+    zeros = ", ".join(f"COALESCE(h.c{j}, 0) AS c{j}" for j in range(_PHASH_BINS))
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(COALESCE(text, '')))) AS hx,
+             CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef',
+                     substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1) % 8 AS bin
+      FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM b WHERE n > 0)
+    ),
+    h AS (
+      SELECT doc_id,
+               {counts}
+      FROM e GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT b.doc_id, CAST({bits} AS BIGINT) AS phash
+      FROM (SELECT b.doc_id, b.n, {zeros}
+            FROM b LEFT JOIN h ON h.doc_id = b.doc_id) b
+    ),
+    canon AS (
+      SELECT phash, MIN(doc_id) AS canonical_id,
+             CAST(COUNT(*) AS BIGINT) AS csize
+      FROM sig GROUP BY phash
+    )
+    SELECT s.doc_id, s.phash, c.canonical_id, c.csize
+    FROM sig s JOIN canon c ON c.phash = s.phash
+    """
+
+
+@register("q_phash_dedup", oracle=_phash_oracle())
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH dedup over decoded multimodal features — the
+    aHash recipe (signature bit j = "bin j is over-represented", here
+    integer-exact: 8·count_j > n_bytes) applied to the fake codec's
+    byte-histogram features, then exact-signature clustering with a
+    min-id canonical. This is how image corpora dedup at scale when
+    byte-identical hashing (q_multimodal_meta's sha256) is too strict:
+    re-encoded/resized variants that decode to the same coarse feature
+    profile collapse to one canonical. Swap the fake codec for PIL and
+    the 8-bin histogram for the 64-bit DCT pHash and NOTHING else in
+    the plan changes — the signature stays one integer per blob.
+
+    Scale shape: decode is the Arrow-batched mapInPandas stage (the
+    only Python in the plan, amortized over whole batches); the
+    signature is pure JVM integer arithmetic on the reconstructed
+    integer histogram (round(feat·n) inverts the normalization
+    bit-exactly — the q_multimodal_decode device — so BOTH engines
+    compare integers, zero fp-threshold risk); clustering is one
+    hash-agg on a single long key + an edge-bounded join back. A
+    billion-image dedup is exactly this plan. Oracle: the hex-nibble
+    histogram + identical integer bit rule in SQL."""
+    d = t(spark, sf_dir, "documents")
+    dec = fake_decode_features(attach_blob(d, "text", "doc_id"))
+    n = F.col("n_bytes")
+    cnt = lambda j: F.round(
+        F.element_at("features", j + 1) * n
+    ).cast("long")
+    phash = sum(
+        (F.when(F.lit(8) * cnt(j) > n, F.lit(1 << j)).otherwise(0))
+        for j in range(_PHASH_BINS)
+    ).cast("long")
+    sig = dec.select("doc_id", phash.alias("phash"))
+    canon = sig.groupBy("phash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    return sig.join(canon, "phash").select(
+        "doc_id", "phash", "canonical_id", "csize"
+    )

@@ -143,6 +143,11 @@ _R8_NEW: tuple[str, ...] = (
     "q_embedding_drift",
     "q_parts_supplier_breadth",
     "q_stream_embedding_drift",
+    "q_phash_dedup",
+    "q_mincost_supplier",
+    "q_important_parts",
+    "q_lateness_priority_split",
+    "q_dominant_supplier",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

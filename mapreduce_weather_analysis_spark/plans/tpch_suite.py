@@ -882,3 +882,334 @@ def q_parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc("size"),
         )
     )
+
+
+@register(
+    "q_mincost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.supplycost,
+             eu.s_name, eu.s_acctbal, eu.n_name, p.p_name
+      FROM ps
+      JOIN eu ON eu.s_suppkey = ps.l_suppkey
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_type = 'ECONOMY' AND p.p_size IN (10, 15, 20)
+    ),
+    mn AS (
+      SELECT l_partkey, MIN(supplycost) AS min_cost
+      FROM cand GROUP BY 1
+    )
+    SELECT c.s_acctbal AS acctbal, c.s_name AS sname, c.n_name AS nname,
+           c.l_partkey AS partkey, c.p_name AS pname,
+           c.supplycost AS supplycost
+    FROM cand c JOIN mn ON mn.l_partkey = c.l_partkey
+    WHERE c.supplycost = mn.min_cost
+    ORDER BY acctbal DESC, sname ASC, partkey ASC
+    LIMIT 20
+    """,
+)
+def q_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each ECONOMY part in a size band, the EUROPE
+    supplier offering it at the minimum unit cost. Fixture adaptation
+    (TESTDATA.md: no partsupp): the supplier-part catalog is derived from
+    the FACT — supplycost(part, supp) = MIN(l_extendedprice/l_quantity)
+    over every line that supplier actually shipped for that part. Q2's
+    plan reason survives: a correlated min-cost subquery, rewritten the
+    scalable way — per-part MIN + join back (no per-part window, no
+    correlated re-scan).
+
+    Plan: one shuffle builds the derived catalog (groupBy composite
+    (partkey, suppkey); map-side MIN combines first, so the shuffle
+    carries one row per pair, not raw fact rows). Supplier⋈nation⋈region
+    and the filtered part dim all broadcast — the region and size/type
+    predicates prune BEFORE the min-cost race, exactly like Q2's WHERE
+    placement. The per-part min relation is |qualifying parts| rows;
+    joining it back is skew-free (one row per key build side). The double
+    equality supplycost = min_cost is exact: MIN returns one of the
+    already-computed IEEE values, bit-identical in both engines. Total
+    ORDER BY incl. unique (sname, partkey) makes LIMIT deterministic.
+    Cited: TPC-H spec Q2; reference has no relational surface beyond
+    Job1/Job2 (SURVEY.md §2)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "supplycost"
+        )
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = F.broadcast(
+        t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_type") == "ECONOMY")
+            & F.col("p_size").isin(10, 15, 20)
+        )
+        .select("p_partkey", "p_name")
+    )
+    cand = (
+        ps.join(eu, ps.l_suppkey == eu.s_suppkey)
+        .join(p, ps.l_partkey == p.p_partkey)
+        .select(
+            "l_partkey", "supplycost", "s_name", "s_acctbal", "n_name",
+            "p_name",
+        )
+    )
+    mn = cand.groupBy("l_partkey").agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        cand.join(mn, "l_partkey")
+        .where(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("sname"),
+            F.col("n_name").alias("nname"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("p_name").alias("pname"),
+            "supplycost",
+        )
+        .orderBy(F.desc("acctbal"), F.asc("sname"), F.asc("partkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_important_parts",
+    oracle=f"""
+    WITH v AS (
+      SELECT l.l_partkey AS partkey,
+             {psum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1
+    ),
+    tot AS (SELECT {psum_sql('val')} AS total FROM v)
+    SELECT v.partkey, v.val
+    FROM v, tot
+    WHERE v.val > CAST(0.0008 AS DOUBLE) * tot.total
+    ORDER BY v.val DESC, v.partkey ASC
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose discounted revenue through EUROPE
+    suppliers exceeds a fixed fraction of the region's total — the
+    "important stock" report. Fixture adaptation (no partsupp/availqty):
+    value(part) = revenue actually shipped via the region's suppliers,
+    which keeps Q11's reason intact — a grouped aggregate filtered
+    against a GLOBAL scalar aggregate of itself.
+
+    Plan: supplier⋈nation⋈region broadcasts (region predicate prunes the
+    supplier list before the fact scan touches it); one shuffle groups
+    the fact by partkey with map-side decimal partials. The global total
+    re-aggregates the per-part relation (|parts| rows, not a second fact
+    scan) and comes back as a 1-row broadcast cross join — Spark plans
+    the threshold as a BroadcastNestedLoopJoin over |parts| rows, never
+    a second pass over 100 TB. Determinism: both sums route through
+    shortest-string decimal (psum), and the per-part values are exact
+    decimal(18,6) round-trips, so re-summing them is exact in both
+    engines; the 0.0008·total product is one IEEE multiply of identical
+    doubles. Cited: TPC-H spec Q11."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        li.join(eu, li.l_suppkey == eu.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(psum(rev, alias="val"))
+    )
+    tot = F.broadcast(v.agg(psum(F.col("val"), alias="total")))
+    return (
+        v.crossJoin(tot)
+        .where(F.col("val") > F.lit(0.0008) * F.col("total"))
+        .select("partkey", "val")
+        .orderBy(F.desc("val"), F.asc("partkey"))
+    )
+
+
+@register(
+    "q_lateness_priority_split",
+    oracle="""
+    SELECT CASE
+             WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+               THEN 'FAST'
+             WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+               THEN 'NORMAL'
+             ELSE 'LATE'
+           END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_lateness_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for one year of shipments, how many high- vs
+    low-priority lines fall in each shipping-speed class. Fixture
+    adaptation (no l_shipmode, TESTDATA.md): the group key is the
+    ship-latency band (<=30d FAST / <=90d NORMAL / else LATE), which
+    preserves Q12's plan reason — a fact-fact join whose aggregate is a
+    pair of CONDITIONAL counts over a derived line attribute.
+
+    Plan: the year filter prunes lineitem at the scan (pushed predicate;
+    partition pruning on a shipdate-partitioned layout); the only
+    shuffle is the orderkey equi-join (bucketable fact-fact at 100 TB —
+    the same key as Q3/Q18, so one bucketed layout serves all three).
+    The conditional SUMs are integer partial aggregates — map-side
+    combine reduces each task to <=3 rows before the final 3-row
+    exchange. All-integer outputs: no float determinism surface at all.
+    Cited: TPC-H spec Q12."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag <= 30, "FAST").when(lag <= 90, "NORMAL").otherwise("LATE")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one = F.lit(1)
+    zero = F.lit(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(is_high, one).otherwise(zero)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~is_high, one).otherwise(zero)).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "q_dominant_supplier",
+    oracle="""
+    WITH sq AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%bolt%'
+        AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(qty AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM sq GROUP BY 1
+    ),
+    dominant AS (
+      SELECT DISTINCT sq.l_suppkey
+      FROM sq JOIN tot ON tot.l_partkey = sq.l_partkey
+      WHERE sq.qty > CAST(0.35 AS DOUBLE) * tot.total_qty
+    )
+    SELECT s.s_name AS sname, n.n_name AS nname
+    FROM dominant d
+    JOIN supplier s ON s.s_suppkey = d.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AFRICA'
+    ORDER BY sname
+    """,
+)
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: AFRICA suppliers who were the DOMINANT source
+    (>35% of the year's shipped quantity) for some 'bolt' part. Fixture
+    adaptation (no partsupp/availqty): Q20's "supplier has excess stock
+    of a forest part" becomes "supplier shipped more than a fixed share
+    of the part's annual volume" — same nested-aggregate chain (per
+    (part,supplier) sum, compared against a per-part total of that same
+    relation) feeding a semi-join on supplier.
+
+    Plan: the part-name predicate broadcasts into the fact scan before
+    the one real shuffle (groupBy (partkey, suppkey), decimal map-side
+    partials); the per-part total re-aggregates the |pairs| relation —
+    never a second fact pass — and joins back on partkey (one row per
+    key build side, skew-free). The DISTINCT suppkey projection is
+    Q20's semi-join: supplier⋈nation⋈region all broadcast dims.
+    Determinism: qty is an exact decimal(18,2) sum; the per-part total
+    re-sums those exact values through shortest-string decimal, so both
+    engines compare identical doubles. Cited: TPC-H spec Q20."""
+    p = F.broadcast(
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sq = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", scale=2, alias="qty"))
+    )
+    tot = sq.groupBy("l_partkey").agg(
+        psum(F.col("qty"), scale=2, alias="total_qty")
+    )
+    dominant = (
+        sq.join(tot, "l_partkey")
+        .where(F.col("qty") > F.lit(0.35) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    s = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        dominant.join(s, dominant.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_name").alias("sname"), F.col("n_name").alias("nname")
+        )
+        .orderBy("sname")
+    )

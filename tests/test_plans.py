@@ -629,3 +629,47 @@ def test_embedding_drift_linear_centroids_broadcast_global(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row global centroid
     assert "hashpartitioning(source" in plan
+
+
+def test_mincost_supplier_broadcast_dims_topk_limit(spark):
+    """Q2 shape: the region-filtered supplier dim and the size/type-
+    filtered part dim must both broadcast; the final ordered LIMIT must
+    plan as TakeOrderedAndProject (never a global sort of the candidate
+    relation); the fact scan reads only the 4 referenced columns."""
+    plan = _plan(REGISTRY["q_mincost_supplier"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_partkey" in ln]
+    assert read and read[0].count(":") - 1 <= 4
+
+
+def test_important_parts_one_row_threshold_broadcast(spark):
+    """Q11 shape: the global total must join as a 1-row broadcast
+    (BroadcastNestedLoopJoin), the supplier dim must broadcast, and no
+    cartesian product of anything larger may appear."""
+    plan = _plan(REGISTRY["q_important_parts"].fn(spark, SMOKE_SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_lateness_priority_split_pushes_year_filter(spark):
+    """Q12 shape: the shipment-year filter must reach the parquet scan
+    (pushed predicates on l_shipdate) and the conditional counts must
+    partial-aggregate (two HashAggregate levels) so the exchange carries
+    <=3 rows per task, not raw joined lines."""
+    plan = _plan(REGISTRY["q_lateness_priority_split"].fn(spark, SMOKE_SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed)
+    assert _n_ops(plan, "HashAggregate") >= 2
+
+
+def test_dominant_supplier_broadcasts_part_filter(spark):
+    """Q20 shape: the bolt-part predicate must ride a broadcast into the
+    fact scan side (never a shuffled fact-dim join), the supplier/nation/
+    region chain must broadcast, and the year filter must push down."""
+    plan = _plan(REGISTRY["q_dominant_supplier"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed)
