@@ -32,6 +32,10 @@ QUERIES = [
     "q_market_share",
     "q_product_profit",
     "q_table_profile",
+    "q_mincost_supplier",
+    "q_important_parts",
+    "q_lateness_priority_split",
+    "q_dominant_supplier",
 ]
 
 _SHIFT = 1_000_000_000
@@ -65,7 +69,13 @@ def main() -> None:
             else:
                 shutil.copy(src, dst)
 
+    marker = outp / f".pack_x{mult}_done"
     for fact, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        if marker.exists():
+            # pack already generated (idempotence: rewriting identical
+            # parquet would re-spend the scale-up on every timing run)
+            print(f"reusing {out}/{fact}.parquet")
+            continue
         f0 = spark.read.parquet(f"{base}/{fact}.parquet")
         reps = [
             f0.withColumn(key, F.col(key) + F.lit(r * _SHIFT))
@@ -76,6 +86,7 @@ def main() -> None:
             big = big.unionByName(p)
         big.write.mode("overwrite").parquet(f"{out}/{fact}.parquet")
         print(f"scaled {fact} x{mult}")
+    marker.touch()
 
     queries = list(QUERIES)
     if len(sys.argv) > 3:
