@@ -153,6 +153,10 @@ HEADLINE = [
     "q_important_parts",
     "q_lateness_priority_split",
     "q_dominant_supplier",
+    "q_containment_pairs",
+    "q_mmr_rerank",
+    "q_bm25_rm3",
+    "q_lexical_drift",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -345,6 +349,14 @@ BASELINE_SEC = {
     "q_lateness_priority_split": 0.8,
     # Q20 shape: broadcast part filter, pair agg + per-part total join
     "q_dominant_supplier": 1.6,
+    # df-capped shingle posting-list join + candidate-only exact phase
+    "q_containment_pairs": 3.0,
+    # one relevance scan, then 6 pool-bounded greedy rounds (checkpointed)
+    "q_mmr_rerank": 3.8,
+    # two corpus passes (BM25 + broadcast-term rescore), 10-doc feedback
+    "q_bm25_rm3": 2.6,
+    # token explode + two hash-aggs; all divergence math on |src|x100 rows
+    "q_lexical_drift": 1.1,
 }
 
 

@@ -331,6 +331,84 @@ def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str, threshold: flo
     """
 
 
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    df_cap: int = 50,
+    min_shared: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric containment pairs (Broder SEQUENCES'97): for candidate
+    pairs from a df-capped shingle posting-list self-join, exact
+    C(A in B) = |S(A) ∩ S(B)| / |S(A)| over distinct shingle sets; keeps
+    pairs with max directional containment >= threshold. ``asymmetric``
+    marks the subset/quote case symmetric Jaccard dedup misses
+    (containment high, Jaccard < 0.5).
+
+    Candidate generation: only shingles with 2 <= df <= df_cap join, so
+    pair work is O(Σ min(df, cap)²) — never all-pairs; >= min_shared
+    shared capped shingles required. The exact phase touches candidates
+    only (the minhash_lsh_pairs discipline).
+    """
+    from ..functions.compat import dround
+
+    exd = shingle_rows(docs, text_col, id_col).localCheckpoint()
+    sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfc = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    keep = exd.join(
+        dfc.where((F.col("df") >= 2) & (F.col("df") <= df_cap)), "s"
+    )
+    a = keep.select(F.col("s"), F.col("doc_id").alias("doc_a"))
+    b = keep.select(F.col("s"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+    inter = (
+        cand.join(exd.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(exd.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    cont_a = dround(F.col("n_inter") * 1.0 / F.col("n_a"), 6)
+    cont_b = dround(F.col("n_inter") * 1.0 / F.col("n_b"), 6)
+    jac = dround(
+        F.col("n_inter") * 1.0
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        6,
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .where(F.greatest(cont_a, cont_b) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            cont_a.alias("cont_a_in_b"),
+            cont_b.alias("cont_b_in_a"),
+            jac.alias("jaccard"),
+            (jac < 0.5).alias("asymmetric"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ DuckDB oracle exactly (dround/psum posture, see functions/compat.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import (
@@ -921,10 +921,12 @@ def _hybrid_oracle() -> str:
     )
 
 
-def _lex_rank_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, rl): the BM25 lexical top-_HY_LIST list for the fixed
-    query — the sparse arm shared by both hybrid variants (same math as
-    q_bm25_topk, ranks dround-deterministic)."""
+def _bm25_corpus_rels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tok_rows, dls, stats): the corpus-side BM25 inputs — exploded
+    (doc_id, term) rows, per-doc lengths, and the 1-row (N, avgdl)
+    stats relation (oracle twins: the toks/dls/stats CTEs)."""
     toks_col = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
@@ -939,18 +941,13 @@ def _lex_rank_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("dl")
         ).alias("avgdl"),
     )
-    terms = F.array(*[F.lit(w) for w in _BM25_QUERY])
     tok_rows = d.select("doc_id", F.explode("toks").alias("term"))
-    hits = (
-        tok_rows.where(F.array_contains(terms, F.col("term")))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("nn") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    tf_norm = (
+    return tok_rows, dls, stats
+
+
+def _bm25_tf_norm() -> Column:
+    """The k1/b-saturated tf factor over (tf, dl, avgdl) columns."""
+    return (
         F.col("tf") * (_BM25_K1 + 1.0)
         / (
             F.col("tf")
@@ -958,18 +955,95 @@ def _lex_rank_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
-    bmdoc = (
+
+
+def _bm25_idf() -> Column:
+    """ln-idf over (nn, df) columns — built lazily (a module-level Column
+    would require an active SparkContext at import time)."""
+    return F.log(
+        (F.col("nn") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): per-doc BM25 for the fixed query — the scoring
+    core shared by _lex_rank_list and the RM3 feedback stage (same math
+    as q_bm25_topk, dround-deterministic; oracle twin: bmdoc)."""
+    tok_rows, dls, stats = _bm25_corpus_rels(spark, sf_dir)
+    terms = F.array(*[F.lit(w) for w in _BM25_QUERY])
+    hits = (
+        tok_rows.where(F.array_contains(terms, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
         hits.join(F.broadcast(dfs), "term")
         .join(dls, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", dround(idf * tf_norm, 8).alias("s"))
+        .select("doc_id", dround(_bm25_idf() * _bm25_tf_norm(), 8).alias("s"))
         .groupBy("doc_id")
         .agg(dround(psum(F.col("s"), 8), 6).alias("score"))
     )
+
+
+def _lex_rank_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rl): the BM25 lexical top-_HY_LIST list for the fixed
+    query — the sparse arm shared by both hybrid variants (same math as
+    q_bm25_topk, ranks dround-deterministic)."""
+    bmdoc = _bm25_doc_scores(spark, sf_dir)
     lex_top = bmdoc.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HY_LIST)
     wlex = bounded_rank_window(F.desc("score"), F.asc("doc_id"), anchor="doc_id")
     return lex_top.select(
         "doc_id", F.row_number().over(wlex).cast("int").alias("rl")
+    )
+
+
+def _hcounts_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b, n) hashed-bucket token counts — the sparse form of the
+    hashing-trick document vectors, shared by the hybrid dense arm and
+    the MMR diversifier (oracle twin: the ``hcounts`` CTE)."""
+    toks_col = tokens("text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks_col.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    tok_rows = d.select("doc_id", F.explode("toks").alias("term"))
+    return tok_rows.groupBy(
+        "doc_id", (portable_hash32("term") % _FEAT_DIM).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _dense_cos_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cos): exact cosine of every matching document against the
+    plan-time-featurized query literal — a sparse dot against the
+    ≤4-bucket query vector, one hash-agg, no densify (oracle twin: the
+    ``cosrel`` CTE)."""
+    qv = _query_vector()
+    q_sq = sum(w * w for w in qv.values())
+    w_expr = F.lit(0)
+    for b, w in qv.items():
+        w_expr = F.when(F.col("b") == b, F.lit(w)).otherwise(w_expr)
+    hcounts = _hcounts_rel(spark, sf_dir)
+    return (
+        hcounts.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * w_expr).alias("dot"),
+            F.sum(F.col("n") * F.col("n")).alias("sq"),
+        )
+        .where(F.col("dot") > 0)
+        .select(
+            "doc_id",
+            dround(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("sq") * F.lit(1.0))
+                    * F.sqrt(F.lit(float(q_sq)))
+                ),
+                8,
+            ).alias("cos"),
+        )
     )
 
 
@@ -1012,41 +1086,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. Determinism: integer dots/ranks, dround-rounded cosines and
     RRF sums, doc_id tie-breaks at every rank."""
     lex = _lex_rank_list(spark, sf_dir)
-
-    toks_col = tokens("text")
-    d = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", toks_col.alias("toks"))
-        .where(F.size("toks") > 0)
-    )
-    tok_rows = d.select("doc_id", F.explode("toks").alias("term"))
-    qv = _query_vector()
-    q_sq = sum(w * w for w in qv.values())
-    w_expr = F.lit(0)
-    for b, w in qv.items():
-        w_expr = F.when(F.col("b") == b, F.lit(w)).otherwise(w_expr)
-    hcounts = tok_rows.groupBy(
-        "doc_id", (portable_hash32("term") % _FEAT_DIM).alias("b")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    cosrel = (
-        hcounts.groupBy("doc_id")
-        .agg(
-            F.sum(F.col("n") * w_expr).alias("dot"),
-            F.sum(F.col("n") * F.col("n")).alias("sq"),
-        )
-        .where(F.col("dot") > 0)
-        .select(
-            "doc_id",
-            dround(
-                F.col("dot")
-                / (
-                    F.sqrt(F.col("sq") * F.lit(1.0))
-                    * F.sqrt(F.lit(float(q_sq)))
-                ),
-                8,
-            ).alias("cos"),
-        )
-    )
+    cosrel = _dense_cos_scores(spark, sf_dir)
     dense_top = cosrel.orderBy(F.desc("cos"), F.asc("doc_id")).limit(_HY_LIST)
     wd = bounded_rank_window(F.desc("cos"), F.asc("doc_id"), anchor="doc_id")
     dense = dense_top.select(
@@ -1942,3 +1982,378 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("kept_frac"),
     )
+
+
+# --- MMR diversified rerank ---------------------------------------------------
+
+_MMR_POOL = 12  # relevance shortlist depth (the candidate pool)
+_MMR_K = 6  # diversified picks
+_MMR_L = 0.7  # MMR lambda: relevance vs redundancy trade-off
+
+
+def _dense_cos_ctes() -> list[str]:
+    """toks → hcounts → cosrel CTE blocks: the DuckDB twin of
+    :func:`_dense_cos_scores` (same query literal, same dround)."""
+    qv = _query_vector()
+    q_sq = sum(w * w for w in qv.values())
+    w_case = (
+        "CASE b "
+        + " ".join(f"WHEN {b} THEN {w}" for b, w in qv.items())
+        + " ELSE 0 END"
+    )
+    return [
+        f"""toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    )""",
+        f"""hcounts AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
+             COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      GROUP BY 1, 2
+    )""",
+        f"""cosrel AS (
+      SELECT doc_id,
+             {dround_sql(
+                 f"SUM(n * ({w_case})) / "
+                 f"(sqrt(SUM(n * n) * 1.0) * sqrt({q_sq}.0))", 8)} AS cos
+      FROM hcounts
+      GROUP BY doc_id
+      HAVING SUM(n * ({w_case})) > 0
+    )""",
+    ]
+
+
+def _mmr_oracle() -> str:
+    lam, mu = _MMR_L, round(1.0 - _MMR_L, 6)
+    ctes = _dense_cos_ctes() + [
+        f"""pool AS (
+      SELECT doc_id, cos AS rel FROM cosrel
+      ORDER BY cos DESC, doc_id ASC LIMIT {_MMR_POOL}
+    )""",
+        """pv AS (
+      SELECT h.doc_id, b, n FROM hcounts h JOIN pool USING (doc_id)
+    )""",
+        """nrms AS (
+      SELECT doc_id, sqrt(SUM(n * n) * 1.0) AS nrm FROM pv GROUP BY 1
+    )""",
+        """dots AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.n * b.n) AS dot
+      FROM pv a JOIN pv b ON a.b = b.b AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )""",
+        f"""sims AS (
+      SELECT da, db, {dround_sql('dot / (na.nrm * nb.nrm)', 8)} AS sim
+      FROM dots
+      JOIN nrms na ON na.doc_id = da
+      JOIN nrms nb ON nb.doc_id = db
+    )""",
+        f"""pick1 AS (
+      SELECT 1 AS pick, doc_id, rel,
+             {dround_sql(f'{lam} * rel', 6)} AS mmr
+      FROM pool ORDER BY rel DESC, doc_id ASC LIMIT 1
+    )""",
+        "sel1 AS (SELECT doc_id FROM pick1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        p = i - 1
+        ctes.append(
+            f"""cand{i} AS (
+      SELECT p.doc_id, p.rel,
+             {dround_sql(
+                 f'{lam} * p.rel - {mu} * COALESCE(MAX(s.sim), 0.0)', 6
+             )} AS mmr
+      FROM pool p
+      LEFT JOIN sims s
+        ON s.da = p.doc_id AND s.db IN (SELECT doc_id FROM sel{p})
+      WHERE p.doc_id NOT IN (SELECT doc_id FROM sel{p})
+      GROUP BY p.doc_id, p.rel
+    )"""
+        )
+        ctes.append(
+            f"""pick{i} AS (
+      SELECT {i} AS pick, doc_id, rel, mmr FROM cand{i}
+      ORDER BY mmr DESC, doc_id ASC LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT doc_id FROM sel{p}"
+            f" UNION ALL SELECT doc_id FROM pick{i})"
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT pick, doc_id, rel, mmr FROM pick{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@register("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified rerank (Carbonell &
+    Goldstein, SIGIR'98): from the dense top-{P} relevance shortlist,
+    greedily pick {K} documents maximizing
+    MMR = λ·rel(d) − (1−λ)·max_sim(d, selected), λ = {L} — the
+    diversity pass every retrieval stack (and every few-shot example
+    selector) bolts onto its shortlist so near-duplicate hits don't
+    crowd out coverage. A corpus with planted near-dup families is
+    exactly where plain top-k degenerates: the family floods the list,
+    MMR admits one member and moves on.
+
+    Scale shape: the corpus-sized work is ONE relevance scan (the
+    hybrid dense arm's sparse-dot cosine); everything after is bounded
+    by the {P}-row pool — pairwise sims are ≤{P}² bucket-join rows and
+    the {K} greedy rounds run on pool-sized relations with a
+    localCheckpoint lineage cut per round (the LPA/NN-descent
+    discipline: without it round i re-executes every earlier round's
+    subtree twice). Determinism: rel/sim dround(8), MMR dround(6),
+    every argmax tie-broken on doc_id; the greedy trajectory is
+    replayed CTE-for-CTE by the oracle."""
+    cosrel = _dense_cos_scores(spark, sf_dir)
+    pool = (
+        cosrel.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(_MMR_POOL)
+        .select("doc_id", F.col("cos").alias("rel"))
+        .localCheckpoint()
+    )
+    pv = _hcounts_rel(spark, sf_dir).join(
+        F.broadcast(pool.select("doc_id")), "doc_id"
+    )
+    nrms = pv.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n")) * F.lit(1.0)).alias("nrm")
+    )
+    a, b = pv.alias("a"), pv.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot"))
+    )
+    sims = (
+        dots.join(nrms.select(F.col("doc_id").alias("da"), F.col("nrm").alias("nrm_a")), "da")
+        .join(nrms.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nrm_b")), "db")
+        .select(
+            "da",
+            "db",
+            dround(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 8).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint()
+    )
+    lam, mu = _MMR_L, round(1.0 - _MMR_L, 6)
+    selected = (
+        pool.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick"),
+            "doc_id",
+            "rel",
+            dround(F.lit(lam) * F.col("rel"), 6).alias("mmr"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, _MMR_K + 1):
+        sel_ids = selected.select("doc_id")
+        rem = pool.join(sel_ids, "doc_id", "left_anti")
+        sel_sims = sims.join(
+            sel_ids.withColumnRenamed("doc_id", "db"), "db"
+        ).select(F.col("da").alias("doc_id"), "sim")
+        pick = (
+            rem.join(sel_sims, "doc_id", "left")
+            .groupBy("doc_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                "doc_id",
+                "rel",
+                dround(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(mu) * F.coalesce(F.col("maxsim"), F.lit(0.0)),
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("doc_id"))
+            .limit(1)
+            .select(F.lit(i).alias("pick"), "doc_id", "rel", "mmr")
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
+
+
+q_mmr_rerank.__doc__ = q_mmr_rerank.__doc__.format(
+    P=_MMR_POOL, K=_MMR_K, L=_MMR_L
+)
+
+
+# --- RM3 pseudo-relevance feedback -------------------------------------------
+
+_RM3_FB = 10  # feedback depth: docs treated as pseudo-relevant
+_RM3_E = 5  # expansion terms taken from the relevance model
+_RM3_A = 0.6  # original-query weight (1 - alpha spread over expansions)
+_RM3_K = 15  # final reranked list depth
+
+
+def _rm3_oracle() -> str:
+    terms = "[" + ", ".join(f"'{w}'" for w in _BM25_QUERY) + "]"
+    alpha, beta = _RM3_A, round(1.0 - _RM3_A, 6)
+    tf_term = (
+        f"tf * ({_BM25_K1} + 1.0) / "
+        f"(tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+    idf = "ln((nn - df + 0.5) / (df + 0.5) + 1.0)"
+    rm3_ctes = [
+        f"""fb AS (
+      SELECT doc_id, score FROM bmdoc
+      ORDER BY score DESC, doc_id ASC LIMIT {_RM3_FB}
+    )""",
+        """fbtf AS (
+      SELECT tr.doc_id, tr.term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks) tr
+      JOIN fb USING (doc_id)
+      GROUP BY 1, 2
+    )""",
+        f"""fbterm AS (
+      SELECT term, {dround_sql('tf * score * 1.0 / dl', 8)} AS x
+      FROM fbtf JOIN fb USING (doc_id) JOIN dls USING (doc_id)
+    )""",
+        f"""rmw AS (
+      SELECT term, {dround_sql(psum_sql('x', 8), 6)} AS w
+      FROM fbterm
+      WHERE NOT list_contains({terms}, term)
+      GROUP BY term
+    )""",
+        f"""expt AS (
+      SELECT term, w FROM rmw ORDER BY w DESC, term ASC LIMIT {_RM3_E}
+    )""",
+        f"wsum AS (SELECT {psum_sql('w', 6)} AS tw FROM expt)",
+        f"""qw AS (
+      SELECT term, CAST({alpha} AS DOUBLE) AS qw
+      FROM (SELECT unnest({terms}) AS term)
+      UNION ALL
+      SELECT term, CAST({beta} AS DOUBLE) * {dround_sql('w / tw', 6)}
+      FROM expt, wsum
+    )""",
+        """rtf AS (
+      SELECT tr.doc_id, tr.term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks) tr
+      JOIN (SELECT term FROM qw) q ON tr.term = q.term
+      GROUP BY 1, 2
+    )""",
+        "rdf AS (SELECT term, COUNT(*) AS df FROM rtf GROUP BY 1)",
+        f"""rsc AS (
+      SELECT r.doc_id, {dround_sql(f"qw * {idf} * {tf_term}", 8)} AS s
+      FROM rtf r
+      JOIN rdf USING (term) JOIN qw USING (term) JOIN dls USING (doc_id),
+      stats
+    )""",
+    ]
+    final = f"""SELECT doc_id, n_terms, score FROM (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             {dround_sql(psum_sql('s', 8), 6)} AS score,
+             ROW_NUMBER() OVER (
+               ORDER BY {dround_sql(psum_sql('s', 8), 6)} DESC, doc_id ASC
+             ) AS rk
+      FROM rsc GROUP BY doc_id
+    ) WHERE rk <= {_RM3_K}
+    """
+    return "\n    WITH " + ",\n    ".join(_lex_ctes() + rm3_ctes) + "\n    " + final
+
+
+@register("q_bm25_rm3", oracle=_rm3_oracle())
+def q_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft, "Relevance-Based
+    Language Models", SIGIR'01; the RM3 interpolation per Abdul-Jaleel
+    et al., TREC'04): run BM25, treat the top-{FB} docs as pseudo-
+    relevant, build the relevance model w(t) = Σ_d score(d)·tf(t,d)/|d|
+    over their terms, take the top-{E} non-query expansion terms, and
+    rescore with interpolated weights — α={A} on the original terms,
+    (1−α) spread over expansions ∝ normalized w(t). The classic
+    vocabulary-mismatch fix: docs that never contain the literal query
+    terms but share the feedback docs' vocabulary now rank.
+
+    Scale shape: two corpus passes (the BM25 pass, then ONE rescore
+    pass whose term filter is a ≤{Q}+{E}-row broadcast join at the
+    explode — the data-dependent twin of q_bm25_topk's literal-array
+    filter); everything between is bounded by the {FB}-doc feedback set
+    (its term stats are a semi-join on 10 doc_ids). df/tf exact
+    integers, per-term contributions dround(8), per-doc/term sums psum
+    then dround(6), every rank and limit doc_id/term tie-broken —
+    the oracle replays the full two-pass trajectory."""
+    tok_rows, dls, stats = _bm25_corpus_rels(spark, sf_dir)
+    bmdoc = _bm25_doc_scores(spark, sf_dir)
+    fb = (
+        bmdoc.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RM3_FB)
+        .localCheckpoint()
+    )
+    fbtf = (
+        tok_rows.join(F.broadcast(fb.select("doc_id")), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    fbterm = (
+        fbtf.join(F.broadcast(fb), "doc_id")
+        .join(dls, "doc_id")
+        .select(
+            "term",
+            dround(F.col("tf") * F.col("score") * 1.0 / F.col("dl"), 8).alias(
+                "x"
+            ),
+        )
+    )
+    rmw = (
+        fbterm.where(~F.col("term").isin(*_BM25_QUERY))
+        .groupBy("term")
+        .agg(dround(psum(F.col("x"), 8), 6).alias("w"))
+    )
+    expt = (
+        rmw.orderBy(F.desc("w"), F.asc("term")).limit(_RM3_E).localCheckpoint()
+    )
+    wsum = expt.agg(psum(F.col("w"), 6).alias("tw"))
+    alpha, beta = _RM3_A, round(1.0 - _RM3_A, 6)
+    orig = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(w) for w in _BM25_QUERY])).alias("term")
+        )
+        .select("term", F.lit(float(alpha)).alias("qw"))
+    )
+    expw = expt.crossJoin(F.broadcast(wsum)).select(
+        "term",
+        (F.lit(float(beta)) * dround(F.col("w") / F.col("tw"), 6)).alias("qw"),
+    )
+    qw = orig.unionByName(expw).localCheckpoint()
+    rtf = (
+        tok_rows.join(F.broadcast(qw.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rdf = rtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rsc = (
+        rtf.join(F.broadcast(rdf), "term")
+        .join(F.broadcast(qw), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            dround(F.col("qw") * _bm25_idf() * _bm25_tf_norm(), 8).alias("s"),
+        )
+    )
+    per_doc = rsc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        dround(psum(F.col("s"), 8), 6).alias("score"),
+    )
+    return (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RM3_K)
+        .select("doc_id", "n_terms", "score")
+    )
+
+
+q_bm25_rm3.__doc__ = q_bm25_rm3.__doc__.format(
+    FB=_RM3_FB, E=_RM3_E, A=_RM3_A, K=_RM3_K, Q=len(_BM25_QUERY)
+)

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 
 from ..functions.text import hashed_list_sql, shingles_sql, tokens_sql
 from ..operators.dedup import (
+    containment_pairs,
     SIMHASH_BANDS,
     exact_dedup,
     minhash_lsh_pairs,
@@ -24,7 +25,7 @@ from ..operators.dedup import (
     simhash_bands,
     simhash_relational,
 )
-from ..functions.compat import psum, psum_sql
+from ..functions.compat import dround, dround_sql, psum, psum_sql
 from .registry import register, t
 
 
@@ -791,3 +792,92 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# --- Asymmetric containment dedup --------------------------------------------
+
+_CONT_DF_CAP = 50  # shingle df cap for candidate generation (boilerplate)
+_CONT_MIN_SHARED = 3  # shared capped shingles to become a candidate pair
+_CONT_T = 0.6  # keep pairs where max directional containment >= this
+
+
+def _containment_sql() -> str:
+    toks = tokens_sql("text")
+    sh = shingles_sql("toks")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, {sh} AS shingles FROM toks),
+    exd AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY 1),
+    dfc AS (SELECT s, COUNT(*) AS df FROM exd GROUP BY 1),
+    keep AS (
+      SELECT e.doc_id, e.s FROM exd e JOIN dfc USING (s)
+      WHERE df BETWEEN 2 AND {_CONT_DF_CAP}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_CONT_MIN_SHARED}
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN exd ea ON ea.doc_id = c.doc_a
+      JOIN exd eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           {dround_sql('n_inter * 1.0 / na.n', 6)} AS cont_a_in_b,
+           {dround_sql('n_inter * 1.0 / nb.n', 6)} AS cont_b_in_a,
+           {dround_sql('n_inter * 1.0 / (na.n + nb.n - n_inter)', 6)}
+             AS jaccard,
+           {dround_sql('n_inter * 1.0 / (na.n + nb.n - n_inter)', 6)} < 0.5
+             AS asymmetric
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE GREATEST({dround_sql('n_inter * 1.0 / na.n', 6)},
+                   {dround_sql('n_inter * 1.0 / nb.n', 6)}) >= {_CONT_T}
+    """
+
+
+@register("q_containment_pairs", oracle=_containment_sql())
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs (Broder, "On the
+    resemblance and containment of documents", SEQUENCES'97):
+    C(A in B) = |S(A) ∩ S(B)| / |S(A)| over distinct 3-token shingle
+    sets. Symmetric Jaccard dedup structurally misses the
+    quote-heavy/subset case — a short doc wholly embedded in a much
+    longer one scores |A|/|B| ≈ 0 Jaccard but containment 1.0; rows
+    with ``asymmetric = true`` (max containment ≥ {T} while Jaccard
+    < 0.5) are exactly the pairs every MinHash/SimHash query in this
+    suite cannot surface.
+
+    Scale shape: candidate generation is a df-capped inverted-index
+    self-join — only shingles with 2 ≤ df ≤ {CAP} generate pairs, so
+    pair work is O(Σ min(df, {CAP})²) over shingle posting lists, never
+    all-pairs (same bound as q_winnowing_pairs); a ≥{MIN}-shared-shingle
+    floor prunes coincidental pairs before the exact phase. The exact
+    containment join then touches CANDIDATE pairs only (the
+    minhash_lsh_pairs discipline). Set sizes and shingle dfs are
+    hash-aggs; every count is an exact integer and each ratio one IEEE
+    division then dround(6), so the hash matches DuckDB bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    return containment_pairs(
+        d,
+        "text",
+        "doc_id",
+        df_cap=_CONT_DF_CAP,
+        min_shared=_CONT_MIN_SHARED,
+        threshold=_CONT_T,
+    )
+
+
+q_containment_pairs.__doc__ = q_containment_pairs.__doc__.format(
+    T=_CONT_T, CAP=_CONT_DF_CAP, MIN=_CONT_MIN_SHARED
+)

@@ -148,6 +148,10 @@ _R8_NEW: tuple[str, ...] = (
     "q_important_parts",
     "q_lateness_priority_split",
     "q_dominant_supplier",
+    "q_containment_pairs",
+    "q_mmr_rerank",
+    "q_bm25_rm3",
+    "q_lexical_drift",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import HASH_PRIME, bounded_rank_window
+from ..functions.compat import (
+    HASH_PRIME,
+    bounded_rank_window,
+    dround,
+    dround_sql,
+    psum,
+    psum_sql,
+)
 from ..functions.text import hashed_list, hashed_list_sql, tokens, tokens_sql
 from .registry import register, t
 
@@ -2313,3 +2320,126 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             psum(F.col("nll"), 6) / F.count(F.lit(1)), 6
         ).alias("avg_nll"),
     )
+
+
+# --- Per-source lexical drift (JS divergence) ---------------------------------
+
+_LD_V = 100  # vocabulary: top-V corpus terms by frequency
+
+
+def _lexical_drift_oracle() -> str:
+    v = _LD_V
+    p = f"(COALESCE(cnt, 0) + 1.0) / (tot_s + {v})"
+    q = f"(ccnt + 1.0) / (ctot + {v})"
+    contrib = (
+        f"0.5 * (({p}) * ln(({p}) / ((({p}) + ({q})) / 2.0)))"
+        f" + 0.5 * (({q}) * ln(({q}) / ((({p}) + ({q})) / 2.0)))"
+    )
+    return f"""
+    WITH trows AS (
+      SELECT source, unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM trows GROUP BY term
+      ORDER BY COUNT(*) DESC, term ASC LIMIT {v}
+    ),
+    scnt AS (
+      SELECT t.source, t.term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM trows t JOIN vocab USING (term)
+      GROUP BY 1, 2
+    ),
+    stot AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot_s
+      FROM scnt GROUP BY 1
+    ),
+    ctot AS (SELECT CAST(SUM(ccnt) AS BIGINT) AS ctot FROM vocab),
+    grid AS (
+      SELECT s.source, s.tot_s, vv.term, vv.ccnt
+      FROM stot s, vocab vv
+    ),
+    cells AS (
+      SELECT g.source,
+             {dround_sql(contrib, 8)} AS js_t
+      FROM grid g
+      LEFT JOIN scnt c ON c.source = g.source AND c.term = g.term,
+      ctot
+    ),
+    ndocs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, tot_s AS vocab_tokens,
+           {dround_sql(psum_sql('js_t', 8), 6)} AS js_div
+    FROM cells JOIN stot USING (source) JOIN ndocs USING (source)
+    GROUP BY source, n_docs, tot_s
+    """
+
+
+@register("q_lexical_drift", oracle=_lexical_drift_oracle())
+def q_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LEXICAL drift: Jensen–Shannon divergence between each
+    ingest feed's unigram distribution and the corpus distribution over
+    the top-{V} vocabulary (add-one smoothed) — the lexical twin of
+    q_embedding_drift and the standard distribution-shift monitor (Lin,
+    "Divergence measures based on the Shannon entropy", IEEE-IT 1991;
+    the DSIR/CCNet family measures corpus shift the same way). A feed
+    whose JS jumps between snapshots changed register, language mix, or
+    got polluted — caught here before it moves the mixture weights.
+
+    Scale shape: one token explode → (source, term) and (term) hash-aggs
+    (map-side combined); the vocabulary is a {V}-row TakeOrdered, and
+    every downstream relation is |sources| × {V} — broadcast-sized
+    regardless of corpus scale; the dense grid (zero-count cells must
+    contribute) is a broadcast cross of two tiny relations. Counts are
+    exact integers; each cell's contribution is IEEE-then-dround(8),
+    the per-source sum psum-routed then dround(6), so the hash matches
+    DuckDB exactly."""
+    v = _LD_V
+    trows = t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    vocab = (
+        trows.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ccnt"))
+        .orderBy(F.desc("ccnt"), F.asc("term"))
+        .limit(v)
+    )
+    scnt = (
+        trows.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    stot = scnt.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot_s")
+    )
+    ctot = vocab.agg(F.sum("ccnt").cast("bigint").alias("ctot"))
+    grid = F.broadcast(stot).crossJoin(F.broadcast(vocab))
+    p = (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("tot_s") + v)
+    q = (F.col("ccnt") + 1.0) / (F.col("ctot") + v)
+    m = (p + q) / 2.0
+    cells = (
+        grid.join(scnt, ["source", "term"], "left")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            dround(
+                0.5 * (p * F.log(p / m)) + 0.5 * (q * F.log(q / m)), 8
+            ).alias("js_t"),
+        )
+    )
+    ndocs = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        cells.groupBy("source")
+        .agg(dround(psum(F.col("js_t"), 8), 6).alias("js_div"))
+        .join(F.broadcast(stot.withColumnRenamed("tot_s", "vocab_tokens")), "source")
+        .join(F.broadcast(ndocs), "source")
+        .select("source", "n_docs", "vocab_tokens", "js_div")
+    )
+
+
+q_lexical_drift.__doc__ = q_lexical_drift.__doc__.format(V=_LD_V)

@@ -1038,3 +1038,58 @@ def test_label_propagation_clique_beats_bridge(spark):
     }
     assert {got[n] for n in (1, 2, 3, 4)} == {1}, got
     assert {got[n] for n in (10, 11, 12, 13)} == {10}, got
+
+
+def test_containment_detects_subset_doc(spark):
+    """A doc textually contained in a much longer doc: containment 1.0
+    on the short side, Jaccard well under the symmetric threshold —
+    the pair class MinHash/SimHash dedup structurally misses."""
+    from mapreduce_weather_analysis_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "wholly unrelated text body here")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, "text", "doc_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_a_in_b == 1.0
+    assert r.cont_b_in_a < 0.5
+    assert r.jaccard < 0.5
+    assert r.asymmetric is True
+
+
+def test_mmr_greedy_trajectory_invariants(spark):
+    """MMR picks are distinct, numbered 1..K, and the greedy objective
+    is non-increasing (each round's feasible values only shrink)."""
+    from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["q_mmr_rerank"].fn(spark, SMOKE_SF).collect(),
+        key=lambda r: r.pick,
+    )
+    assert [r.pick for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r.doc_id for r in rows}) == len(rows)
+    mmrs = [r.mmr for r in rows]
+    assert all(a >= b for a, b in zip(mmrs, mmrs[1:])), mmrs
+    assert rows[0].rel == max(r.rel for r in rows)
+
+
+def test_lexical_drift_is_bounded_jsd(spark):
+    """JS divergence is bounded by ln 2 and covers every source."""
+    import math
+
+    from mapreduce_weather_analysis_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["q_lexical_drift"].fn(spark, SMOKE_SF)
+    rows = df.collect()
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources
+    for r in rows:
+        assert 0.0 <= r.js_div <= math.log(2.0) + 1e-9

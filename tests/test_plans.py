@@ -673,3 +673,32 @@ def test_dominant_supplier_broadcasts_part_filter(spark):
     assert "CartesianProduct" not in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("l_shipdate" in ln for ln in pushed)
+
+
+def test_containment_pairs_equi_joins_only(spark):
+    """Containment candidates come from the df-capped shingle-key
+    posting-list join and the exact phase joins on candidate keys —
+    equi-joins everywhere, never a cartesian/nested-loop pair scan."""
+    plan = _plan(REGISTRY["q_containment_pairs"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_rm3_bounded_crossjoins_only(spark):
+    """RM3: the only non-equi join is the 1-row (N, avgdl) stats
+    broadcast; feedback/expansion relations join the corpus token
+    stream as broadcasts (10 doc_ids / <=9 terms)."""
+    plan = _plan(REGISTRY["q_bm25_rm3"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 1  # stats row
+    assert _n_ops(plan, "BroadcastHashJoin") >= 4
+
+
+def test_lexical_drift_grid_is_broadcast_sized(spark):
+    """JS-divergence grid: both cross joins (sources x vocab, x 1-row
+    corpus total) are broadcast nested loops over tiny aggregated
+    relations; the corpus-sized token stream never cross-joins."""
+    plan = _plan(REGISTRY["q_lexical_drift"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 2
+    assert "SortMergeJoin" not in plan
