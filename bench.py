@@ -157,6 +157,7 @@ HEADLINE = [
     "q_mmr_rerank",
     "q_bm25_rm3",
     "q_lexical_drift",
+    "q_ann_range_search",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -357,6 +358,8 @@ BASELINE_SEC = {
     "q_bm25_rm3": 2.6,
     # token explode + two hash-aggs; all divergence math on |src|x100 rows
     "q_lexical_drift": 1.1,
+    # persisted-index serving: probed-cell scan, threshold instead of rank
+    "q_ann_range_search": 1.6,
 }
 
 

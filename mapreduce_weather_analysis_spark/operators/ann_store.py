@@ -512,6 +512,79 @@ def search_vectors(
     )
 
 
+def range_search_vectors(
+    spark: SparkSession,
+    index_path: str,
+    qv: DataFrame,
+    tau: float,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """RANGE search over a persisted index (FAISS ``range_search``
+    semantics): every probed-cell neighbor with cosine >= tau, plus the
+    per-query match count — the radius form of :func:`search_vectors`
+    (no top-k; result size is data-dependent). Same probe selection and
+    partition pruning; the threshold replaces the rank window, so the
+    only per-query state is a count over the (small) in-range set."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+
+    centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
+    vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
+    qc = qv.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", _sq_l2("qv", "c").alias("dist"), "cluster"
+    )
+    probes = (
+        qc.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
+                1,
+                nprobe,
+            ).alias("near"),
+            F.first("qv").alias("qv"),
+        )
+        .select("query_id", "qv", F.explode("near").alias("p"))
+        .select("query_id", "qv", F.col("p.cluster").alias("cluster"))
+    )
+    hits = (
+        F.broadcast(probes)
+        .join(vecs, "cluster")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= tau)
+    )
+    w = W.partitionBy("query_id")
+    return hits.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_range"),
+    )
+
+
+def ivf_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_filter: str,
+    tau: float,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Range search with the embeddings table as the query side (the
+    radius twin of :func:`ivf_search`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return range_search_vectors(spark, index_path, qv, tau, nprobe=nprobe)
+
+
 def ivf_search(
     spark: SparkSession,
     sf_dir: str,

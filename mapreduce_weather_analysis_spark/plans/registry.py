@@ -152,6 +152,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_mmr_rerank",
     "q_bm25_rm3",
     "q_lexical_drift",
+    "q_ann_range_search",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

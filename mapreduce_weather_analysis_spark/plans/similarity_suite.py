@@ -436,6 +436,59 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, sf_dir, path, _QUERY_FILTER)
 
 
+_RANGE_TAU = 0.25
+
+
+def _range_oracle() -> str:
+    from ..operators.ivf import ivf_chain
+
+    cos = cosine_sql("probes.qv", "fa.v")
+    ctes = ivf_chain("embeddings", _QUERY_FILTER)
+    ctes.append(
+        f"""scored AS (
+          SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,
+                 {cos} AS cosine
+          FROM probes JOIN fa ON probes.cluster = fa.cluster
+          WHERE probes.query_id <> fa.vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, cosine,
+           CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+             AS n_in_range
+    FROM scored WHERE cosine >= {_RANGE_TAU}
+    """
+    )
+
+
+@register("q_ann_range_search", oracle=_range_oracle())
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search over the persisted IVF index — FAISS
+    ``range_search`` parity: every neighbor within cosine >= τ={TAU} of
+    each query, not a fixed top-k, plus the per-query in-range count.
+    The radius form is what dedup-by-threshold and recall-surface
+    audits actually consume (a top-k can't answer "how many near-dups
+    does this vector have"); it completes the serving API next to
+    search/add/stats/recall-eval.
+
+    Scale shape: identical probe selection and dynamic partition
+    pruning to q_ann_ivf_search (nprobe/k of the float corpus read per
+    batch); the threshold replaces the rank window, and the only
+    per-query state is a count window over the in-range set — bounded
+    by matches, not candidates. Oracle: the composed Lloyd CTE chain
+    with the same radius predicate, bit-exact cosine."""
+    from ..operators.ann_store import ivf_range_search, ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    return ivf_range_search(spark, sf_dir, path, _QUERY_FILTER, _RANGE_TAU)
+
+
+q_ann_range_search.__doc__ = q_ann_range_search.__doc__.format(TAU=_RANGE_TAU)
+
+
 def _imi_oracle() -> str:
     from ..operators.imi import imi_topk_sql
 

@@ -85,3 +85,56 @@ def ingest_weather_to_parquet(
         spark.read.parquet(f"{out_dir}/weather"),
         spark.read.parquet(f"{out_dir}/location"),
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes: int = 256 * 1024 * 1024,
+    compression: str = "zstd",
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ~target_bytes files — the maintenance job every long-lived 100 TB
+    table needs (streaming sinks and incremental ingests accrete
+    KB-sized files; listing and per-file open costs eventually dominate
+    the scan). File count comes from the directory's CURRENT on-disk
+    bytes (compressed), so the rewrite preserves density rather than
+    guessing from row counts; round-robin repartition gives even output
+    sizes regardless of key skew. Writes to a sibling ``<path>.compact``
+    then atomically renames over the original (never reads and
+    overwrites the same live dir in one job — Spark would delete the
+    input before the scan under overwrite mode).
+
+    Returns {files_before, files_after, bytes} for the caller's audit
+    log."""
+    import os
+    import shutil
+
+    def _du(p: str) -> tuple[int, int]:
+        n, b = 0, 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, total = _du(path)
+    n_out = max(1, -(-total // target_bytes))  # ceil div
+    tmp = path.rstrip("/") + ".compact"
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after, _ = _du(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total,
+    }

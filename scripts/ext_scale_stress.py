@@ -56,6 +56,10 @@ QUERIES = [
     "q_ann_sq8_topk",
     "q_ann_matryoshka_rerank",
     "q_hybrid_search_persisted",
+    "q_containment_pairs",
+    "q_bm25_rm3",
+    "q_lexical_drift",
+    "q_ann_range_search",
 ]
 
 

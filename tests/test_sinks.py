@@ -103,3 +103,25 @@ def test_json_and_orc_roundtrip(spark, tmp_path):
     assert [(f.name, f.dataType) for f in back_o.schema] == [
         (f.name, f.dataType) for f in df.schema
     ]
+
+
+def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
+    """200 tiny files -> a handful of ~target-size files, rows and
+    values identical (the maintenance pass a streaming sink's output
+    needs before it melts directory listings at scale)."""
+    from mapreduce_weather_analysis_spark.sources.sinks import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(20_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(200).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    stats = compact_parquet_dir(spark, path, target_bytes=64 * 1024)
+    assert stats["files_before"] >= 200
+    assert stats["files_after"] < stats["files_before"] / 4
+    after_df = spark.read.parquet(path)
+    after = sorted(r.id for r in after_df.collect())
+    assert after == before
+    assert after_df.where("v != id * 2").count() == 0
