@@ -158,6 +158,8 @@ HEADLINE = [
     "q_bm25_rm3",
     "q_lexical_drift",
     "q_ann_range_search",
+    "q_stream_lexical_drift",
+    "q_quality_calibration",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -360,6 +362,10 @@ BASELINE_SEC = {
     "q_lexical_drift": 1.1,
     # persisted-index serving: probed-cell scan, threshold instead of rank
     "q_ann_range_search": 1.6,
+    # stateless stream drain (explode only) + the batch JS chain
+    "q_stream_lexical_drift": 3.8,
+    # two single-scan gate relations + one slim doc_id join + 4-cell agg
+    "q_quality_calibration": 1.5,
 }
 
 

@@ -2357,3 +2357,66 @@ def q_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_bm25_rm3.__doc__ = q_bm25_rm3.__doc__.format(
     FB=_RM3_FB, E=_RM3_E, A=_RM3_A, K=_RM3_K, Q=len(_BM25_QUERY)
 )
+
+
+# --- Gate calibration: rule gate vs classifier confusion ---------------------
+
+
+def _calibration_oracle() -> str:
+    score = (
+        "0.5 + (logit_milli / (1000.0 * n_tokens))"
+        " / (2 * (1 + abs(logit_milli / (1000.0 * n_tokens))))"
+    )
+    return gopher_sig_sql("doc_id") + f""", qct AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_QC_DIM} AS b
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS term
+            FROM documents)
+    ),
+    qsc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM({_qc_weight_sql('b')}) AS logit_milli
+      FROM qct GROUP BY doc_id
+    ),
+    cal AS (
+      SELECT g.keep AS gopher_keep,
+             q.logit_milli >= 0 AS clf_keep,
+             {dround_sql(score, 6)} AS s
+      FROM g_keep g JOIN qsc q USING (doc_id)
+    )
+    SELECT gopher_keep, clf_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {psum_sql('s', 6)} / COUNT(*) AS mean_score
+    FROM cal GROUP BY 1, 2
+    """
+
+
+@register("q_quality_calibration", oracle=_calibration_oracle())
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the two quality gates against each other: the
+    confusion matrix between the Gopher rule gate (q_gopher_quality)
+    and the linear classifier (q_quality_classifier) — per
+    (gopher_keep, clf_keep) cell, document count and mean classifier
+    score. The off-diagonal cells are the governance signal every
+    curation stack watches: rules-keep/classifier-drop docs are
+    candidates for rule tightening, the reverse cell for threshold
+    movement; a classifier retrain that shifts the diagonal mass gets
+    caught here before it silently moves the corpus.
+
+    Scale shape: both gates are single-scan projections/partial-aggs
+    (their own queries' plans); the calibration adds ONE doc_id equi-
+    join between two slim verdict relations and a 4-cell hash-agg —
+    partial-agg'd counter and decimal-sum state, broadcast-sized
+    output. Mean scores route through psum so the per-cell mean is
+    order-independent and bit-identical to DuckDB."""
+    g = gopher_signals(t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    c = q_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("clf_keep"), "score"
+    )
+    cal = g.join(c, "doc_id")
+    return cal.groupBy("gopher_keep", "clf_keep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (psum(F.col("score"), 6) / F.count(F.lit(1))).alias("mean_score"),
+    )

@@ -153,6 +153,8 @@ _R8_NEW: tuple[str, ...] = (
     "q_bm25_rm3",
     "q_lexical_drift",
     "q_ann_range_search",
+    "q_stream_lexical_drift",
+    "q_quality_calibration",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -707,3 +707,45 @@ def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.lit(1.0) - F.col("cos_to_global"), 8).alias("drift"),
         )
     )
+
+
+def _stream_lexdrift_oracle() -> str:
+    from .text_suite import _lexical_drift_oracle
+
+    return _lexical_drift_oracle()
+
+
+@register("q_stream_lexical_drift", oracle=_stream_lexdrift_oracle())
+def q_stream_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LEXICAL drift computed AT INGEST — the streaming twin
+    of q_lexical_drift, completing the drift-monitor pair (embedding
+    drift already has both forms): the live document feed is exploded to
+    (doc_id, source, term) rows — a stateless per-row projection, append
+    mode, zero streaming state — and the drained rows feed the identical
+    JS-divergence chain as the batch monitor. A feed that changes
+    register or language mix is caught within one micro-batch.
+
+    Streaming posture at scale: the stream side never aggregates and
+    never joins (the explode is the whole streaming plan), so no state
+    store and no watermark; vocabulary selection, smoothing, and the JS
+    sum all run on the drained relation where the batch argument
+    (everything after the explode is |sources|×vocab-bounded) applies
+    unchanged. Oracle: the batch lexical-drift oracle verbatim —
+    provable batch/stream equivalence of the full monitor."""
+    from .text_suite import lexical_drift_from_trows
+
+    stream = read_documents_stream(spark, sf_dir)
+    from ..functions.text import tokens
+
+    rows = stream.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("term")
+    )
+    drained = run_available_now(rows, spark, mode="append").localCheckpoint()
+    trows = drained.select("source", "term")
+    ndocs = (
+        drained.select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return lexical_drift_from_trows(trows, ndocs)

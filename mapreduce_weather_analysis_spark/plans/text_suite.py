@@ -2395,10 +2395,22 @@ def q_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers; each cell's contribution is IEEE-then-dround(8),
     the per-source sum psum-routed then dround(6), so the hash matches
     DuckDB exactly."""
-    v = _LD_V
     trows = t(spark, sf_dir, "documents").select(
         "source", F.explode(tokens("text")).alias("term")
     )
+    ndocs = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return lexical_drift_from_trows(trows, ndocs)
+
+
+def lexical_drift_from_trows(trows: DataFrame, ndocs: DataFrame) -> DataFrame:
+    """The JS-divergence chain over pre-exploded (source, term) rows —
+    shared by the batch monitor and its streaming twin (which drains the
+    same rows off the live feed)."""
+    v = _LD_V
     vocab = (
         trows.groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ccnt"))
@@ -2427,11 +2439,6 @@ def q_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 0.5 * (p * F.log(p / m)) + 0.5 * (q * F.log(q / m)), 8
             ).alias("js_t"),
         )
-    )
-    ndocs = (
-        t(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     return (
         cells.groupBy("source")
