@@ -702,3 +702,15 @@ def test_lexical_drift_grid_is_broadcast_sized(spark):
     assert "CartesianProduct" not in plan
     assert _n_ops(plan, "BroadcastNestedLoopJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_range_search_broadcasts_and_prunes(spark):
+    """Radius serving keeps the top-k path's physical shape: probes
+    broadcast into the cell-partitioned lists with dynamic pruning, and
+    the only window is the per-query match count (no rank window)."""
+    plan = _plan(REGISTRY["q_ann_range_search"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "dynamicpruning" in plan.lower()
+    keys = _window_partition_keys(plan)
+    assert keys and all(k == "query_id" for k in keys), keys
