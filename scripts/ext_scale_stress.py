@@ -60,6 +60,8 @@ QUERIES = [
     "q_bm25_rm3",
     "q_lexical_drift",
     "q_ann_range_search",
+    "q_stream_lexical_drift",
+    "q_quality_calibration",
 ]
 
 
