@@ -737,11 +737,15 @@ def q_stream_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_documents_stream(spark, sf_dir)
     from ..functions.text import tokens
 
+    # explode_OUTER: a zero-token document still emits one (term=NULL)
+    # header row, so the per-source doc count matches the batch monitor
+    # (plain explode dropped token-less docs from n_docs — caught by the
+    # edge-corpus parity sweep).
     rows = stream.select(
-        "doc_id", "source", F.explode(tokens("text")).alias("term")
+        "doc_id", "source", F.explode_outer(tokens("text")).alias("term")
     )
     drained = run_available_now(rows, spark, mode="append").localCheckpoint()
-    trows = drained.select("source", "term")
+    trows = drained.where(F.col("term").isNotNull()).select("source", "term")
     ndocs = (
         drained.select("doc_id", "source")
         .distinct()
