@@ -160,6 +160,12 @@ HEADLINE = [
     "q_ann_range_search",
     "q_stream_lexical_drift",
     "q_quality_calibration",
+    # round-8 tenth wave: distributed-prefix-sum shard planning, persisted
+    # inverted-index BM25 serving, key-skew diagnostics, tokenizer fertility
+    "q_token_shards",
+    "q_bm25_search",
+    "q_skew_profile",
+    "q_tokenizer_fertility",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -362,6 +368,10 @@ BASELINE_SEC = {
     "q_lexical_drift": 1.1,
     # persisted-index serving: probed-cell scan, threshold instead of rank
     "q_ann_range_search": 1.6,
+    "q_token_shards": 1.3,
+    "q_bm25_search": 0.8,
+    "q_skew_profile": 1.2,
+    "q_tokenizer_fertility": 0.5,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -2420,3 +2420,112 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (psum(F.col("score"), 6) / F.count(F.lit(1))).alias("mean_score"),
     )
+
+
+# --- Token-budget shard planning (distributed prefix sum) ---------------------
+
+_SHARD_TOKENS = 2048  # target token budget per training shard
+
+
+def _token_shards_oracle() -> str:
+    from .text_suite import BPEISH_RE
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(COALESCE(
+               len(regexp_extract_all(text, '{BPEISH_RE}')), 0
+             ) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS prefix
+      FROM toks
+    )
+    SELECT CAST(prefix // {_SHARD_TOKENS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM pre GROUP BY 1
+    """
+
+
+@register("q_token_shards", oracle=_token_shards_oracle())
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard plan: pack the corpus, in doc_id order, into
+    contiguous shards of ~{T} BPE-ish tokens each — the corpus→shards
+    step every pretraining run executes between curation and the
+    tokenizer (Megatron/GPT-NeoX data loaders consume exactly such
+    contiguous token-budgeted shards). Returns the shard manifest:
+    per-shard doc count, token mass, and [first_doc, last_doc] range.
+
+    The interesting part is HOW the running total is computed. The naive
+    form — ``SUM(n_tok) OVER (ORDER BY doc_id)`` with no partition key —
+    funnels the whole corpus through ONE task (the WindowExec hazard
+    bench.py gates on). This query instead uses the two-phase
+    distributed scan (operators/prefix_sum.py, Blelloch CMU-CS-90):
+    range-partition on doc_id, per-partition totals (ONE bounded
+    driver collect of #partitions rows), driver-side exclusive cumsum of
+    those totals → broadcast per-partition offsets, then a
+    WITHIN-partition running sum. Every task streams only its own
+    contiguous slice at any corpus size; the oracle states the same
+    semantics as the naive single-node window, proving the two-phase
+    rewrite exact."""
+    from ..operators.prefix_sum import shard_by_budget
+    from .text_suite import BPEISH_RE
+
+    d = t(spark, sf_dir, "documents")
+    # NULL text → 0 tokens (not NULL): the prefix subtraction must stay
+    # total, and the per-shard SUM must see every doc
+    n = F.coalesce(
+        F.size(F.regexp_extract_all("text", F.lit(BPEISH_RE), 0)).cast(
+            "bigint"
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    per_doc = d.select("doc_id", n.alias("n_tok"))
+    sharded = shard_by_budget(per_doc, "doc_id", "n_tok", _SHARD_TOKENS)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+q_token_shards.__doc__ = q_token_shards.__doc__.format(T=_SHARD_TOKENS)
+
+
+# --- Persisted-inverted-index BM25 serving ------------------------------------
+
+
+@register("q_bm25_search", oracle=_bm25_oracle())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving over the PERSISTED inverted index — the lexical twin
+    of q_ann_ivfpq_search, completing the build/serve split for BOTH
+    retrieval arms (dense already had it): operators/lexical_store.py
+    persists term-bucket-partitioned postings (tf and dl denormalized),
+    a vocabulary-sized df table, and the 1-row corpus stats; this query
+    is the steady-state read path. Scoring math is identical to
+    q_bm25_topk, so the recompute-from-scratch oracle certifies the
+    persisted artifacts end to end (a stale or corrupt index hash-fails).
+
+    Scale shape: the query terms are hashed DRIVER-SIDE with the shared
+    Python twin of the bucket hash, so the postings scan carries literal
+    partition filters — only the probed term buckets' files are read
+    (|query| posting lists, never the corpus; the relational analog of
+    Lucene's term-dictionary seek). df is broadcast, corpus stats are one
+    broadcast row, the only wide op is the per-doc score agg over hit
+    rows, and the top-k is TakeOrdered. Warm-path cost is independent of
+    corpus growth except through posting-list length."""
+    from ..operators.lexical_store import lexical_search, lexical_write
+
+    path = lexical_write(spark, sf_dir)
+    return lexical_search(
+        spark, path, _BM25_QUERY, _BM25_K1, _BM25_B, _BM25_TOPK
+    )

@@ -157,6 +157,17 @@ _R8_NEW: tuple[str, ...] = (
     "q_quality_calibration",
 )
 
+# Round-8 additions past the full window — the 19+31 never-certified
+# names above consume every slot, so these queue IMMEDIATELY after the
+# boundary (the round-5 q_sample_temperature precedent: parked at slot
+# 51, certified on the next rotation) and lead round 9's window.
+_R9_QUEUE: tuple[str, ...] = (
+    "q_token_shards",
+    "q_bm25_search",
+    "q_skew_profile",
+    "q_tokenizer_fertility",
+)
+
 # Greens whose last driver row is round 3 — stalest re-certification
 # candidates; the head of this section fills the window's free slots.
 _R3_GREEN: tuple[str, ...] = (
@@ -347,7 +358,13 @@ _R7_GREEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    _R7_FAMILY + _R8_NEW + _R3_GREEN + _R4_GREEN + _R5_GREEN + _R7_GREEN
+    _R7_FAMILY
+    + _R8_NEW
+    + _R9_QUEUE
+    + _R3_GREEN
+    + _R4_GREEN
+    + _R5_GREEN
+    + _R7_GREEN
 )
 
 

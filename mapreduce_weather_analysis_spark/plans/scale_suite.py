@@ -117,3 +117,136 @@ def q_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- Key-skew profile: the salting decision's evidence base -------------------
+
+
+def _skew_profile_sql(table: str, key: str, relname: str) -> str:
+    from ..functions.compat import dround_sql
+
+    top1 = dround_sql("CAST(max_cnt AS DOUBLE) / total_rows", 6)
+    skew = dround_sql("CAST(max_cnt AS DOUBLE) * n_keys / total_rows", 6)
+    return f"""
+    SELECT '{relname}' AS relation, n_keys, total_rows, max_cnt,
+           p50_cnt, p99_cnt,
+           {top1} AS top1_share,
+           {skew} AS skew_ratio
+    FROM (
+      WITH counts AS (
+        SELECT {key} AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {table} GROUP BY 1
+      ),
+      freq AS (
+        SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM counts GROUP BY 1
+      ),
+      stats AS (
+        SELECT CAST(SUM(k) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt * k) AS BIGINT) AS total_rows,
+               MAX(cnt) AS max_cnt
+        FROM freq
+      ),
+      cum AS (
+        SELECT a.cnt, CAST(SUM(b.k) AS BIGINT) AS cum_k
+        FROM freq a JOIN freq b ON b.cnt <= a.cnt GROUP BY 1
+      ),
+      pct AS (
+        SELECT
+          MIN(CASE WHEN cum_k >= CAST(ceil(0.50 * n_keys) AS BIGINT)
+                   THEN cnt END) AS p50_cnt,
+          MIN(CASE WHEN cum_k >= CAST(ceil(0.99 * n_keys) AS BIGINT)
+                   THEN cnt END) AS p99_cnt
+        FROM cum, stats
+      )
+      SELECT * FROM stats, pct
+    )
+    """
+
+
+def _skew_profile(df: DataFrame, key: str, relname: str) -> DataFrame:
+    from ..functions.compat import dround
+
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    freq = counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    stats = freq.agg(
+        F.sum("k").cast("bigint").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("k")).cast("bigint").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    cum = (
+        freq.alias("a")
+        .join(freq.alias("b"), F.col("b.cnt") <= F.col("a.cnt"))
+        .groupBy(F.col("a.cnt").alias("cnt"))
+        .agg(F.sum("b.k").cast("bigint").alias("cum_k"))
+    )
+    t50 = F.ceil(0.50 * F.col("n_keys")).cast("bigint")
+    t99 = F.ceil(0.99 * F.col("n_keys")).cast("bigint")
+    pct = (
+        cum.crossJoin(F.broadcast(stats.select("n_keys")))
+        .agg(
+            F.min(F.when(F.col("cum_k") >= t50, F.col("cnt"))).alias(
+                "p50_cnt"
+            ),
+            F.min(F.when(F.col("cum_k") >= t99, F.col("cnt"))).alias(
+                "p99_cnt"
+            ),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(pct))
+        .select(
+            F.lit(relname).alias("relation"),
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            dround(
+                F.col("max_cnt").cast("double") / F.col("total_rows"), 6
+            ).alias("top1_share"),
+            dround(
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys")
+                / F.col("total_rows"),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+@register(
+    "q_skew_profile",
+    oracle=(
+        _skew_profile_sql("events", "user_id", "events.user_id")
+        + " UNION ALL "
+        + _skew_profile_sql("lineitem", "l_suppkey", "lineitem.l_suppkey")
+    ),
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for shuffle keys — the evidence base behind
+    every salting / AQE-skew-join decision in this repo (q_salted_agg,
+    q_salted_join pick their salt fanout from exactly these numbers).
+    One row per profiled key: key cardinality, row total, the heaviest
+    key's count, p50/p99 per-key frequencies (order statistics), the
+    heaviest key's share of all rows, and skew_ratio = max_cnt / mean_cnt
+    (1.0 = perfectly uniform; the straggler factor a key-partitioned
+    stage faces).
+
+    Scale shape: per-key counts are one map-side-combined hash-agg; all
+    downstream relations are FREQUENCY-OF-FREQUENCY tables (one row per
+    DISTINCT count value — log-scale small on any real distribution), so
+    the percentile computation — a ≤F² self-join cumulative sum — never
+    touches data-sized relations and needs no global sort or window. The
+    profile reads two tables; each branch is independent and the union
+    is two 1-row relations."""
+    ev = _skew_profile(
+        t(spark, sf_dir, "events"), "user_id", "events.user_id"
+    )
+    li = _skew_profile(
+        t(spark, sf_dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey"
+    )
+    return ev.unionAll(li)

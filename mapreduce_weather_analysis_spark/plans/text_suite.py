@@ -2450,3 +2450,72 @@ def lexical_drift_from_trows(trows: DataFrame, ndocs: DataFrame) -> DataFrame:
 
 
 q_lexical_drift.__doc__ = q_lexical_drift.__doc__.format(V=_LD_V)
+
+
+# --- Tokenizer fertility: tokens-per-word / bytes-per-token by source ---------
+
+
+def _fertility_oracle() -> str:
+    return f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '{BPEISH_RE}')) AS BIGINT)
+               AS n_tok,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           {dround_sql(
+               "CAST(SUM(n_tok) AS DOUBLE) / NULLIF(SUM(n_words), 0)", 6
+           )} AS fertility,
+           {dround_sql(
+               "CAST(SUM(n_bytes) AS DOUBLE) / NULLIF(SUM(n_tok), 0)", 6
+           )} AS bytes_per_token
+    FROM per_doc GROUP BY source
+    """
+
+
+@register("q_tokenizer_fertility", oracle=_fertility_oracle())
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per ingest source: BPE-ish tokens per
+    whitespace word (how many pieces the pre-tokenizer shatters a word
+    into) and UTF-8 bytes per token (compression) — the two numbers a
+    tokenizer evaluation reports per corpus slice (Rust et al., "How Good
+    is Your Tokenizer?", ACL'21). A source whose fertility spikes is being
+    over-segmented (wrong language mix for the vocab, or non-linguistic
+    content) and will waste sequence length at training time.
+
+    Scale shape: one projection computing three per-doc integers (word
+    count, token count, byte length — all JVM regex/size expressions, no
+    Python), then a single map-side-combined per-source hash-agg. Integer
+    sums are exact in both engines; the two ratios are one IEEE division
+    each, NULL on empty denominators, dround(6)-pinned."""
+    d = t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(BPEISH_RE), 0))
+        .cast("bigint")
+        .alias("n_tok"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    words = F.sum("n_words").cast("bigint")
+    toks = F.sum("n_tok").cast("bigint")
+    byts = F.sum("n_bytes").cast("bigint")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        words.alias("total_words"),
+        toks.alias("total_tokens"),
+        byts.alias("total_bytes"),
+        dround(
+            toks.cast("double") / F.nullif(words, F.lit(0)), 6
+        ).alias("fertility"),
+        dround(
+            byts.cast("double") / F.nullif(toks, F.lit(0)), 6
+        ).alias("bytes_per_token"),
+    )

@@ -85,6 +85,7 @@ def test_priority_sections_cover_registry_exactly():
         _PRIORITY,
         _R7_FAMILY,
         _R8_NEW,
+        _R9_QUEUE,
         _WINDOW,
         _import_plans,
     )
@@ -93,8 +94,11 @@ def test_priority_sections_cover_registry_exactly():
     assert len(_PRIORITY) == len(set(_PRIORITY)) == len(REGISTRY)
     assert set(_PRIORITY) == set(REGISTRY)
     assert len(_R7_FAMILY) + len(_R8_NEW) <= _WINDOW
-    # the round-8 window leads with the never-certified sections
-    assert _PRIORITY[: len(_R7_FAMILY) + len(_R8_NEW)] == _R7_FAMILY + _R8_NEW
+    # the round-8 window leads with the never-certified sections; the
+    # post-window additions queue immediately after the boundary so they
+    # lead the NEXT rotation's window
+    head = _R7_FAMILY + _R8_NEW + _R9_QUEUE
+    assert _PRIORITY[: len(head)] == head
 
 
 def test_no_oracle_is_vacuously_empty():

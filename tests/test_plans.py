@@ -714,3 +714,43 @@ def test_range_search_broadcasts_and_prunes(spark):
     assert "dynamicpruning" in plan.lower()
     keys = _window_partition_keys(plan)
     assert keys and all(k == "query_id" for k in keys), keys
+
+
+def test_token_shards_prefix_sum_is_two_phase(spark):
+    """Shard planning: the running total must be the two-phase scan —
+    every window in the plan partitions on the pinned partition id
+    (never an unpartitioned corpus-wide window), and the offset join is
+    a broadcast of the #partitions-row relation."""
+    plan = _plan(REGISTRY["q_token_shards"].fn(spark, SMOKE_SF))
+    keys = _window_partition_keys(plan)
+    assert keys, "expected the within-partition running-sum window"
+    assert all(k.strip().startswith("_pid") for k in keys), keys
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_search_prunes_term_buckets(spark):
+    """Persisted lexical serving: the postings scan must carry literal
+    PartitionFilters on the query terms' buckets (only probed lists'
+    files read), df/stats ride broadcasts, and the top-k is a
+    TakeOrdered — no global sort, no shuffle join."""
+    from mapreduce_weather_analysis_spark.operators.lexical_store import (
+        lexical_write,
+    )
+
+    lexical_write(spark, SMOKE_SF)  # plan against a built index
+    plan = _plan(REGISTRY["q_bm25_search"].fn(spark, SMOKE_SF))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("tb" in ln for ln in pf), plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_profile_aggregates_frequency_tables_only(spark):
+    """The percentile machinery must run on frequency-of-frequency
+    relations: no window at all in the plan (the cumulative sum is a
+    tiny self-join), and no global sort."""
+    plan = _plan(REGISTRY["q_skew_profile"].fn(spark, SMOKE_SF))
+    assert not _window_partition_keys(plan), "expected a window-free plan"
+    assert "Sort " not in plan or "SortMergeJoin" not in plan
+    assert _n_ops(plan, "HashAggregate") >= 4  # counts + freq per branch

@@ -517,3 +517,37 @@ def test_label_propagation_matches_python_rounds(spark, edges):
             for r in label_propagation(e, rounds=rounds).collect()
         }
         assert got == _py_lp(edges, rounds), rounds
+
+
+# --- distributed exclusive prefix sum vs single-node scan ---------------------
+
+prefix_rows = st.lists(
+    st.integers(min_value=0, max_value=10_000),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(vals=prefix_rows)
+@settings(**_SETTINGS)
+def test_exclusive_prefix_sum_matches_sequential_scan(spark, vals):
+    """The two-phase distributed scan (range-partition → per-partition
+    totals → broadcast offsets → within-partition window) must equal the
+    sequential exclusive cumsum for any input, at any partition count —
+    including empty input, a single row, and more partitions than rows."""
+    from mapreduce_weather_analysis_spark.operators.prefix_sum import (
+        exclusive_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, v long"
+    )
+    got = {
+        r["k"]: r["prefix"]
+        for r in exclusive_prefix_sum(df, "k", "v", num_partitions=7).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        want[i] = acc
+        acc += v
+    assert got == want
