@@ -166,6 +166,12 @@ HEADLINE = [
     "q_bm25_search",
     "q_skew_profile",
     "q_tokenizer_fertility",
+    # round-8 eleventh wave: tombstone-masked index serving, RAG context
+    # packing, epoch planning, language-ID confusion matrix
+    "q_ann_index_delete",
+    "q_context_pack",
+    "q_epoch_plan",
+    "q_lang_confusion",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -372,6 +378,10 @@ BASELINE_SEC = {
     "q_bm25_search": 0.8,
     "q_skew_profile": 1.2,
     "q_tokenizer_fertility": 0.5,
+    "q_ann_index_delete": 1.2,
+    "q_context_pack": 1.4,
+    "q_epoch_plan": 0.7,
+    "q_lang_confusion": 0.8,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -468,16 +468,29 @@ def search_vectors(
     qv: DataFrame,
     k_neighbors: int = 5,
     nprobe: int = IVF_NPROBE,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-cosine serving over ANY persisted index given a query-vector
     relation ``qv`` (query_id, qv) — the shared body of ivf_search and
-    the document-vector serving path."""
+    the document-vector serving path.
+
+    ``tombstones`` (a (vec_id) relation) implements DELETE the way every
+    LSM-ish vector store does (FAISS IDSelector / Milvus delta deletes):
+    the immutable inverted lists stay on disk and deleted ids are masked
+    at serve time with a broadcast anti-join — applied BEFORE ranking so
+    the top-k back-fills from surviving candidates instead of coming back
+    short. Compaction (rewriting the lists without the dead rows) is the
+    same build job as ivfpq_write over the filtered corpus."""
     from pyspark.sql import Window as W
 
     from ..functions.vectors import cosine
 
     centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
     vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
+    if tombstones is not None:
+        vecs = vecs.join(
+            F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+        )
     qc = qv.crossJoin(F.broadcast(centroids)).select(
         "query_id", "qv", _sq_l2("qv", "c").alias("dist"), "cluster"
     )

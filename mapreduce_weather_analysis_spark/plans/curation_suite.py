@@ -2529,3 +2529,156 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_search(
         spark, path, _BM25_QUERY, _BM25_K1, _BM25_B, _BM25_TOPK
     )
+
+
+# --- RAG context packing: shortlist → token-budget greedy pack ----------------
+
+_CTX_LIST = 20  # retrieval shortlist depth feeding the packer
+_CTX_BUDGET = 512  # context-window token budget
+
+
+def _context_pack_oracle() -> str:
+    from .text_suite import BPEISH_RE
+
+    ctes = [c for c in _lex_ctes() if not c.startswith("lex AS")]
+    ctes.append(
+        f"""ranked AS (
+      SELECT doc_id, CAST(rk AS INTEGER) AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id ASC) AS rk FROM bmdoc
+      ) WHERE rk <= {_CTX_LIST}
+    )"""
+    )
+    ctes.append(
+        f"""ntok AS (
+      SELECT doc_id,
+             CAST(COALESCE(
+               len(regexp_extract_all(text, '{BPEISH_RE}')), 0
+             ) AS BIGINT) AS n_tok
+      FROM documents
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT rank, doc_id, n_tok, cum_tokens FROM (
+      SELECT r.rank, r.doc_id, n.n_tok,
+             CAST(SUM(n.n_tok) OVER (
+               ORDER BY r.rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM ranked r JOIN ntok n USING (doc_id)
+    ) WHERE cum_tokens <= {_CTX_BUDGET}
+    """
+    )
+
+
+@register("q_context_pack", oracle=_context_pack_oracle())
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: the BM25 top-{L} shortlist packed greedily,
+    in rank order, into a {B}-token context budget — the retrieval→
+    prompt step every RAG serving stack runs after ranking (rank-order
+    greedy truncation; the packing twin of q_pack_sequences, which packs
+    the CORPUS rather than a shortlist). Returns the kept prefix with
+    running token totals, so the consumer knows both what made the
+    context and how full it is.
+
+    Scale shape: the only corpus-sized work is the BM25 scoring pass
+    (shared chain with q_bm25_topk — term-filtered at the explode); the
+    packer itself runs entirely on the {L}-row shortlist: the rank and
+    the running sum are bounded_rank_window windows over a ≤{L}-row
+    relation, provably bounded regardless of corpus size. Token counts
+    are exact integers; no floats beyond the already-pinned BM25
+    scores."""
+    from .text_suite import BPEISH_RE
+
+    bmdoc = _bm25_doc_scores(spark, sf_dir)
+    short = bmdoc.orderBy(F.desc("score"), F.asc("doc_id")).limit(_CTX_LIST)
+    wr = bounded_rank_window(
+        F.desc("score"), F.asc("doc_id"), anchor="doc_id"
+    )
+    ranked = short.select(
+        "doc_id", F.row_number().over(wr).cast("int").alias("rank")
+    )
+    ntok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(
+            F.size(F.regexp_extract_all("text", F.lit(BPEISH_RE), 0)).cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("n_tok"),
+    )
+    wcum = bounded_rank_window(F.asc("rank"), anchor="doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = ranked.join(ntok, "doc_id").select(
+        "rank",
+        "doc_id",
+        "n_tok",
+        F.sum("n_tok").over(wcum).cast("bigint").alias("cum_tokens"),
+    )
+    return packed.where(F.col("cum_tokens") <= _CTX_BUDGET)
+
+
+q_context_pack.__doc__ = q_context_pack.__doc__.format(
+    L=_CTX_LIST, B=_CTX_BUDGET
+)
+
+
+# --- Epoch plan: mixture weights × token budget → per-source epochs -----------
+
+_EPOCH_BUDGET = 1_000_000  # total training-token budget
+_EPOCH_CAP = 4.0  # Muennighoff et al. 2023: >4 epochs ≈ diminishing returns
+
+
+def _epoch_plan_oracle() -> str:
+    tgt = dround_sql(f"sample_prob * {_EPOCH_BUDGET}.0", 4)
+    ep = dround_sql(f"sample_prob * {_EPOCH_BUDGET}.0 / n_tokens", 6)
+    return f"""
+    SELECT source, n_tokens, sample_prob,
+           {tgt} AS target_tokens,
+           {ep} AS epochs,
+           {ep} > {_EPOCH_CAP} AS over_replicated
+    FROM ({_temperature_oracle()})
+    """
+
+
+@register("q_epoch_plan", oracle=_epoch_plan_oracle())
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan: temperature-scaled mixture weights times a
+    {B}-token training budget → how many tokens each source contributes
+    and how many PASSES over it that implies (epochs = target/available
+    — the repetition factor; the table data-mixture papers publish, e.g.
+    LLaMA's sampling-prop×epochs table). Sources pushed past {C} epochs
+    are flagged: Muennighoff et al. (arXiv:2305.16264) measure rapidly
+    diminishing returns beyond ~4 repetitions, so an over_replicated
+    row means the mixture wants more of this source than repetition can
+    usefully supply — re-balance or collect more data.
+
+    Scale shape: one corpus scan (the shared temperature chain — one
+    per-source agg, |sources| rows of arithmetic); everything after is
+    broadcast-sized. Determinism: inherits q_sample_temperature's
+    dround-pinned weights; target/epochs are one IEEE multiply-divide
+    each, dround-pinned, so the boolean flag cannot flap on an engine
+    ulp."""
+    w = q_sample_temperature(spark, sf_dir)
+    tgt = dround(F.col("sample_prob") * F.lit(float(_EPOCH_BUDGET)), 4)
+    ep = dround(
+        F.col("sample_prob") * F.lit(float(_EPOCH_BUDGET)) / F.col("n_tokens"),
+        6,
+    )
+    return w.select(
+        "source",
+        "n_tokens",
+        "sample_prob",
+        tgt.alias("target_tokens"),
+        ep.alias("epochs"),
+        (ep > F.lit(_EPOCH_CAP)).alias("over_replicated"),
+    )
+
+
+q_epoch_plan.__doc__ = q_epoch_plan.__doc__.format(
+    B=_EPOCH_BUDGET, C=_EPOCH_CAP
+)

@@ -166,6 +166,10 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_bm25_search",
     "q_skew_profile",
     "q_tokenizer_fertility",
+    "q_ann_index_delete",
+    "q_context_pack",
+    "q_epoch_plan",
+    "q_lang_confusion",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

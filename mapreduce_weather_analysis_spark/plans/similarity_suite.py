@@ -3028,3 +3028,67 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.lit(1.0) - F.col("cos_to_global"), 8).alias("drift"),
         )
     )
+
+
+# --- Index DELETE: tombstone-masked serving -----------------------------------
+
+_DEL_FILTER = "vec_id % 50 = 3"  # the deleted ids (disjoint from queries)
+
+
+def _index_delete_oracle() -> str:
+    from ..operators.ivf import ivf_chain
+
+    cos = cosine_sql("probes.qv", "fa.v")
+    ctes = ivf_chain("embeddings", _QUERY_FILTER)
+    ctes.append(
+        f"""scored AS (
+          SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,
+                 {cos} AS cosine
+          FROM probes JOIN fa ON probes.cluster = fa.cluster
+          WHERE probes.query_id <> fa.vec_id
+            AND NOT (fa.vec_id % 50 = 3)
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    )
+
+
+@register("q_ann_index_delete", oracle=_index_delete_oracle())
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETE: exact-cosine serving over the persisted IVF lists
+    with a TOMBSTONE set masked out — the missing verb of the index
+    lifecycle (build: ivfpq_write; add: q_ann_index_add; stats:
+    q_ann_index_stats; this is delete). The FAISS/Milvus posture:
+    immutable inverted lists stay on disk, deletions accumulate as a
+    slim id relation, and serving anti-joins them out BEFORE ranking so
+    every top-k back-fills from surviving candidates (a post-filtered
+    list would come back short); compaction is a later rebuild over the
+    filtered corpus.
+
+    Scale shape: identical to q_ann_ivf_search (broadcast probes,
+    dynamic partition pruning on the cell-partitioned lists) plus ONE
+    broadcast anti-join against the tombstone relation — deletions are
+    a stream of ids, never a rewrite of the corpus-sized artifact. The
+    oracle recomputes the same probe search excluding the deleted ids,
+    so a tombstone leak (a deleted id surfacing in any top-k) is a hash
+    mismatch."""
+    from ..operators.ann_store import ivfpq_write, search_vectors
+
+    path = ivfpq_write(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    tombstones = emb.where(F.expr(_DEL_FILTER)).select("vec_id")
+    qv = emb.where(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return search_vectors(spark, path, qv, tombstones=tombstones)

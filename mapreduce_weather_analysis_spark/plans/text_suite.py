@@ -2519,3 +2519,54 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             byts.cast("double") / F.nullif(toks, F.lit(0)), 6
         ).alias("bytes_per_token"),
     )
+
+
+# --- Language-ID confusion matrix ---------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from .registry import REGISTRY
+
+    lang_spec = REGISTRY["q_lang_id"].oracle
+    share = dround_sql(
+        "COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang)", 6
+    )
+    return f"""
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {share} AS label_share
+    FROM ({lang_spec})
+    GROUP BY labeled_lang, predicted_lang
+    """
+
+
+@register("q_lang_confusion", oracle=_lang_confusion_oracle())
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs labeled language with
+    per-label shares — the calibration view for the stopword-profile
+    classifier (the language twin of q_quality_calibration: same
+    gate-governance pattern, different gate). A row off the diagonal
+    with high share is a systematic misroute — those docs land in the
+    wrong per-language pipeline (wrong CCNet LM, wrong mixture bucket)
+    at training time.
+
+    Scale shape: the per-doc prediction is q_lang_id's single scan
+    (stopword-hit counters, no shuffle); the confusion matrix is one
+    hash-agg to ≤|langs|² rows, and the per-label share is a window
+    over that broadcast-sized relation — never over docs. Counts exact,
+    share one IEEE division dround-pinned."""
+    from pyspark.sql import Window
+
+    li = q_lang_id(spark, sf_dir)
+    conf = li.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return conf.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        dround(
+            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
+        ).alias("label_share"),
+    )

@@ -754,3 +754,31 @@ def test_skew_profile_aggregates_frequency_tables_only(spark):
     assert not _window_partition_keys(plan), "expected a window-free plan"
     assert "Sort " not in plan or "SortMergeJoin" not in plan
     assert _n_ops(plan, "HashAggregate") >= 4  # counts + freq per branch
+
+
+def test_ann_index_delete_masks_before_ranking(spark):
+    """Tombstone serving: the delete mask is a broadcast ANTI join
+    applied to the candidate lists (never a shuffle join, never a
+    post-rank filter — the plan's only windows are per-query ranks),
+    and the probed-cell pruning survives the mask."""
+    plan = _plan(REGISTRY["q_ann_index_delete"].fn(spark, SMOKE_SF))
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
+    keys = _window_partition_keys(plan)
+    assert keys and all(k == "query_id" for k in keys), keys
+
+
+def test_context_pack_windows_are_shortlist_bounded(spark):
+    """The packer's rank and running-sum windows must partition on the
+    bounded_rank_window anchor (pmod of a real column — never an empty
+    partition spec), and the corpus-sized side contributes only the
+    BM25 scoring pass (term filter at the explode: no corpus-wide
+    SortMergeJoin)."""
+    plan = _plan(REGISTRY["q_context_pack"].fn(spark, SMOKE_SF))
+    keys = _window_partition_keys(plan)
+    assert keys, "expected the rank/cumsum windows"
+    # an UNpartitioned window's spec leads with its order expression
+    # ("col ASC ..."); a partitioned one leads with the partition key —
+    # here the pre-projected bounded anchor (_w0 = pmod(xxhash64(...),1))
+    assert all(" ASC" not in k and " DESC" not in k for k in keys), keys
+    assert "SortMergeJoin" not in plan
