@@ -172,6 +172,11 @@ HEADLINE = [
     "q_context_pack",
     "q_epoch_plan",
     "q_lang_confusion",
+    # round-8 twelfth wave: graph-ANN beam serving, streaming skew monitor,
+    # streaming frozen-quantizer index add
+    "q_graph_beam_search",
+    "q_stream_skew_profile",
+    "q_stream_index_add",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -382,6 +387,9 @@ BASELINE_SEC = {
     "q_context_pack": 1.4,
     "q_epoch_plan": 0.7,
     "q_lang_confusion": 0.8,
+    "q_graph_beam_search": 1.5,
+    "q_stream_skew_profile": 1.8,
+    "q_stream_index_add": 2.7,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -170,6 +170,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_context_pack",
     "q_epoch_plan",
     "q_lang_confusion",
+    "q_graph_beam_search",
+    "q_stream_skew_profile",
+    "q_stream_index_add",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

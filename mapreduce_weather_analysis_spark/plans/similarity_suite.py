@@ -3092,3 +3092,181 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qv"),
     )
     return search_vectors(spark, path, qv, tombstones=tombstones)
+
+
+# --- Greedy beam search over the persisted kNN graph ---------------------------
+
+_GB_ENTRIES = 4  # deterministic entry points (lowest vec_ids)
+_GB_BEAM = 4  # frontier width per query per round
+_GB_ROUNDS = 2  # expansion rounds (unrolled in the oracle)
+
+
+def _beam_oracle() -> str:
+    cos0 = dround_sql(cosine_sql("q.qv", "v.v"), 8)
+    ctes = _sym_knn_cte() + [
+        """und AS (
+      SELECT src AS node, dst AS nb FROM symk
+      UNION ALL
+      SELECT dst AS node, src AS nb FROM symk
+    )""",
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"""qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE {_QUERY_FILTER}
+    )""",
+        f"""entries AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_GB_ENTRIES}
+    )""",
+        f"""vis0 AS (
+      SELECT q.query_id, e.vec_id AS node, {cos0} AS cosine
+      FROM qs q CROSS JOIN entries e JOIN ev v ON v.vec_id = e.vec_id
+      WHERE e.vec_id <> q.query_id
+    )""",
+        f"""f0 AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, node ASC) AS rn
+        FROM vis0
+      ) WHERE rn <= {_GB_BEAM}
+    )""",
+    ]
+    for r in range(1, _GB_ROUNDS + 1):
+        ctes += [
+            f"""cand{r} AS (
+      SELECT DISTINCT f.query_id, u.nb AS node
+      FROM f{r - 1} f JOIN und u ON u.node = f.node
+    )""",
+            f"""new{r} AS (
+      SELECT c.query_id, c.node, {cos0} AS cosine
+      FROM cand{r} c
+      JOIN qs q ON q.query_id = c.query_id
+      JOIN ev v ON v.vec_id = c.node
+      WHERE c.node <> c.query_id AND NOT EXISTS (
+        SELECT 1 FROM vis{r - 1} p
+        WHERE p.query_id = c.query_id AND p.node = c.node)
+    )""",
+            f"""vis{r} AS (
+      SELECT query_id, node, cosine FROM vis{r - 1}
+      UNION ALL
+      SELECT query_id, node, cosine FROM new{r}
+    )""",
+            f"""f{r} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, node ASC) AS rn
+        FROM new{r}
+      ) WHERE rn <= {_GB_BEAM}
+    )""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, node AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+           cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, node ASC) AS rank
+      FROM vis{_GB_ROUNDS}
+    ) WHERE rank <= 5
+    """
+    )
+
+
+@register("q_graph_beam_search", oracle=_beam_oracle())
+def q_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN serving: GREEDY BEAM SEARCH over the persisted
+    symmetrized kNN graph — the navigation pattern of the HNSW/NSG/
+    DiskANN family (Malkov & Yashunin arXiv:1603.09320's layer-0 search;
+    DiskANN's BFS-beam) expressed relationally: start from {E}
+    deterministic entry points, each round expand the current frontier's
+    edges, score ONLY never-visited nodes against the query, keep the
+    top-{B} new nodes as the next frontier, answer with the top-5 of
+    everything visited after {R} rounds. A third serving paradigm beside
+    the quantizer probes (IVF/IMI) and the hash buckets (LSH): the index
+    is the GRAPH, and per-query cost is O(E + R·B·deg) score evaluations
+    regardless of corpus size.
+
+    Scale shape: the graph comes from the persisted artifact (built once
+    per index fingerprint, read as parquet); each round is one edge join
+    of a |Q|·{B}-row frontier against the edge relation, one anti-join
+    against the visited set, and a per-query rank window over ≤{B}·deg
+    candidates — every relation is query-batch-sized except the edge
+    join's probe side (edges ≈ N·k, shuffled once per round). Rounds are
+    driver-loop-unrolled with a lineage cut per round (the iterative-
+    operator posture). The oracle replays the exact trajectory — entry
+    set, per-round frontiers, visited-set anti-joins — as unrolled CTEs,
+    so a drifted frontier anywhere in the walk is a hash mismatch.
+
+    Honest note on recall: on the isotropic fixture the mutual/sym kNN
+    graph is sparse and 2 rounds from 4 entries reach a small
+    neighborhood — this certifies the OPERATOR (trajectory semantics),
+    not state-of-the-art recall; production would use more rounds, wider
+    beams, and a denser graph (the measured-recall story lives in
+    scripts/knn_join_recall.py for the graph construction itself)."""
+    from pyspark.sql import Window as W
+
+    sym = read_sym_edges(spark, sf_dir)
+    und = sym.select(
+        F.col("src").alias("node"), F.col("dst").alias("nb")
+    ).unionAll(
+        sym.select(F.col("dst").alias("node"), F.col("src").alias("nb"))
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", as_double("embedding").alias("v"))
+    qs = emb.where(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    entries = (
+        ev.orderBy("vec_id")
+        .limit(_GB_ENTRIES)
+        .select(F.col("vec_id").alias("node"), "v")
+    )
+    score = dround(cosine(F.col("qv"), F.col("v")), 8)
+    vis = (
+        qs.crossJoin(F.broadcast(entries))
+        .where(F.col("node") != F.col("query_id"))
+        .select("query_id", "node", score.alias("cosine"))
+        .localCheckpoint()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
+    frontier = (
+        vis.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _GB_BEAM)
+        .select("query_id", "node")
+    )
+    for _ in range(_GB_ROUNDS):
+        cand = (
+            frontier.join(und, "node")
+            .select("query_id", F.col("nb").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(
+                vis.select("query_id", "node"),
+                ["query_id", "node"],
+                "left_anti",
+            )
+            .where(F.col("node") != F.col("query_id"))
+            .join(qs, "query_id")
+            .join(ev, F.col("node") == F.col("vec_id"))
+            .select("query_id", "node", score.alias("cosine"))
+            .localCheckpoint()  # pin the round; next round reads blocks
+        )
+        vis = vis.unionAll(new).localCheckpoint()
+        frontier = (
+            new.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _GB_BEAM)
+            .select("query_id", "node")
+        )
+    return (
+        vis.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("node").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+q_graph_beam_search.__doc__ = q_graph_beam_search.__doc__.format(
+    E=_GB_ENTRIES, B=_GB_BEAM, R=_GB_ROUNDS
+)

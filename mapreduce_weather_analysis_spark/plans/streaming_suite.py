@@ -753,3 +753,133 @@ def q_stream_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     return lexical_drift_from_trows(trows, ndocs)
+
+
+# --- Streaming key-skew monitor ------------------------------------------------
+
+
+def _stream_skew_oracle() -> str:
+    from .scale_suite import _skew_profile_sql
+
+    return _skew_profile_sql("events", "user_id", "events.user_id")
+
+
+@register("q_stream_skew_profile", oracle=_stream_skew_oracle())
+def q_stream_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key-skew profile computed AT INGEST: the live event feed is
+    projected to its shuffle key (a stateless one-column drain — no
+    state store, no watermark) and the drained rows feed the identical
+    frequency-of-frequency chain as the batch q_skew_profile. This is
+    how the salting decision stays CURRENT: a flash-crowd key (one user
+    id suddenly 100x the median) shows up in max_cnt/skew_ratio within
+    one micro-batch, before the nightly batch profile would see it.
+
+    Streaming posture at scale: the stream side never aggregates (the
+    projection is the whole streaming plan); the profile's percentile
+    machinery runs on the drained relation where the batch argument
+    applies unchanged (everything after the per-key count is a
+    frequency-of-frequency table). Oracle: the batch skew oracle's
+    events branch verbatim — provable batch/stream equivalence."""
+    from .scale_suite import _skew_profile
+
+    stream = read_events_stream(spark, sf_dir).select("user_id")
+    drained = run_available_now(stream, spark, mode="append").localCheckpoint()
+    return _skew_profile(drained, "user_id", "events.user_id")
+
+
+# --- Streaming index add: frozen-quantizer assignment at ingest ----------------
+
+_SIA_FILTER_MOD = 20
+_SIA_FILTER_REM = 11  # the "arriving batch": vec_id % 20 = 11
+
+
+def _stream_index_add_oracle() -> str:
+    from ..operators.ivf import IVF_ITERS, _sq_l2_sql, ivf_chain
+
+    ctes = ivf_chain("embeddings", "TRUE")
+    cn = f"c{IVF_ITERS}"
+    ctes.append(
+        f"""nb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE vec_id % {_SIA_FILTER_MOD} = {_SIA_FILTER_REM}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
+      SELECT nb.vec_id, {cn}.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY nb.vec_id
+               ORDER BY {_sq_l2_sql('nb.v', f'{cn}.c')}, {cn}.cluster
+             ) AS rn
+      FROM nb, {cn}
+    ) WHERE rn = 1
+    """
+    )
+
+
+@register("q_stream_index_add", oracle=_stream_index_add_oracle())
+def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index ADD at ingest: arriving vectors are assigned to the
+    PERSISTED index's frozen centroids INSIDE the stream — the online
+    half of the FAISS train/add split (train offline, add online), and
+    the streaming twin of q_ann_index_add. The k=⌊√N⌋ centroid table is
+    folded into the streaming plan as a LITERAL array-of-structs
+    expression (the q_stream_decontaminate posture: broadcast state as
+    a JVM literal), so the per-row argmin — zip-fold squared-L2 against
+    each centroid, array_min with (dist, cluster) tie-break — is a pure
+    STATELESS projection: no state store, no watermark, no shuffle;
+    each assigned row could go straight to its inverted list's append
+    sink.
+
+    Scale: the literal is k·DIM doubles (~23 KB at sf0.1's k=44,
+    ~320 KB at k=⌊√10⁹⌋ with DIM=64 — broadcast-sized by construction;
+    an IMI factorization halves the exponent if k outgrows that), and
+    per-row cost is the same |batch|·k distance count as the batch add
+    path. The oracle recomputes the deterministic quantizer (the same
+    Lloyd chain the persisted index certifies against q_ann_index_stats)
+    and argmin-assigns the same arriving batch."""
+    import os
+
+    from ..operators.ann_store import ivfpq_write
+    from ..operators.ivf import _sq_l2
+
+    path = ivfpq_write(spark, sf_dir)
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cluster"],
+    )  # bounded: k = ⌊√N⌋ rows
+    arr = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
+                F.lit(int(r["cluster"])).alias("cluster"),
+            )
+            for r in cents
+        ]
+    )
+    stream = (
+        read_embeddings_stream(spark, sf_dir)
+        .where(
+            F.pmod(F.col("vec_id"), F.lit(_SIA_FILTER_MOD))
+            == F.lit(_SIA_FILTER_REM)
+        )
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    scored = F.transform(
+        arr,
+        lambda s: F.struct(
+            _sq_l2(s["c"], F.col("v")).alias("dist"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    assigned = stream.select(
+        "vec_id", F.array_min(scored)["cluster"].cast("int").alias("cluster")
+    )
+    return run_available_now(assigned, spark, mode="append")

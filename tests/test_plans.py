@@ -782,3 +782,15 @@ def test_context_pack_windows_are_shortlist_bounded(spark):
     # here the pre-projected bounded anchor (_w0 = pmod(xxhash64(...),1))
     assert all(" ASC" not in k and " DESC" not in k for k in keys), keys
     assert "SortMergeJoin" not in plan
+
+
+def test_graph_beam_search_per_query_windows_and_checkpointed_rounds(spark):
+    """Beam search: the walk's rounds are lineage-cut (the returned plan
+    ranks over checkpointed round blocks, not a replay of the whole
+    trajectory), and every rank window partitions on query_id — frontier
+    and answer sets are per-query bounded, never a global window."""
+    plan = _plan(REGISTRY["q_graph_beam_search"].fn(spark, SMOKE_SF))
+    assert "ExistingRDD" in plan  # checkpointed visited set
+    keys = _window_partition_keys(plan)
+    assert keys and all(k == "query_id" for k in keys), keys
+    assert "CartesianProduct" not in plan
