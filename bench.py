@@ -177,6 +177,11 @@ HEADLINE = [
     "q_graph_beam_search",
     "q_stream_skew_profile",
     "q_stream_index_add",
+    # round-8 thirteenth wave: streaming percolator, lexical index add,
+    # tombstone compaction plan
+    "q_stream_percolate",
+    "q_bm25_index_add",
+    "q_index_compaction",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -390,6 +395,9 @@ BASELINE_SEC = {
     "q_graph_beam_search": 1.5,
     "q_stream_skew_profile": 1.8,
     "q_stream_index_add": 2.7,
+    "q_stream_percolate": 1.6,
+    "q_bm25_index_add": 0.8,
+    "q_index_compaction": 0.5,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -2682,3 +2682,73 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_epoch_plan.__doc__ = q_epoch_plan.__doc__.format(
     B=_EPOCH_BUDGET, C=_EPOCH_CAP
 )
+
+
+# --- Lexical index ADD: posting deltas for an arriving doc batch ---------------
+
+_LADD_MOD, _LADD_REM = 20, 11  # the arriving docs: doc_id % 20 = 11
+
+
+def _lexical_add_oracle() -> str:
+    from ..functions.compat import portable_hash32_sql
+    from ..operators.lexical_store import _TERM_BUCKETS
+
+    return f"""
+    WITH nd AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks
+      FROM documents WHERE doc_id % {_LADD_MOD} = {_LADD_REM}
+    ),
+    pr AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM nd WHERE len(toks) > 0)
+      GROUP BY 1, 2
+    )
+    SELECT {portable_hash32_sql('term')} % {_TERM_BUCKETS} AS tb,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM pr GROUP BY 1
+    """
+
+
+@register("q_bm25_index_add", oracle=_lexical_add_oracle())
+def q_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical index ADD: the posting-list delta an arriving document
+    batch appends to the persisted inverted index — per term bucket, the
+    new posting rows, distinct terms, and distinct docs (the write
+    manifest of an incremental index update; Lucene's "new segment"
+    expressed as a partition-append plan). Completes the lexical
+    lifecycle symmetry with the ANN store: build (lexical_write), search
+    (q_bm25_search), and now add (this delta is exactly what
+    ``postings/tb=…`` partitions receive via append — immutable existing
+    lists, the LSM posture; df/stats refresh is one small-agg rewrite).
+
+    Scale shape: only the ARRIVING batch is tokenized (the filter is on
+    the scan); one (doc,term) hash-agg and one per-bucket rollup —
+    |batch|-sized, corpus never read. The bucket key is the shared
+    portable hash, so the delta lands in the same partitions the serving
+    path probes."""
+    from ..operators.lexical_store import _TERM_BUCKETS
+
+    nd = (
+        t(spark, sf_dir, "documents")
+        .where(F.pmod(F.col("doc_id"), F.lit(_LADD_MOD)) == F.lit(_LADD_REM))
+        .select("doc_id", tokens("text").alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    pr = (
+        nd.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        pr.withColumn(
+            "tb", F.pmod(portable_hash32("term"), F.lit(_TERM_BUCKETS))
+        )
+        .groupBy("tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+            F.countDistinct("term").cast("bigint").alias("n_terms"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )

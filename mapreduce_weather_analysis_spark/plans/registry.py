@@ -173,6 +173,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_graph_beam_search",
     "q_stream_skew_profile",
     "q_stream_index_add",
+    "q_stream_percolate",
+    "q_bm25_index_add",
+    "q_index_compaction",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

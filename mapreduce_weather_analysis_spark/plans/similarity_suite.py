@@ -3270,3 +3270,60 @@ def q_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_beam_search.__doc__ = q_graph_beam_search.__doc__.format(
     E=_GB_ENTRIES, B=_GB_BEAM, R=_GB_ROUNDS
 )
+
+
+# --- Index compaction plan: per-cell tombstone accounting ----------------------
+
+
+def _compaction_oracle() -> str:
+    from ..operators.ivf import ivf_chain
+
+    ctes = ivf_chain("embeddings", "TRUE")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN vec_id % 50 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(COUNT(*)
+                - SUM(CASE WHEN vec_id % 50 = 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_after
+    FROM fa GROUP BY 1
+    """
+    )
+
+
+@register("q_index_compaction", oracle=_compaction_oracle())
+def q_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLAN for the tombstoned index: per inverted list, rows
+    on disk, rows tombstoned (q_ann_index_delete's delete set), and rows
+    a rewrite would keep — the maintenance view an LSM-ish vector store
+    consults to decide WHICH cells are worth compacting (a cell at 40%
+    dead rows wastes 40% of every probe that lands on it; one at 0% is
+    left alone). The rewrite itself is the existing build job over the
+    filtered corpus; this query is the evidence that schedules it.
+
+    Scale shape: one scan of the persisted cell-partitioned lists (id
+    and partition column only — ReadSchema never touches the vectors),
+    partial-agg'd counters per cell, |cells| = ⌊√N⌋ output rows. The
+    oracle recomputes the deterministic assignment from scratch, so this
+    green row ALSO re-certifies persisted lists == rebuild (the
+    q_ann_index_stats argument) with the tombstone arithmetic on top."""
+    import os
+
+    from ..operators.ann_store import ivfpq_write
+
+    path = ivfpq_write(spark, sf_dir)
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    dead = (F.pmod(F.col("vec_id"), F.lit(50)) == F.lit(3)).cast("int")
+    return (
+        vecs.select(F.col("cluster").cast("int").alias("cluster"), dead.alias("dead"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.sum("dead").cast("bigint").alias("n_deleted"),
+            (F.count(F.lit(1)) - F.sum("dead")).cast("bigint").alias("n_after"),
+        )
+    )

@@ -883,3 +883,113 @@ def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.array_min(scored)["cluster"].cast("int").alias("cluster")
     )
     return run_available_now(assigned, spark, mode="append")
+
+
+# --- Streaming percolator: saved query scored against arriving docs ------------
+
+
+def _percolate_oracle() -> str:
+    from ..functions.compat import dround_sql, psum_sql
+    from .curation_suite import _lex_ctes
+
+    ctes = [
+        c
+        for c in _lex_ctes()
+        if not c.startswith("lex AS") and not c.startswith("bmdoc AS")
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           {dround_sql(psum_sql('s', 8), 6)} AS score
+    FROM bmscored GROUP BY doc_id
+    """
+    )
+
+
+@register("q_stream_percolate", oracle=_percolate_oracle())
+def q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCOLATION: the saved query matched against every ARRIVING
+    document — Elasticsearch's percolator turned relational: instead of
+    routing a query to an index, the (frozen) index statistics route TO
+    the stream, and each incoming doc is BM25-scored against the saved
+    search as a pure per-row projection. The alerting/routing primitive:
+    "tell me when a doc matching my query arrives", evaluated at ingest
+    with zero streaming state.
+
+    How it stays stateless: the persisted lexical index supplies the
+    corpus constants — per-term df (|terms| rows) and the 1-row (N,
+    avgdl) — as driver-collected LITERALS folded into the streaming
+    plan (the q_stream_decontaminate/q_stream_index_add posture); each
+    term's tf comes from the doc's own token array (size(filter(toks,
+    =term)) — no per-doc aggregation), so score and matched-term count
+    are computed row-by-row: no state store, no watermark, no shuffle.
+    Scale: per-row cost is O(|query| · doc_len) comparisons; corpus
+    growth reaches the operator only through the frozen stats.
+
+    Oracle: the batch BM25 per-doc scores (shared bmscored chain,
+    decimal-routed sum) over the full fixture — provable equivalence of
+    the streamed frozen-stats scoring with the recompute-from-scratch
+    batch scoring on the same corpus snapshot."""
+    import math
+    import os
+
+    from ..functions.compat import dround
+    from ..functions.text import tokens
+    from ..operators.lexical_store import lexical_write
+    from .curation_suite import _BM25_B, _BM25_K1, _BM25_QUERY
+
+    path = lexical_write(spark, sf_dir)
+    stats = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    nn, avgdl = float(stats["nn"]), float(stats["avgdl"])
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(os.path.join(path, "dfs"))
+        .where(F.col("term").isin(list(_BM25_QUERY)))
+        .collect()
+    }  # bounded: one row per query term
+
+    stream = read_documents_stream(spark, sf_dir).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    dl = F.size("toks").cast("double")
+    zero = F.lit(0.0).cast("decimal(18,8)")
+    n_terms = F.lit(0).cast("bigint")
+    score_dec = zero
+
+    def _tf(word: str) -> F.Column:
+        # factory closure: a 2-arg lambda would be read by F.filter as
+        # (element, index) — the term must bind OUTSIDE the lambda
+        lit = F.lit(word)
+        return F.size(F.filter(F.col("toks"), lambda x: x == lit)).cast(
+            "double"
+        )
+
+    for term in _BM25_QUERY:
+        if term not in dfs:  # df=0: no doc can hit it; skip entirely
+            continue
+        tf = _tf(term)
+        idf = F.log(
+            (F.lit(nn) - F.lit(float(dfs[term])) + 0.5)
+            / (F.lit(float(dfs[term])) + 0.5)
+            + 1.0
+        )
+        tf_norm = (
+            tf
+            * (_BM25_K1 + 1.0)
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / F.lit(avgdl)))
+        )
+        s = dround(idf * tf_norm, 8)
+        hit = tf > 0
+        score_dec = score_dec + F.when(
+            hit, s.cast("string").cast("decimal(18,8)")
+        ).otherwise(zero)
+        n_terms = n_terms + hit.cast("int").cast("bigint")
+    matched = stream.select(
+        "doc_id",
+        n_terms.alias("n_terms"),
+        dround(score_dec.cast("double"), 6).alias("score"),
+    ).where(F.col("n_terms") >= 1)
+    return run_available_now(matched, spark, mode="append")
