@@ -182,6 +182,9 @@ HEADLINE = [
     "q_stream_percolate",
     "q_bm25_index_add",
     "q_index_compaction",
+    # round-8 fourteenth wave: retrieval metrics, power-iteration PCA
+    "q_retrieval_eval",
+    "q_embed_pca",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -398,6 +401,8 @@ BASELINE_SEC = {
     "q_stream_percolate": 1.6,
     "q_bm25_index_add": 0.8,
     "q_index_compaction": 0.5,
+    "q_retrieval_eval": 1.7,
+    "q_embed_pca": 2.3,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -2752,3 +2752,138 @@ def q_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         )
     )
+
+
+# --- Retrieval evaluation: nDCG / MRR / P@10 over the ranked list --------------
+
+_REV_K = 10  # metric cutoff
+_REV_RELT = 2  # graded relevance threshold for MRR / precision
+
+
+def _retrieval_eval_oracle() -> str:
+    ctes = [
+        c
+        for c in _lex_ctes()
+        if not c.startswith("lex AS") and not c.startswith("bmdoc AS")
+    ]
+    ctes += [
+        f"""perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel,
+             {dround_sql(psum_sql('s', 8), 6)} AS score
+      FROM bmscored GROUP BY doc_id
+    )""",
+        f"""rl AS (
+      SELECT doc_id, rel, rank FROM (
+        SELECT doc_id, rel, ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id ASC) AS rank
+        FROM perdoc
+      ) WHERE rank <= {_BM25_TOPK}
+    )""",
+        """ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (
+        ORDER BY rel DESC, doc_id ASC) AS irank
+      FROM rl
+    )""",
+    ]
+    gain = "(pow(2.0, rel) - 1.0)"
+    dcg_t = dround_sql(f"{gain} / (ln(rank + 1.0) / ln(2.0))", 8)
+    idcg_t = dround_sql(f"{gain} / (ln(irank + 1.0) / ln(2.0))", 8)
+    dcg = dround_sql(
+        psum_sql(f"CASE WHEN rank <= {_REV_K} THEN {dcg_t} END", 8), 6
+    )
+    idcg = dround_sql(
+        psum_sql(f"CASE WHEN irank <= {_REV_K} THEN {idcg_t} END", 8), 6
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n_ranked, dcg10, idcg10,
+           {dround_sql('dcg10 / idcg10', 6)} AS ndcg10,
+           {dround_sql('1.0 / first_rel_rank', 6)} AS mrr,
+           {dround_sql(f'n_rel_at_k / {_REV_K}.0', 6)} AS p_at_k
+    FROM (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rl) AS n_ranked,
+             (SELECT {dcg} FROM rl) AS dcg10,
+             (SELECT {idcg} FROM ideal) AS idcg10,
+             (SELECT MIN(rank) FROM rl WHERE rel >= {_REV_RELT})
+               AS first_rel_rank,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rl
+              WHERE rank <= {_REV_K} AND rel >= {_REV_RELT})
+               AS n_rel_at_k
+    )
+    """
+    )
+
+
+@register("q_retrieval_eval", oracle=_retrieval_eval_oracle())
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics over the BM25 run: nDCG@{K}, MRR, and
+    P@{K} — the evaluation layer every retrieval stack reports
+    (Järvelin & Kekäläinen, "Cumulated gain-based evaluation", TOIS'02
+    for DCG; the ANN family's q_ann_recall_eval sibling for the lexical
+    arm). Graded relevance here is the matched-query-term count (1–{Q}),
+    with rel ≥ {T} the binary threshold for MRR/precision; IDCG is
+    computed over the retrieved pool (re-ranking regret, the common
+    pool-based variant).
+
+    Scale shape: the only corpus-sized work is the shared term-filtered
+    BM25 pass; every metric is arithmetic over the ≤{P}-row ranked list
+    (bounded windows, one single-row assembly). Gains 2^rel are exact
+    small integers; each DCG term is dround(8), sums decimal-routed,
+    ratios dround(6) — bit-stable against DuckDB."""
+    top = q_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("n_terms").alias("rel"), "score"
+    )
+    wr = bounded_rank_window(
+        F.desc("score"), F.asc("doc_id"), anchor="doc_id"
+    )
+    rl = top.select(
+        "doc_id", "rel", F.row_number().over(wr).alias("rank")
+    )
+    wi = bounded_rank_window(F.desc("rel"), F.asc("doc_id"), anchor="doc_id")
+    ideal = rl.select("rel", F.row_number().over(wi).alias("irank"))
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    dcg_t = dround(gain / (F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0))), 8)
+    idcg_t = dround(
+        gain / (F.log(F.col("irank") + 1.0) / F.log(F.lit(2.0))), 8
+    )
+    stats = rl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        dround(
+            psum(F.when(F.col("rank") <= _REV_K, dcg_t), 8), 6
+        ).alias("dcg10"),
+        F.min(
+            F.when(F.col("rel") >= _REV_RELT, F.col("rank"))
+        ).alias("first_rel_rank"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("rank") <= _REV_K) & (F.col("rel") >= _REV_RELT)
+                ).cast("int")
+            ),
+            F.lit(0),  # empty run: 0 relevant in the top-k, like COUNT(*)
+        )
+        .cast("bigint")
+        .alias("n_rel_at_k"),
+    )
+    istats = ideal.agg(
+        dround(
+            psum(F.when(F.col("irank") <= _REV_K, idcg_t), 8), 6
+        ).alias("idcg10")
+    )
+    return stats.crossJoin(F.broadcast(istats)).select(
+        "n_ranked",
+        "dcg10",
+        "idcg10",
+        dround(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg10"),
+        dround(F.lit(1.0) / F.col("first_rel_rank"), 6).alias("mrr"),
+        dround(F.col("n_rel_at_k") / F.lit(float(_REV_K)), 6).alias(
+            "p_at_k"
+        ),
+    )
+
+
+q_retrieval_eval.__doc__ = q_retrieval_eval.__doc__.format(
+    K=_REV_K, T=_REV_RELT, Q=len(_BM25_QUERY), P=_BM25_TOPK
+)

@@ -176,6 +176,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_stream_percolate",
     "q_bm25_index_add",
     "q_index_compaction",
+    "q_retrieval_eval",
+    "q_embed_pca",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

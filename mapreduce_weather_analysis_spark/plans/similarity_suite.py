@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import dround, dround_sql
+from ..functions.compat import dround, dround_sql, psum, psum_sql
 from ..functions.vectors import as_double, cosine, cosine_sql
 from ..operators.ivf import ivf_topk, ivf_topk_sql
 from ..operators.pq import pq_topk, pq_topk_sql
@@ -3327,3 +3327,118 @@ def q_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("dead")).cast("bigint").alias("n_after"),
         )
     )
+
+
+# --- Top principal component via power iteration --------------------------------
+
+_PCA_ROUNDS = 2
+
+
+def _embed_pca_oracle() -> str:
+    from ..operators.similarity import EMBED_DIM as _DIM
+
+    ctes = [
+        f"""xe AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding AS DOUBLE[])[i] AS x
+      FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+    )""",
+        """mm AS (
+      SELECT dim,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM xe GROUP BY dim
+    )""",
+        """xc AS (
+      SELECT vec_id, xe.dim, x - m AS xd FROM xe JOIN mm USING (dim)
+    )""",
+        """v0 AS (
+      SELECT dim, CASE WHEN dim = 0 THEN 1.0 ELSE 0.0 END AS val
+      FROM mm
+    )""",
+    ]
+    for r in range(1, _PCA_ROUNDS + 1):
+        ctes += [
+            f"""proj{r} AS (
+      SELECT vec_id, {psum_sql('xd * val', 12)} AS p
+      FROM xc JOIN v{r - 1} USING (dim) GROUP BY vec_id
+    )""",
+            f"""w{r} AS (
+      SELECT dim, {psum_sql('xd * p', 8)} AS wv
+      FROM xc JOIN proj{r} USING (vec_id) GROUP BY dim
+    )""",
+            f"""n{r} AS (
+      SELECT sqrt({psum_sql('wv * wv', 8)}) AS nrm FROM w{r}
+    )""",
+            f"""v{r} AS (
+      SELECT dim, {dround_sql('wv / nrm', 8)} AS val FROM w{r}, n{r}
+    )""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT dim, val AS loading FROM v{_PCA_ROUNDS}
+    """
+    )
+
+
+@register("q_embed_pca", oracle=_embed_pca_oracle())
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (mean-centered) embedding corpus
+    via {R} POWER-ITERATION rounds (Mises & Pollaczek-Geiringer 1929;
+    the dominant-eigenvector workhorse behind PCA whitening, anisotropy
+    diagnosis — Ethayarajh EMNLP'19's "embeddings occupy a narrow cone"
+    — and ABTT post-processing, Mu & Viswanath ICLR'18: remove the top
+    component to de-bias similarity). Deterministic v₀ = e₀, so no
+    randomness crosses the engine boundary; each round is matvec →
+    matvec → normalize, all relational.
+
+    Scale shape: the corpus appears ONLY as the exploded (vec_id, dim,
+    centered-x) relation — linear in N·DIM, built once; each round is
+    two key-partitioned psum aggregations (by vec_id, then by dim) plus
+    a 1-row norm broadcast — the DIM-row eigenvector relation never
+    grows with N. The iterative driver loop is {R} fixed rounds (the
+    pagerank/BPE/kcore/LPA posture) unrolled verbatim in the oracle.
+    Determinism: centered values are identical IEEE doubles both
+    engines; every sum is decimal-string-routed (psum); per-round
+    eigenvectors dround(8)-pinned so a last-ulp libm divergence cannot
+    compound across rounds."""
+    emb = t(spark, sf_dir, "embeddings")
+    xe = emb.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("dim", "x")
+    )
+    mm = xe.groupBy("dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    xc = (
+        xe.join(mm, "dim")
+        .select("vec_id", "dim", (F.col("x") - F.col("m")).alias("xd"))
+        .localCheckpoint()  # reused 2x per round; pin it once
+    )
+    v = mm.select(
+        "dim",
+        F.when(F.col("dim") == 0, 1.0).otherwise(0.0).alias("val"),
+    )
+    for _ in range(_PCA_ROUNDS):
+        proj = (
+            xc.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(psum(F.col("xd") * F.col("val"), 12).alias("p"))
+        )
+        w = (
+            xc.join(proj, "vec_id")
+            .groupBy("dim")
+            .agg(psum(F.col("xd") * F.col("p"), 8).alias("wv"))
+        )
+        nrm = w.agg(F.sqrt(psum(F.col("wv") * F.col("wv"), 8)).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("dim", dround(F.col("wv") / F.col("nrm"), 8).alias("val"))
+            .localCheckpoint()
+        )
+    return v.select("dim", F.col("val").alias("loading"))
+
+
+q_embed_pca.__doc__ = q_embed_pca.__doc__.format(R=_PCA_ROUNDS)

@@ -794,3 +794,11 @@ def test_graph_beam_search_per_query_windows_and_checkpointed_rounds(spark):
     keys = _window_partition_keys(plan)
     assert keys and all(k == "query_id" for k in keys), keys
     assert "CartesianProduct" not in plan
+
+
+def test_embed_pca_rounds_checkpointed_broadcast_eigvec(spark):
+    """Power iteration: rounds are lineage-cut (the returned plan reads
+    the checkpointed final eigenvector, not a 2-round matvec replay)."""
+    plan = _plan(REGISTRY["q_embed_pca"].fn(spark, SMOKE_SF))
+    assert "ExistingRDD" in plan
+    assert _n_ops(plan, "Window") == 0
