@@ -185,6 +185,11 @@ HEADLINE = [
     # round-8 fourteenth wave: retrieval metrics, power-iteration PCA
     "q_retrieval_eval",
     "q_embed_pca",
+    # round-8 fifteenth wave: anisotropy report, DSIR resampling,
+    # streaming ANN serving
+    "q_embed_anisotropy",
+    "q_dsir_sample",
+    "q_stream_ann_search",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -403,6 +408,9 @@ BASELINE_SEC = {
     "q_index_compaction": 0.5,
     "q_retrieval_eval": 1.7,
     "q_embed_pca": 2.3,
+    "q_embed_anisotropy": 3.6,
+    "q_dsir_sample": 1.5,
+    "q_stream_ann_search": 3.6,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

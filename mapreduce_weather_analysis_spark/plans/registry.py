@@ -178,6 +178,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_index_compaction",
     "q_retrieval_eval",
     "q_embed_pca",
+    "q_embed_anisotropy",
+    "q_dsir_sample",
+    "q_stream_ann_search",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

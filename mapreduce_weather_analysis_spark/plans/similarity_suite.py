@@ -3334,7 +3334,9 @@ def q_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_ROUNDS = 2
 
 
-def _embed_pca_oracle() -> str:
+def _pca_ctes() -> list[str]:
+    """CTE chain ending in ``v{_PCA_ROUNDS}`` (dim, val) plus the shared
+    centered relation ``xc`` — reused by the anisotropy report."""
     from ..operators.similarity import EMBED_DIM as _DIM
 
     ctes = [
@@ -3372,9 +3374,13 @@ def _embed_pca_oracle() -> str:
       SELECT dim, {dround_sql('wv / nrm', 8)} AS val FROM w{r}, n{r}
     )""",
         ]
+    return ctes
+
+
+def _embed_pca_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_pca_ctes())
         + f"""
     SELECT dim, val AS loading FROM v{_PCA_ROUNDS}
     """
@@ -3402,6 +3408,16 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; every sum is decimal-string-routed (psum); per-round
     eigenvectors dround(8)-pinned so a last-ulp libm divergence cannot
     compound across rounds."""
+    _, v = _pca_centered_and_vec(spark, sf_dir)
+    return v.select("dim", F.col("val").alias("loading"))
+
+
+def _pca_centered_and_vec(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(xc, v): the checkpointed centered (vec_id, dim, xd) relation and
+    the power-iterated eigenvector (dim, val) — the Spark twin of
+    _pca_ctes, shared by q_embed_pca and the anisotropy report."""
     emb = t(spark, sf_dir, "embeddings")
     xe = emb.select(
         "vec_id", F.posexplode(as_double("embedding")).alias("dim", "x")
@@ -3438,7 +3454,119 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dim", dround(F.col("wv") / F.col("nrm"), 8).alias("val"))
             .localCheckpoint()
         )
-    return v.select("dim", F.col("val").alias("loading"))
+    return xc, v
 
 
 q_embed_pca.__doc__ = q_embed_pca.__doc__.format(R=_PCA_ROUNDS)
+
+
+# --- Embedding anisotropy report -------------------------------------------------
+
+
+def _anisotropy_oracle() -> str:
+    ctes = _pca_ctes() + [
+        """nvv AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(
+        CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    )""",
+        f"""hatdims AS (
+      SELECT xe.vec_id, xe.dim,
+             {dround_sql('(xe.x + 0) / nvv.nrm', 8)} AS h
+      FROM xe JOIN nvv USING (vec_id)
+    )""",
+        f"""sdim AS (
+      SELECT dim, {psum_sql('h', 8)} AS s FROM hatdims GROUP BY dim
+    )""",
+        f"""s2 AS (SELECT {psum_sql('s * s', 8)} AS s2 FROM sdim)""",
+        """nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)""",
+        f"""tvar AS (
+      SELECT {psum_sql('xd * xd', 8)} AS sq FROM xc
+    )""",
+        f"""lam AS (
+      SELECT {psum_sql('p * p', 8)} AS sp FROM (
+        SELECT vec_id, {psum_sql('xd * val', 12)} AS p
+        FROM xc JOIN v{_PCA_ROUNDS} USING (dim) GROUP BY vec_id
+      )
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT n AS n_vecs,
+           {dround_sql('(s2 - n) / (n * (n - 1.0))', 8)} AS mean_pair_cos,
+           {dround_sql('sq / n', 8)} AS total_var,
+           {dround_sql('sp / n', 8)} AS top1_var,
+           {dround_sql('(sp / n) / (sq / n)', 6)} AS top1_share
+    FROM nn, s2, tvar, lam
+    """
+    )
+
+
+@register("q_embed_anisotropy", oracle=_anisotropy_oracle())
+def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space ANISOTROPY report: the one-row health check run
+    before trusting cosine similarity on a corpus (Ethayarajh EMNLP'19:
+    contextual embeddings live in a narrow cone, so raw cosines are
+    inflated; Mu & Viswanath ICLR'18's ABTT removes the top components).
+    Columns: the EXACT mean pairwise cosine over all N(N−1) ordered
+    pairs — computed in ONE pass via the identity Σ_{{i≠j}} v̂ᵢ·v̂ⱼ =
+    ‖Σ v̂ᵢ‖² − N (never a pairwise join), total centered variance, the
+    top principal component's variance (Rayleigh quotient of the
+    power-iterated q_embed_pca eigenvector), and the top-1 explained-
+    variance share. High mean_pair_cos + high top1_share = the cone:
+    apply ABTT (subtract the q_embed_pca component) before ANN serving.
+
+    Scale shape: two linear passes (unit-normalized per-dim sums and the
+    shared centered relation) + DIM-row arithmetic; the quadratic
+    pairwise sum is eliminated by the identity, which decimal-routed
+    sums make exact. Everything downstream of the per-dim aggregations
+    is broadcast-sized single-row assembly."""
+    xc, v = _pca_centered_and_vec(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    xe = emb.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("dim", "x")
+    )
+    nvv = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    as_double("embedding"), lambda x: x * x
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        ).alias("nrm"),
+    )
+    hatdims = xe.join(nvv, "vec_id").select(
+        "dim", dround((F.col("x") + 0) / F.col("nrm"), 8).alias("h")
+    )
+    sdim = hatdims.groupBy("dim").agg(psum(F.col("h"), 8).alias("s"))
+    s2 = sdim.agg(psum(F.col("s") * F.col("s"), 8).alias("s2"))
+    nn = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tvar = xc.agg(psum(F.col("xd") * F.col("xd"), 8).alias("sq"))
+    proj = (
+        xc.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(psum(F.col("xd") * F.col("val"), 12).alias("p"))
+    )
+    lam = proj.agg(psum(F.col("p") * F.col("p"), 8).alias("sp"))
+    return (
+        nn.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(tvar))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("n").alias("n_vecs"),
+            dround(
+                (F.col("s2") - F.col("n")) / (F.col("n") * (F.col("n") - 1.0)),
+                8,
+            ).alias("mean_pair_cos"),
+            dround(F.col("sq") / F.col("n"), 8).alias("total_var"),
+            dround(F.col("sp") / F.col("n"), 8).alias("top1_var"),
+            dround(
+                (F.col("sp") / F.col("n")) / (F.col("sq") / F.col("n")), 6
+            ).alias("top1_share"),
+        )
+    )

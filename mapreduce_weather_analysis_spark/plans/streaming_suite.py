@@ -993,3 +993,102 @@ def q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(score_dec.cast("double"), 6).alias("score"),
     ).where(F.col("n_terms") >= 1)
     return run_available_now(matched, spark, mode="append")
+
+
+# --- Streaming ANN search: probe + score at ingest -----------------------------
+
+_SAS_MOD, _SAS_REM = 20, 7  # the arriving query vectors: vec_id % 20 = 7
+
+
+def _stream_ann_oracle() -> str:
+    from ..operators.ivf import ivf_topk_sql
+
+    return ivf_topk_sql("embeddings", f"vec_id % {_SAS_MOD} = {_SAS_REM}")
+
+
+@register("q_stream_ann_search", oracle=_stream_ann_oracle())
+def q_stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k served AT INGEST: each arriving vector selects its
+    nprobe cells against the frozen centroids INSIDE the stream (the
+    literal-centroid posture of q_stream_index_add, extended from
+    argmin to the sorted nprobe-prefix), then a STREAM-STATIC equi-join
+    against the persisted cell-partitioned lists scores every candidate
+    — still zero streaming state: probe selection is a per-row
+    projection and the join is stateless stream-static. The drained
+    candidate relation gets the per-query top-k rank in batch (ranking
+    needs all of a query's candidates — exactly what the drain
+    provides). The "reverse percolator": q_stream_percolate matches a
+    saved query against arriving DOCS; this serves arriving QUERIES
+    against the saved corpus.
+
+    Scale: per arriving vector the join touches only its nprobe cells'
+    lists (cluster is the join key AND the partition column); candidate
+    volume per micro-batch is |batch|·nprobe·cell-size, independent of
+    corpus growth beyond cell-size. Oracle: the full IVF top-k chain
+    for the same query set — the persisted index + streamed probes must
+    reproduce the batch search bit-for-bit."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+    from ..operators.ann_store import ivfpq_write
+    from ..operators.ivf import IVF_NPROBE, _sq_l2
+
+    path = ivfpq_write(spark, sf_dir)
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cluster"],
+    )  # bounded: k = ⌊√N⌋ rows
+    arr = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
+                F.lit(int(r["cluster"])).alias("cluster"),
+            )
+            for r in cents
+        ]
+    )
+    scored_cells = F.transform(
+        arr,
+        lambda s: F.struct(
+            _sq_l2(s["c"], F.col("qv")).alias("dist"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE)
+    stream = (
+        read_embeddings_stream(spark, sf_dir)
+        .where(
+            F.pmod(F.col("vec_id"), F.lit(_SAS_MOD)) == F.lit(_SAS_REM)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .select(
+            "query_id", "qv", F.explode(probes).alias("p")
+        )
+        .select("query_id", "qv", F.col("p.cluster").alias("cluster"))
+    )
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    cand = (
+        stream.join(vecs, "cluster")  # stream-static: stateless
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            # raw cosine, like ivf_topk: the cosine/cosine_sql pair is
+            # bit-identical (sequential fold both engines), no rounding
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    drained = run_available_now(cand, spark, mode="append")
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -2570,3 +2570,77 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
         ).alias("label_share"),
     )
+
+
+# --- DSIR importance RESAMPLING (Gumbel top-k over the weights) ----------------
+
+_DS_N = 25  # resampled corpus size
+
+
+def _dsir_sample_oracle() -> str:
+    from ..functions.compat import (
+        HASH_PRIME,
+        dround_sql,
+        portable_hash32_sql,
+    )
+
+    h = portable_hash32_sql("concat('dsir', CAST(doc_id AS VARCHAR))")
+    u = f"({h} % {HASH_PRIME} + 1) / ({HASH_PRIME} + 1.0)"
+    key = dround_sql(f"logw - ln(-ln({u}))", 8)
+    return f"""
+    WITH base AS ({_dsir_oracle()}),
+    keyed AS (
+      SELECT doc_id, n_toks, logw, {key} AS gumbel_key FROM base
+    )
+    SELECT doc_id, n_toks, logw, gumbel_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY gumbel_key DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM (
+      SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id ASC
+      LIMIT {_DS_N}
+    )
+    """
+
+
+@register("q_dsir_sample", oracle=_dsir_sample_oracle())
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step the weights exist
+    for (Xie et al. arXiv:2302.03169 §2: sample without replacement
+    ∝ exp(log w)): implemented as Gumbel top-k (Vieira 2014) — rank by
+    log w + Gumbel(0,1) and keep the top {N}, which is distributionally
+    identical to exp-weight A-ES sampling but never exponentiates the
+    log-weights (no overflow, no transcendental blowup on heavy docs).
+    The noise is the same deterministic hash-uniform the A-ES samplers
+    use ('dsir' salt), so the draw is reproducible and oracle-exact.
+
+    Scale shape: q_dsir_weights' two corpus passes + one key projection
+    and a TakeOrdered top-{N} — the rank never sorts the corpus. The
+    trailing rank column is a bounded {N}-row window."""
+    from ..functions.compat import HASH_PRIME, dround, portable_hash32
+
+    w = q_dsir_weights(spark, sf_dir)
+    u = (
+        portable_hash32(F.concat(F.lit("dsir"), F.col("doc_id").cast("string")))
+        % HASH_PRIME
+        + 1
+    ) / (HASH_PRIME + 1.0)
+    keyed = w.select(
+        "doc_id",
+        "n_toks",
+        "logw",
+        dround(F.col("logw") - F.log(-F.log(u)), 8).alias("gumbel_key"),
+    )
+    top = keyed.orderBy(F.desc("gumbel_key"), F.asc("doc_id")).limit(_DS_N)
+    wr = bounded_rank_window(
+        F.desc("gumbel_key"), F.asc("doc_id"), anchor="doc_id"
+    )
+    return top.select(
+        "doc_id",
+        "n_toks",
+        "logw",
+        "gumbel_key",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )
+
+
+q_dsir_sample.__doc__ = q_dsir_sample.__doc__.format(N=_DS_N)
