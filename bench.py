@@ -190,6 +190,10 @@ HEADLINE = [
     "q_embed_anisotropy",
     "q_dsir_sample",
     "q_stream_ann_search",
+    # round-8 sixteenth wave: compacted-index serving, TextRank, PMI
+    "q_ann_search_compacted",
+    "q_textrank_keywords",
+    "q_pmi_pairs",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -411,6 +415,9 @@ BASELINE_SEC = {
     "q_embed_anisotropy": 3.6,
     "q_dsir_sample": 1.5,
     "q_stream_ann_search": 3.6,
+    "q_ann_search_compacted": 1.3,
+    "q_textrank_keywords": 3.0,
+    "q_pmi_pairs": 1.1,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -744,3 +744,35 @@ def ivfpq_rerank_search(
         .where(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def compaction_write(
+    spark: SparkSession, sf_dir: str, tombstone_filter: str
+) -> str:
+    """Execute the compaction q_index_compaction plans: rewrite the
+    full-precision inverted lists WITHOUT the tombstoned rows into a
+    sibling artifact (same layout — cell-partitioned ``vecs/`` + copied
+    ``centroids/``), so serving switches paths and drops the per-query
+    tombstone anti-join. The LSM merge step: tombstones accumulate cheap,
+    compaction amortizes them away; idempotent via the marker protocol,
+    keyed off the live index's fingerprint so a corpus change invalidates
+    the compacted copy with its parent."""
+    parent = ivfpq_write(spark, sf_dir)
+    path = parent + "-compact"
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    vecs = spark.read.parquet(os.path.join(parent, "vecs"))
+    (
+        vecs.where(~F.expr(tombstone_filter))
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "vecs"))
+    )
+    spark.read.parquet(os.path.join(parent, "centroids")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return path

@@ -33,14 +33,20 @@ _EDGES_SQL = """
 """
 
 
-def _pagerank_oracle(iters: int = _PR_ITERS, damping: float = _PR_DAMPING) -> str:
-    """Unrolled-CTE twin of operators/graph.pagerank: r0 -> r{iters}."""
+def _pagerank_oracle(
+    iters: int = _PR_ITERS,
+    damping: float = _PR_DAMPING,
+    edges_sql: str | None = None,
+) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank: r0 -> r{iters}.
+    ``edges_sql`` (src, dst, w) defaults to the nation trade graph;
+    q_textrank_keywords reuses the same unroll over the word graph."""
     term = (
         "CAST(CAST((r.rank * CAST(e.w AS DOUBLE)) / CAST(ow.out_w AS DOUBLE)"
         " AS VARCHAR) AS DECIMAL(18,12))"
     )
     ctes = [
-        f"e AS ({_EDGES_SQL})",
+        f"e AS ({edges_sql or _EDGES_SQL})",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
         "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1)",
@@ -68,6 +74,15 @@ def _pagerank_oracle(iters: int = _PR_ITERS, damping: float = _PR_DAMPING) -> st
         + ",\n    ".join(ctes)
         + f"\n    SELECT node AS nation, rank FROM r{iters}"
     )
+
+
+def _pagerank_ctes(
+    edges_sql: str, iters: int, damping: float
+) -> str:
+    """The WITH-block of :func:`_pagerank_oracle` without its final
+    select — callers append their own projection over ``r{iters}``."""
+    full = _pagerank_oracle(iters=iters, damping=damping, edges_sql=edges_sql)
+    return full.rsplit("SELECT node AS nation", 1)[0]
 
 
 @register("q_pagerank_nations", oracle=_pagerank_oracle())
@@ -108,3 +123,102 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=_PR_DAMPING, iters=_PR_ITERS,
     )
     return ranks.select(F.col("node").alias("nation"), "rank")
+
+
+# --- TextRank keywords: PageRank over the word co-occurrence graph -------------
+
+_TR_ITERS = 3
+_TR_TOPK = 15
+
+
+def _textrank_edges_sql() -> str:
+    from ..functions.text import tokens_sql
+
+    return f"""
+    SELECT a AS src, b AS dst, CAST(SUM(c) AS BIGINT) AS w FROM (
+      SELECT w1 AS a, w2 AS b, COUNT(*) AS c FROM (
+        SELECT unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM (SELECT {tokens_sql('text')} AS toks FROM documents)
+        WHERE len(toks) >= 2
+      ) GROUP BY 1, 2
+      UNION ALL
+      SELECT w2 AS a, w1 AS b, COUNT(*) AS c FROM (
+        SELECT unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM (SELECT {tokens_sql('text')} AS toks FROM documents)
+        WHERE len(toks) >= 2
+      ) GROUP BY 1, 2
+    ) GROUP BY 1, 2
+    """
+
+
+def _textrank_oracle() -> str:
+    return (
+        _pagerank_ctes(_textrank_edges_sql(), _TR_ITERS, _PR_DAMPING)
+        + f"""SELECT word, rank, CAST(krank AS INTEGER) AS krank FROM (
+      SELECT node AS word, rank, ROW_NUMBER() OVER (
+        ORDER BY rank DESC, node ASC) AS krank
+      FROM r{_TR_ITERS}
+    ) WHERE krank <= {_TR_TOPK}
+    """
+    )
+
+
+@register("q_textrank_keywords", oracle=_textrank_oracle())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): weighted
+    PageRank over the word CO-OCCURRENCE graph — nodes are corpus tokens,
+    undirected edges join adjacent tokens with co-occurrence counts as
+    weights, and the stationary score ranks keywords. The same iterative
+    operator that ranks nations (operators/graph.pagerank) composed onto
+    a text-derived graph: the graph-analytics and text-analysis families
+    meeting in one query.
+
+    Scale shape: the bigram edge build is one explode + two hash-aggs
+    (the q_ngram_lm shape); the graph itself is VOCABULARY-sized — nodes
+    = distinct tokens, edges = distinct co-occurring pairs — so the {I}
+    PageRank rounds shuffle relations that grow with the vocabulary
+    (Heaps-law sublinear), not the corpus. Top-{K} is TakeOrdered + a
+    bounded rank window. Determinism: the shared pagerank kernel's
+    decimal-routed contribution sums, unrolled verbatim in the oracle."""
+    from ..functions.compat import bounded_rank_window
+    from ..functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("toks")).where(F.size("toks") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    directed = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    und = (
+        directed.select(
+            F.col("w1").alias("src"), F.col("w2").alias("dst"), "c"
+        )
+        .unionAll(
+            directed.select(
+                F.col("w2").alias("src"), F.col("w1").alias("dst"), "c"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("bigint").alias("w"))
+    )
+    ranks = pagerank(und, iters=_TR_ITERS, damping=_PR_DAMPING)
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(_TR_TOPK)
+    wk = bounded_rank_window(F.desc("rank"), F.asc("node"), anchor="node")
+    return top.select(
+        F.col("node").alias("word"),
+        "rank",
+        F.row_number().over(wk).cast("int").alias("krank"),
+    )
+
+
+q_textrank_keywords.__doc__ = q_textrank_keywords.__doc__.format(
+    I=_TR_ITERS, K=_TR_TOPK
+)

@@ -181,6 +181,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_embed_anisotropy",
     "q_dsir_sample",
     "q_stream_ann_search",
+    "q_ann_search_compacted",
+    "q_textrank_keywords",
+    "q_pmi_pairs",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -3570,3 +3570,35 @@ def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_share"),
         )
     )
+
+
+# --- Serving from the COMPACTED index -------------------------------------------
+
+
+@register("q_ann_search_compacted", oracle=_index_delete_oracle())
+def q_ann_search_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving AFTER compaction: the tombstoned rows are physically
+    rewritten out of the inverted lists (operators/ann_store.
+    compaction_write — the LSM merge step q_index_compaction's ledger
+    schedules) and search runs against the compacted artifact with NO
+    tombstone anti-join in the plan. The oracle is IDENTICAL to
+    q_ann_index_delete's — mask-at-serve and rewrite-then-serve must
+    return the same top-k bit-for-bit, which is exactly the correctness
+    contract of a compaction: physically different artifacts, provably
+    identical answers (and the delete family's three-step lifecycle —
+    tombstone ledger → compaction plan → compacted serving — all hangs
+    off one shared delete predicate).
+
+    Scale: the rewrite is one partition-preserving filtered copy of the
+    lists (linear, off the query path); steady-state queries then skip
+    both the anti-join and the dead rows' scan I/O — at a 40% dead
+    fraction that is 40% of every probe's bytes back."""
+    from ..operators.ann_store import compaction_write, search_vectors
+
+    path = compaction_write(spark, sf_dir, _DEL_FILTER)
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return search_vectors(spark, path, qv)

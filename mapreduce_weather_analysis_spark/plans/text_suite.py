@@ -2644,3 +2644,103 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dsir_sample.__doc__ = q_dsir_sample.__doc__.format(N=_DS_N)
+
+
+# --- PMI word associations -------------------------------------------------------
+
+_PMI_MIN_C = 5  # bigram support floor (drop unstable singleton pairs)
+_PMI_TOPK = 20
+
+
+def _pmi_oracle() -> str:
+    pmi = dround_sql(
+        "ln((c2 * 1.0 / nn) / ((ca * 1.0 / nn) * (cb * 1.0 / nn)))", 8
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {tokens_sql('text')} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM toks WHERE len(toks) >= 2
+    ),
+    c2r AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM bg GROUP BY 1, 2),
+    car AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS ca FROM bg GROUP BY 1),
+    cbr AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+    nnr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bg),
+    scored AS (
+      SELECT w1, w2, c2, {pmi} AS pmi
+      FROM c2r JOIN car USING (w1) JOIN cbr USING (w2), nnr
+      WHERE c2 >= {_PMI_MIN_C}
+    )
+    SELECT w1, w2, c2, pmi,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INTEGER) AS rank
+    FROM (
+      SELECT * FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC
+      LIMIT {_PMI_TOPK}
+    )
+    """
+
+
+@register("q_pmi_pairs", oracle=_pmi_oracle())
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word associations by pointwise mutual information (Church &
+    Hanks, CL 1990): PMI(a,b) = ln(p(a,b)/(p(a)p(b))) over adjacent-token
+    bigram events, support-floored at {C} occurrences so singleton
+    pairings can't dominate — the collocation detector behind phrase
+    mining and the building block of PPMI association matrices.
+
+    Scale shape: one bigram explode, then three vocabulary-sized
+    hash-aggs (pair, left-marginal, right-marginal) joined with the
+    marginals BROADCAST and the 1-row total cross-joined; top-{K} is
+    TakeOrdered, rank a bounded window. Counts exact; the single ln is
+    dround(8)-pinned."""
+    from ..functions.compat import dround
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("toks")).where(F.size("toks") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    c2r = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    car = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    cbr = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    nnr = bg.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    pmi = dround(
+        F.log(
+            (F.col("c2") * 1.0 / F.col("nn"))
+            / ((F.col("ca") * 1.0 / F.col("nn")) * (F.col("cb") * 1.0 / F.col("nn")))
+        ),
+        8,
+    )
+    scored = (
+        c2r.where(F.col("c2") >= _PMI_MIN_C)
+        .join(F.broadcast(car), "w1")
+        .join(F.broadcast(cbr), "w2")
+        .crossJoin(F.broadcast(nnr))
+        .select("w1", "w2", "c2", pmi.alias("pmi"))
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_TOPK)
+    wr = bounded_rank_window(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2"), anchor="w1"
+    )
+    return top.select(
+        "w1", "w2", "c2", "pmi",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )
+
+
+q_pmi_pairs.__doc__ = q_pmi_pairs.__doc__.format(C=_PMI_MIN_C, K=_PMI_TOPK)
