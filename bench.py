@@ -194,6 +194,8 @@ HEADLINE = [
     "q_ann_search_compacted",
     "q_textrank_keywords",
     "q_pmi_pairs",
+    # round-8 seventeenth wave: ABTT-corrected similarity
+    "q_abtt_search",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -418,6 +420,7 @@ BASELINE_SEC = {
     "q_ann_search_compacted": 1.3,
     "q_textrank_keywords": 3.0,
     "q_pmi_pairs": 1.1,
+    "q_abtt_search": 6.8,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -184,6 +184,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_ann_search_compacted",
     "q_textrank_keywords",
     "q_pmi_pairs",
+    "q_abtt_search",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

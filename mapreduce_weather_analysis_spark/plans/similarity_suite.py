@@ -3602,3 +3602,140 @@ def q_ann_search_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qv"),
     )
     return search_vectors(spark, path, qv)
+
+
+# --- ABTT-corrected similarity search -------------------------------------------
+
+_ABTT_TOPK = 5
+
+
+def _abtt_oracle() -> str:
+    r = _PCA_ROUNDS
+    ctes = _pca_ctes() + [
+        f"""projf AS (
+      SELECT vec_id, {psum_sql('xd * val', 12)} AS p
+      FROM xc JOIN v{r} USING (dim) GROUP BY vec_id
+    )""",
+        f"""corr AS (
+      SELECT xc.vec_id, xc.dim, xd - p * val AS cd
+      FROM xc JOIN projf USING (vec_id) JOIN v{r} USING (dim)
+    )""",
+        f"""nrms AS (
+      SELECT vec_id, sqrt({psum_sql('cd * cd', 8)}) AS nrm
+      FROM corr GROUP BY vec_id
+    )""",
+        f"""qids AS (
+      SELECT vec_id FROM embeddings WHERE {_QUERY_FILTER}
+    )""",
+        f"""dots AS (
+      SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {psum_sql('qc.cd * c.cd', 10)} AS dot
+      FROM corr qc
+      JOIN qids q ON qc.vec_id = q.vec_id
+      JOIN corr c ON c.dim = qc.dim AND c.vec_id <> qc.vec_id
+      GROUP BY 1, 2
+    )""",
+        f"""ascored AS (
+      SELECT query_id, neighbor_id,
+             {dround_sql('dot / (nq.nrm * nn.nrm)', 8)} AS cosine
+      FROM dots
+      JOIN nrms nq ON nq.vec_id = query_id
+      JOIN nrms nn ON nn.vec_id = neighbor_id
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank FROM ascored
+    ) WHERE rank <= {_ABTT_TOPK}
+    """
+    )
+
+
+@register("q_abtt_search", oracle=_abtt_oracle())
+def q_abtt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search on ABTT-corrected vectors (Mu & Viswanath,
+    "All-but-the-Top", ICLR'18): center, project out the dominant
+    component (the q_embed_pca eigenvector — the cone axis
+    q_embed_anisotropy measures), and rank by cosine in the corrected
+    space. The action the anisotropy report recommends, executed: the
+    common-direction bias that inflates every raw cosine is gone, so
+    ranking reflects residual (informative) geometry. Closes the loop:
+    measure (anisotropy) → model (PCA) → correct (this query).
+
+    Scale shape: correction is one linear pass over the exploded
+    centered relation (join the N-row projection + broadcast DIM-row
+    eigenvector); the demonstration ranks by BRUTE-FORCE corrected
+    cosine via a broadcast of the query slice into the per-dim
+    relation (|Q|·N·DIM intermediate — the documented-quadratic
+    baseline, exactly like q_ann_cosine_topk); the scale path is to
+    re-index the corrected vectors through the existing IVF build
+    (same ann_store machinery, corrected input). Determinism: the
+    PCA chain's pinned rounds; projections/dots decimal-summed; the
+    correction is one multiply-subtract of identical doubles."""
+    from pyspark.sql import Window as W
+
+    xc, v = _pca_centered_and_vec(spark, sf_dir)
+    projf = (
+        xc.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(psum(F.col("xd") * F.col("val"), 12).alias("p"))
+    )
+    corr = (
+        xc.join(projf, "vec_id")
+        .join(F.broadcast(v), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            (F.col("xd") - F.col("p") * F.col("val")).alias("cd"),
+        )
+        .localCheckpoint()  # reused by norms, query slice, and the dot join
+    )
+    nrms = corr.groupBy("vec_id").agg(
+        F.sqrt(psum(F.col("cd") * F.col("cd"), 8)).alias("nrm")
+    )
+    qids = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.expr(_QUERY_FILTER))
+        .select("vec_id")
+    )
+    qrel = corr.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("cd").alias("qd")
+    )
+    dots = (
+        F.broadcast(qrel)
+        .join(corr, "dim")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(psum(F.col("qd") * F.col("cd"), 10).alias("dot"))
+    )
+    nq = nrms.select(
+        F.col("vec_id").alias("query_id"), F.col("nrm").alias("qn")
+    )
+    nn_ = nrms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nn")
+    )
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nn_, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(F.col("dot") / (F.col("qn") * F.col("nn")), 8).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _ABTT_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
