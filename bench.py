@@ -196,6 +196,9 @@ HEADLINE = [
     "q_pmi_pairs",
     # round-8 seventeenth wave: ABTT-corrected similarity
     "q_abtt_search",
+    # round-8 eighteenth wave: k-center coreset, k-anonymity audit
+    "q_kcenter_select",
+    "q_kanon_audit",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -421,6 +424,8 @@ BASELINE_SEC = {
     "q_textrank_keywords": 3.0,
     "q_pmi_pairs": 1.1,
     "q_abtt_search": 6.8,
+    "q_kcenter_select": 1.8,
+    "q_kanon_audit": 0.4,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

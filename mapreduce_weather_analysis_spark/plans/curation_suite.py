@@ -2887,3 +2887,77 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_retrieval_eval.__doc__ = q_retrieval_eval.__doc__.format(
     K=_REV_K, T=_REV_RELT, Q=len(_BM25_QUERY), P=_BM25_TOPK
 )
+
+
+# --- k-anonymity audit ------------------------------------------------------------
+
+_KA_K = 5  # anonymity threshold
+_KA_BUCKET = 200  # doc-length quasi-identifier bucket width (chars)
+
+
+def _kanon_oracle() -> str:
+    return f"""
+    WITH qi AS (
+      SELECT lang, source,
+             CAST(COALESCE(n_chars, 0) // {_KA_BUCKET} AS BIGINT) AS len_b,
+             doc_id
+      FROM documents
+    ),
+    grp AS (
+      SELECT lang, source, len_b, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN sz < {_KA_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(CASE WHEN sz < {_KA_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS n_docs_at_risk,
+           MIN(sz) AS min_group,
+           {dround_sql(
+               f"SUM(CASE WHEN sz < {_KA_K} THEN sz ELSE 0 END)"
+               " * 1.0 / SUM(sz)", 6
+           )} AS at_risk_share
+    FROM grp
+    """
+
+
+@register("q_kanon_audit", oracle=_kanon_oracle())
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney, IJUFKS 2002) over the corpus's
+    quasi-identifiers (language × source × {B}-char length bucket): how
+    many QI groups fall below k={K} members, and what fraction of
+    documents sit in them — those docs are re-identifiable by their
+    metadata alone, the privacy-governance sibling of q_pii_scrub
+    (which redacts CONTENT; this audits the ATTRIBUTES release-safety).
+    A release gate checks at_risk_share == 0 or generalizes the QI
+    (widen buckets, merge sources) until it is.
+
+    Scale shape: one 3-column pruned scan (text never read) → one
+    hash-agg to QI-group sizes → one 1-row rollup of the group-size
+    relation (frequency-table-sized, like q_skew_profile). All counts
+    exact; the share is one dround-pinned division."""
+    qi = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr(f"COALESCE(n_chars, 0) DIV {_KA_BUCKET}")
+        .cast("bigint")
+        .alias("len_b"),
+    )
+    grp = qi.groupBy("lang", "source", "len_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    viol = F.when(F.col("sz") < _KA_K, F.col("sz")).otherwise(F.lit(0))
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("sz") < _KA_K).cast("int"))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.sum(viol).cast("bigint").alias("n_docs_at_risk"),
+        F.min("sz").alias("min_group"),
+        dround(
+            F.sum(viol) * F.lit(1.0) / F.sum("sz"), 6
+        ).alias("at_risk_share"),
+    )
+
+
+q_kanon_audit.__doc__ = q_kanon_audit.__doc__.format(K=_KA_K, B=_KA_BUCKET)

@@ -185,6 +185,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_textrank_keywords",
     "q_pmi_pairs",
     "q_abtt_search",
+    "q_kcenter_select",
+    "q_kanon_audit",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -3739,3 +3739,104 @@ def q_abtt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _ABTT_TOPK)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --- Greedy k-center coreset selection -------------------------------------------
+
+_KC_K = 4  # selected centers (unrolled rounds)
+
+
+def _kcenter_oracle() -> str:
+    from ..operators.ivf import _sq_l2_sql
+
+    ctes = [
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+      SELECT e.vec_id, {_sq_l2_sql('e.v', 'c.v')} AS mind
+      FROM ev e, c1 c
+    )""",
+    ]
+    for r in range(2, _KC_K + 1):
+        ctes += [
+            f"""p{r} AS (
+      SELECT vec_id, mind FROM d{r - 1}
+      ORDER BY mind DESC, vec_id ASC LIMIT 1
+    )""",
+            f"""c{r} AS (
+      SELECT ev.vec_id, ev.v FROM ev, p{r} WHERE ev.vec_id = p{r}.vec_id
+    )""",
+        ]
+        if r < _KC_K:
+            ctes.append(
+                f"""d{r} AS (
+      SELECT d.vec_id, LEAST(d.mind, {_sq_l2_sql('e.v', 'c.v')}) AS mind
+      FROM d{r - 1} d JOIN ev e ON e.vec_id = d.vec_id, c{r} c
+    )"""
+            )
+    picks = ["SELECT 1 AS round, vec_id AS center_id, 0.0 AS radius FROM c1"]
+    for r in range(2, _KC_K + 1):
+        picks.append(
+            f"SELECT {r} AS round, vec_id AS center_id,"
+            f" {dround_sql('mind', 8)} AS radius FROM p{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n    " + "\n    UNION ALL ".join(picks)
+
+
+@register("q_kcenter_select", oracle=_kcenter_oracle())
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection (Gonzalez 1985's 2-approximation
+    farthest-point traversal — the diversity-selection recipe coreset
+    and active-learning pipelines use, e.g. Sener & Savarese ICLR'18):
+    start from the lowest-id vector, then {K}−1 times pick the point
+    FARTHEST from everything selected so far. Returns the selection
+    trace (round, center, covering radius at selection) — the radius
+    column is the k-center objective curve, the evidence for "how many
+    exemplars until the corpus is covered".
+
+    Scale shape: inherently sequential in k (each pick conditions the
+    next), so this is the sixth driver-loop iterative operator — but
+    each round is ONE distributed pass: update the per-point min-dist
+    against the newly selected center (a broadcast 1-row join) and take
+    a skew-safe max-struct argmax; the only collect is the single
+    selected row per round (the bounded ivf-centroid pattern). The
+    oracle unrolls all {K} picks with scalar-subquery argmaxes —
+    identical LEAST/distance arithmetic, ties to the lower id."""
+    from ..operators.ivf import _sq_l2
+
+    ev = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    first = ev.orderBy("vec_id").limit(1).collect()[0]  # deterministic seed
+    picks = [(1, int(first["vec_id"]), 0.0)]
+    center_vec = F.array(*[F.lit(float(x)) for x in first["v"]])
+    mind = ev.select(
+        "vec_id", "v", _sq_l2(F.col("v"), center_vec).alias("mind")
+    ).localCheckpoint()
+    for r in range(2, _KC_K + 1):
+        top = mind.agg(
+            F.max(F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid")))
+            .alias("m")
+        ).collect()[0]["m"]  # bounded: ONE row per round
+        cid = -int(top["nid"])
+        picks.append((r, cid, float(top["mind"])))
+        if r < _KC_K:
+            nxt = ev.where(F.col("vec_id") == cid).collect()[0]
+            cvec = F.array(*[F.lit(float(x)) for x in nxt["v"]])
+            mind = mind.select(
+                "vec_id",
+                "v",
+                F.least(F.col("mind"), _sq_l2(F.col("v"), cvec)).alias(
+                    "mind"
+                ),
+            ).localCheckpoint()
+    out = spark.createDataFrame(
+        picks, schema="round int, center_id bigint, radius double"
+    )
+    return out.select(
+        "round", "center_id", dround(F.col("radius"), 8).alias("radius")
+    )
+
+
+q_kcenter_select.__doc__ = q_kcenter_select.__doc__.format(K=_KC_K)
