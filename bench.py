@@ -505,12 +505,29 @@ def _control_drift(first: dict[str, float], last: dict[str, float]) -> float:
     )
 
 
+def _clear_persisted(spark) -> None:
+    """Unpersist every lingering persisted/localCheckpointed RDD.
+
+    Iterative operators cut lineage with ``localCheckpoint`` and those
+    blocks are never released by the queries themselves — harmless in a
+    driver run (one query per comparison) but cumulative across a
+    138-query warmup+timing loop: by mid-suite the block manager held
+    hundreds of checkpoint blocks, and storage squeezed the unified
+    pool's execution share (observed: q_ann_ivfpq_topk 14.5 s in-suite
+    vs 6.8 s isolated, with clean controls). Clearing between timed
+    queries makes each number independent of suite composition — the
+    per-query posture the baselines were recorded under."""
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+
+
 def _time_best_of_2(spark, fn) -> float:
     best = float("inf")
     for _ in range(2):
         start = time.perf_counter()
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - start)
+    _clear_persisted(spark)  # this query's checkpoints don't tax the next
     return round(best, 3)
 
 
@@ -542,6 +559,9 @@ def main() -> None:
             ).save()
         except Exception as exc:  # loud: a broken warmup means a broken query
             print(f"WARMUP FAILED {name}: {exc!r}", file=sys.stderr)
+    # the warmup loop checkpoints freely — drop those blocks before any
+    # timing so the first timed queries start from a clean block manager
+    _clear_persisted(spark)
     # Controls, first pass: timed before any headline work so drift in the
     # box/JVM between rounds shows up here independent of the suite.
     controls_first = {
