@@ -199,6 +199,9 @@ HEADLINE = [
     # round-8 eighteenth wave: k-center coreset, k-anonymity audit
     "q_kcenter_select",
     "q_kanon_audit",
+    # round-8 nineteenth wave: ranker agreement, reliability bins
+    "q_ranker_agreement",
+    "q_calibration_bins",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -426,6 +429,8 @@ BASELINE_SEC = {
     "q_abtt_search": 6.8,
     "q_kcenter_select": 1.8,
     "q_kanon_audit": 0.4,
+    "q_ranker_agreement": 3.2,
+    "q_calibration_bins": 1.7,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -882,7 +882,10 @@ def _rrf_final_select() -> str:
     """
 
 
-def _hybrid_oracle() -> str:
+def _dense_ctes() -> list[str]:
+    """The dense-arm CTE list (hcounts → cosrel → dense), shared by
+    _hybrid_oracle and the ranker-agreement oracle — same composition
+    posture as _lex_ctes."""
     qv = _query_vector()
     q_sq = sum(w * w for w in qv.values())
     w_case = (
@@ -890,7 +893,7 @@ def _hybrid_oracle() -> str:
         + " ".join(f"WHEN {b} THEN {w}" for b, w in qv.items())
         + " ELSE 0 END"
     )
-    dense_ctes = [
+    return [
         f"""hcounts AS (
       SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
              COUNT(*) AS n
@@ -913,9 +916,12 @@ def _hybrid_oracle() -> str:
       ) WHERE rk <= {_HY_LIST}
     )""",
     ]
+
+
+def _hybrid_oracle() -> str:
     return (
         "\n    WITH "
-        + ",\n    ".join(_lex_ctes() + dense_ctes)
+        + ",\n    ".join(_lex_ctes() + _dense_ctes())
         + "\n    "
         + _rrf_final_select()
     )
@@ -2961,3 +2967,189 @@ def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_kanon_audit.__doc__ = q_kanon_audit.__doc__.format(K=_KA_K, B=_KA_BUCKET)
+
+
+# --- Ranker agreement: lexical vs dense list concordance ------------------------
+
+
+def _ranker_agreement_oracle() -> str:
+    rho = dround_sql(
+        "1.0 - 6.0 * sd / NULLIF(n_common * (n_common * n_common - 1.0), 0)",
+        6,
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_lex_ctes() + _dense_ctes())
+        + f""",
+    common AS (
+      SELECT lex.doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY rl ASC) AS BIGINT) AS rl2,
+             CAST(ROW_NUMBER() OVER (ORDER BY rd ASC) AS BIGINT) AS rd2
+      FROM lex JOIN dense USING (doc_id)
+    ),
+    agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM lex) AS BIGINT) AS n_lex,
+             CAST((SELECT COUNT(*) FROM dense) AS BIGINT) AS n_dense,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM((rl2 - rd2) * (rl2 - rd2)) AS BIGINT) AS sd,
+             CAST(SUM(ABS(rl2 - rd2)) AS BIGINT) AS sa
+      FROM common
+    )
+    SELECT n_lex, n_dense, n_common,
+           {dround_sql(
+               'n_common * 1.0 / NULLIF(n_lex + n_dense - n_common, 0)', 6
+           )} AS jaccard,
+           {rho} AS spearman_rho,
+           {dround_sql('sa * 1.0 / NULLIF(n_common, 0)', 6)}
+             AS mean_rank_shift
+    FROM agg
+    """
+    )
+
+
+@register("q_ranker_agreement", oracle=_ranker_agreement_oracle())
+def q_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concordance between the two retrieval arms' top-{N} lists:
+    candidate-set Jaccard, Spearman's ρ over the shared documents
+    (re-ranked within the intersection — the rank-correlation retrieval
+    papers report when comparing rankers), and the mean absolute rank
+    shift. High overlap + low ρ means the arms retrieve the same pool
+    but order it differently (fusion helps most); low overlap means
+    they see different corpora slices (fusion adds recall). The
+    decide-whether-to-fuse diagnostic for q_hybrid_search_rrf.
+
+    Scale shape: both rank lists are the hybrid arms' bounded top-{N}
+    relations; everything after is arithmetic on ≤{N}-row relations
+    with exact integer rank sums and three dround-pinned divisions,
+    NULL-guarded for degenerate intersections."""
+    lex = _lex_rank_list(spark, sf_dir)
+    cosrel = _dense_cos_scores(spark, sf_dir)
+    dense_top = cosrel.orderBy(F.desc("cos"), F.asc("doc_id")).limit(_HY_LIST)
+    wd = bounded_rank_window(F.desc("cos"), F.asc("doc_id"), anchor="doc_id")
+    dense = dense_top.select(
+        "doc_id", F.row_number().over(wd).cast("int").alias("rd")
+    )
+    common = lex.join(dense, "doc_id")
+    wl2 = bounded_rank_window(F.asc("rl"), anchor="doc_id")
+    wd2 = bounded_rank_window(F.asc("rd"), anchor="doc_id")
+    ranked = common.select(
+        F.row_number().over(wl2).cast("bigint").alias("rl2"),
+        F.row_number().over(wd2).cast("bigint").alias("rd2"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum((F.col("rl2") - F.col("rd2")) * (F.col("rl2") - F.col("rd2")))
+        .cast("bigint")
+        .alias("sd"),
+        F.sum(F.abs(F.col("rl2") - F.col("rd2"))).cast("bigint").alias("sa"),
+    )
+    nl = lex.agg(F.count(F.lit(1)).cast("bigint").alias("n_lex"))
+    nd = dense.agg(F.count(F.lit(1)).cast("bigint").alias("n_dense"))
+    nz = lambda c: F.when(c != 0, c)  # noqa: E731  NULLIF twin
+    return (
+        nl.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_lex",
+            "n_dense",
+            "n_common",
+            dround(
+                F.col("n_common")
+                * 1.0
+                / nz(F.col("n_lex") + F.col("n_dense") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            dround(
+                1.0
+                - 6.0
+                * F.col("sd")
+                / nz(
+                    F.col("n_common")
+                    * (F.col("n_common") * F.col("n_common") - 1.0)
+                ),
+                6,
+            ).alias("spearman_rho"),
+            dround(
+                F.col("sa") * 1.0 / nz(F.col("n_common")), 6
+            ).alias("mean_rank_shift"),
+        )
+    )
+
+
+q_ranker_agreement.__doc__ = q_ranker_agreement.__doc__.format(N=_HY_LIST)
+
+
+# --- Classifier reliability bins ---------------------------------------------------
+
+_CB_BINS = 10
+
+
+def _calibration_bins_oracle() -> str:
+    score = (
+        "0.5 + (logit_milli / (1000.0 * n_tokens))"
+        " / (2 * (1 + abs(logit_milli / (1000.0 * n_tokens))))"
+    )
+    return gopher_sig_sql("doc_id") + f""", cct AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_QC_DIM} AS b
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS term
+            FROM documents)
+    ),
+    csc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM({_qc_weight_sql('b')}) AS logit_milli
+      FROM cct GROUP BY doc_id
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR({dround_sql(score, 6)} * {_CB_BINS})
+                   AS BIGINT), {_CB_BINS - 1}) AS bin,
+             {dround_sql(score, 6)} AS s,
+             CASE WHEN g.keep THEN 1 ELSE 0 END AS pos
+      FROM csc q JOIN g_keep g USING (doc_id)
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {dround_sql(f"{psum_sql('s', 6)} / COUNT(*)", 6)} AS mean_score,
+           {dround_sql('SUM(pos) * 1.0 / COUNT(*)', 6)} AS pos_rate
+    FROM binned GROUP BY bin
+    """
+
+
+@register("q_calibration_bins", oracle=_calibration_bins_oracle())
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram data for the quality classifier: documents
+    bucketed into {B} score deciles, each bin reporting its mean score
+    vs the observed positive rate against the Gopher rule gate as the
+    reference label (Niculescu-Mizil & Caruana ICML'05's calibration
+    curve — a well-calibrated scorer has mean_score ≈ pos_rate per
+    bin; systematic gaps say the threshold or the squash needs
+    recalibration before the score gates a corpus). Extends the
+    confusion-matrix view (q_quality_calibration) from 4 cells to the
+    full curve.
+
+    Scale shape: the two per-doc gate relations (one scan each) join on
+    doc_id; the binning is a projection and the rollup is ≤{B} groups.
+    Scores dround-pinned BEFORE binning so the floor cannot straddle an
+    engine ulp; means psum-routed; rates exact-integer divisions."""
+    g = gopher_signals(t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.col("keep").alias("pos")
+    )
+    c = q_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    binned = c.join(g, "doc_id").select(
+        F.least(
+            F.floor(F.col("score") * _CB_BINS).cast("bigint"),
+            F.lit(_CB_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        "score",
+        F.col("pos").cast("int").alias("pos"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        dround(psum(F.col("score"), 6) / F.count(F.lit(1)), 6).alias(
+            "mean_score"
+        ),
+        dround(F.sum("pos") * 1.0 / F.count(F.lit(1)), 6).alias("pos_rate"),
+    )
+
+
+q_calibration_bins.__doc__ = q_calibration_bins.__doc__.format(B=_CB_BINS)

@@ -187,6 +187,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_abtt_search",
     "q_kcenter_select",
     "q_kanon_audit",
+    "q_ranker_agreement",
+    "q_calibration_bins",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification
