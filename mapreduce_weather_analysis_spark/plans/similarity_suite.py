@@ -3743,7 +3743,7 @@ def q_abtt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Greedy k-center coreset selection -------------------------------------------
 
-_KC_K = 4  # selected centers (unrolled rounds)
+_KCTR_K = 4  # selected centers (unrolled rounds)
 
 
 def _kcenter_oracle() -> str:
@@ -3758,7 +3758,7 @@ def _kcenter_oracle() -> str:
       FROM ev e, c1 c
     )""",
     ]
-    for r in range(2, _KC_K + 1):
+    for r in range(2, _KCTR_K + 1):
         ctes += [
             f"""p{r} AS (
       SELECT vec_id, mind FROM d{r - 1}
@@ -3768,7 +3768,7 @@ def _kcenter_oracle() -> str:
       SELECT ev.vec_id, ev.v FROM ev, p{r} WHERE ev.vec_id = p{r}.vec_id
     )""",
         ]
-        if r < _KC_K:
+        if r < _KCTR_K:
             ctes.append(
                 f"""d{r} AS (
       SELECT d.vec_id, LEAST(d.mind, {_sq_l2_sql('e.v', 'c.v')}) AS mind
@@ -3776,7 +3776,7 @@ def _kcenter_oracle() -> str:
     )"""
             )
     picks = ["SELECT 1 AS round, vec_id AS center_id, 0.0 AS radius FROM c1"]
-    for r in range(2, _KC_K + 1):
+    for r in range(2, _KCTR_K + 1):
         picks.append(
             f"SELECT {r} AS round, vec_id AS center_id,"
             f" {dround_sql('mind', 8)} AS radius FROM p{r}"
@@ -3814,14 +3814,14 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     mind = ev.select(
         "vec_id", "v", _sq_l2(F.col("v"), center_vec).alias("mind")
     ).localCheckpoint()
-    for r in range(2, _KC_K + 1):
+    for r in range(2, _KCTR_K + 1):
         top = mind.agg(
             F.max(F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid")))
             .alias("m")
         ).collect()[0]["m"]  # bounded: ONE row per round
         cid = -int(top["nid"])
         picks.append((r, cid, float(top["mind"])))
-        if r < _KC_K:
+        if r < _KCTR_K:
             nxt = ev.where(F.col("vec_id") == cid).collect()[0]
             cvec = F.array(*[F.lit(float(x)) for x in nxt["v"]])
             mind = mind.select(
@@ -3839,4 +3839,4 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_kcenter_select.__doc__ = q_kcenter_select.__doc__.format(K=_KC_K)
+q_kcenter_select.__doc__ = q_kcenter_select.__doc__.format(K=_KCTR_K)

@@ -141,3 +141,29 @@ def test_no_oracle_is_vacuously_empty():
             empty.append(name)
     con.close()
     assert not empty, f"oracles returning zero rows at sf0.01: {empty}"
+
+
+def test_no_duplicate_module_constants():
+    """A module-level _UPPER constant defined twice in one plans module
+    silently rebinds every earlier reader that resolves it at CALL time
+    (caught live: a k-center `_KC_K = 4` appended below the k-core's
+    `_KC_K = 2` flipped the registered peel to a 4-core and zeroed
+    q_kcore's driver rows). Pure-text check, no Spark."""
+    import collections
+    import pathlib
+    import re
+
+    plans = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "mapreduce_weather_analysis_spark"
+        / "plans"
+    )
+    offenders = {}
+    for f in plans.glob("*.py"):
+        names = re.findall(
+            r"^(_[A-Z][A-Z0-9_]*)\s*=", f.read_text(), re.M
+        )
+        dups = [n for n, c in collections.Counter(names).items() if c > 1]
+        if dups:
+            offenders[f.name] = dups
+    assert not offenders, f"duplicate module constants: {offenders}"
