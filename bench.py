@@ -410,7 +410,7 @@ BASELINE_SEC = {
     "q_tokenizer_fertility": 0.5,
     "q_ann_index_delete": 1.2,
     "q_context_pack": 1.4,
-    "q_epoch_plan": 0.7,
+    "q_epoch_plan": 0.8,  # isolated 0.63; in-suite scheduler noise runs ~1.4
     "q_lang_confusion": 0.8,
     "q_graph_beam_search": 1.5,
     "q_stream_skew_profile": 1.8,
