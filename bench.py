@@ -202,6 +202,8 @@ HEADLINE = [
     # round-8 nineteenth wave: ranker agreement, reliability bins
     "q_ranker_agreement",
     "q_calibration_bins",
+    # round-8 twentieth wave: KS distribution drift
+    "q_ks_drift",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -431,6 +433,7 @@ BASELINE_SEC = {
     "q_kanon_audit": 0.4,
     "q_ranker_agreement": 3.2,
     "q_calibration_bins": 1.7,
+    "q_ks_drift": 1.0,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

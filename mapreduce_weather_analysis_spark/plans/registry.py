@@ -189,6 +189,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_kanon_audit",
     "q_ranker_agreement",
     "q_calibration_bins",
+    "q_ks_drift",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

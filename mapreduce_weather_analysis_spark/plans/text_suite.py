@@ -2744,3 +2744,118 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_pmi_pairs.__doc__ = q_pmi_pairs.__doc__.format(C=_PMI_MIN_C, K=_PMI_TOPK)
+
+
+# --- Distributional drift: per-source Kolmogorov–Smirnov on doc length ---------
+
+
+def _ks_drift_oracle() -> str:
+    d = dround_sql(
+        "ABS(cs * 1.0 / ns - cc * 1.0 / nc)", 8
+    )
+    return f"""
+    WITH vals AS (
+      SELECT source, CAST(COALESCE(n_chars, 0) AS BIGINT) AS x
+      FROM documents
+    ),
+    grid AS (SELECT DISTINCT x FROM vals),
+    srcs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM vals GROUP BY 1
+    ),
+    ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM vals),
+    sfreq AS (
+      SELECT source, x, CAST(COUNT(*) AS BIGINT) AS f
+      FROM vals GROUP BY 1, 2
+    ),
+    cfreq AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS f FROM vals GROUP BY 1
+    ),
+    scum AS (
+      SELECT s.source, g.x, CAST(COALESCE(SUM(sf.f), 0) AS BIGINT) AS cs
+      FROM srcs s CROSS JOIN grid g
+      LEFT JOIN sfreq sf ON sf.source = s.source AND sf.x <= g.x
+      GROUP BY 1, 2
+    ),
+    ccum AS (
+      SELECT g.x, CAST(SUM(cf.f) AS BIGINT) AS cc
+      FROM grid g JOIN cfreq cf ON cf.x <= g.x GROUP BY 1
+    )
+    SELECT source, ns AS n_docs,
+           MAX({d}) AS ks_stat
+    FROM scum
+    JOIN srcs USING (source)
+    JOIN ccum USING (x), ctot
+    GROUP BY source, ns
+    """
+
+
+@register("q_ks_drift", oracle=_ks_drift_oracle())
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kolmogorov–Smirnov statistic on the document-LENGTH
+    distribution vs the whole corpus: D_s = max_x |F_s(x) − F(x)| — the
+    third drift monitor beside the lexical (q_lexical_drift, JS over
+    unigrams) and the semantic (q_embedding_drift, centroid cosine):
+    a feed whose KS jumps changed its length profile (truncation bug,
+    boilerplate injection, new document type) even when its vocabulary
+    and embeddings look stable. KS is the standard two-sample
+    distribution-shift test; the statistic is exact here (no asymptotic
+    approximation), computed over the full empirical CDFs.
+
+    Scale shape: the corpus collapses immediately to FREQUENCY tables —
+    per-(source, length) and per-length counts (distinct lengths are
+    bounded by the length domain, not the corpus) — and the CDFs are
+    cumulative sums over the |sources|×|lengths| grid via tiny
+    range-joins (the q_skew_profile posture: no corpus-sized window, no
+    sort). Counts exact; each CDF gap is two exact divisions and one
+    dround(8); the max is over exact values."""
+    vals = t(spark, sf_dir, "documents").select(
+        "source",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    grid = vals.select("x").distinct()
+    srcs = vals.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    ctot = vals.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    sfreq = vals.groupBy("source", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    cfreq = vals.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    scum = (
+        srcs.crossJoin(F.broadcast(grid))
+        .join(
+            sfreq.select(
+                F.col("source").alias("ssrc"),
+                F.col("x").alias("sx"),
+                F.col("f").alias("sf"),
+            ),
+            (F.col("ssrc") == F.col("source"))
+            & (F.col("sx") <= F.col("x")),
+            "left",
+        )
+        .groupBy("source", "x", "ns")
+        .agg(F.coalesce(F.sum("sf"), F.lit(0)).cast("bigint").alias("cs"))
+    )
+    ccum = (
+        grid.join(
+            cfreq.select(F.col("x").alias("cx"), F.col("f").alias("cf")),
+            F.col("cx") <= F.col("x"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cf").cast("bigint").alias("cc"))
+    )
+    gap = dround(
+        F.abs(
+            F.col("cs") * 1.0 / F.col("ns")
+            - F.col("cc") * 1.0 / F.col("nc")
+        ),
+        8,
+    )
+    return (
+        scum.join(F.broadcast(ccum), "x")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", F.col("ns").alias("n_docs"))
+        .agg(F.max(gap).alias("ks_stat"))
+    )
