@@ -204,6 +204,9 @@ HEADLINE = [
     "q_calibration_bins",
     # round-8 twentieth wave: KS distribution drift
     "q_ks_drift",
+    # round-8 twenty-first wave: streaming KS twin, curate→shard capstone
+    "q_stream_ks_drift",
+    "q_corpus_to_shards",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -434,6 +437,8 @@ BASELINE_SEC = {
     "q_ranker_agreement": 3.2,
     "q_calibration_bins": 1.7,
     "q_ks_drift": 1.0,
+    "q_stream_ks_drift": 2.7,
+    "q_corpus_to_shards": 8.3,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

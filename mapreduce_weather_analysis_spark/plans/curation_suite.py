@@ -3153,3 +3153,89 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_calibration_bins.__doc__ = q_calibration_bins.__doc__.format(B=_CB_BINS)
+
+
+# --- End-to-end: curate → shard (the pipeline capstone) -------------------------
+
+
+def _corpus_to_shards_oracle() -> str:
+    from .text_suite import BPEISH_RE
+
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(_curation_verdict_ctes())
+        + f""",
+    adm_tok AS (
+      SELECT v.doc_id,
+             CAST(COALESCE(
+               len(regexp_extract_all(d.text, '{BPEISH_RE}')), 0
+             ) AS BIGINT) AS n_tok
+      FROM verdicts v JOIN documents d USING (doc_id)
+      WHERE v.keep
+    ),
+    adm_pre AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS prefix
+      FROM adm_tok
+    )
+    SELECT CAST(prefix // {_SHARD_TOKENS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM adm_pre GROUP BY 1
+    """
+    )
+
+
+@register("q_corpus_to_shards", oracle=_corpus_to_shards_oracle())
+def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pipeline capstone: raw corpus → three-stage
+    curation gate (Gopher rules → near-dup canonical → quality
+    classifier, q_curation_gate's verdicts) → distributed-prefix-sum
+    shard planning over ONLY the admitted documents — the exact artifact
+    chain a pretraining run executes between scrape and tokenizer, as
+    ONE driver-checkable relation: the shard manifest of the curated
+    corpus. Composability is the point: every stage is the
+    already-certified operator, joined on doc_id, and the oracle
+    composes the same CTE chains verbatim.
+
+    Scale shape: the gate's three subplans (scan-bound, banded-LSH,
+    explode+agg) + one slim admitted-id join + the two-phase prefix
+    scan (operators/prefix_sum.py — bounded offsets collect, never a
+    corpus-wide window)."""
+    from ..operators.prefix_sum import shard_by_budget
+    from .text_suite import BPEISH_RE
+
+    # localCheckpoint BEFORE filtering on keep: pushed into the gate's
+    # lineage, the keep predicate's ratio subexpressions get evaluated
+    # ahead of the zero-token guard by codegen subexpression elimination
+    # (ANSI divide-by-zero on whitespace-only docs — edge-corpus catch);
+    # the cut also means the 3-stage gate runs once, not once per scan.
+    admitted = (
+        q_curation_gate(spark, sf_dir)
+        .localCheckpoint()
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    n = F.coalesce(
+        F.size(F.regexp_extract_all("text", F.lit(BPEISH_RE), 0)).cast(
+            "bigint"
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    per_doc = (
+        t(spark, sf_dir, "documents")
+        .join(admitted, "doc_id")
+        .select("doc_id", n.alias("n_tok"))
+    )
+    sharded = shard_by_budget(per_doc, "doc_id", "n_tok", _SHARD_TOKENS)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

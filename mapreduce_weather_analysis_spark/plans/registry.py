@@ -190,6 +190,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_ranker_agreement",
     "q_calibration_bins",
     "q_ks_drift",
+    "q_stream_ks_drift",
+    "q_corpus_to_shards",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

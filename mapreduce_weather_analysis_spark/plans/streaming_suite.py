@@ -1092,3 +1092,37 @@ def q_stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --- Streaming KS drift ----------------------------------------------------------
+
+
+def _stream_ks_oracle() -> str:
+    from .text_suite import _ks_drift_oracle
+
+    return _ks_drift_oracle()
+
+
+@register("q_stream_ks_drift", oracle=_stream_ks_oracle())
+def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kolmogorov–Smirnov length-distribution monitor AT INGEST —
+    completing the drift-monitor batch/stream MATRIX (lexical JS,
+    embedding cosine, and distributional KS each now have both forms):
+    the live feed is projected to its two monitor columns (source,
+    length) — a stateless drain, no state store, no watermark — and the
+    drained rows feed the identical exact-CDF chain as the batch
+    q_ks_drift. A truncation bug or boilerplate injection in one feed
+    moves its KS within a micro-batch.
+
+    Streaming posture at scale: the stream side is a 2-column
+    projection; everything heavier (frequency tables, the bounded CDF
+    grid) runs on the drained relation where the batch argument applies
+    unchanged. Oracle: the batch KS oracle verbatim."""
+    from .text_suite import ks_drift_from_vals
+
+    stream = read_documents_stream(spark, sf_dir).select(
+        "source",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    drained = run_available_now(stream, spark, mode="append").localCheckpoint()
+    return ks_drift_from_vals(drained)

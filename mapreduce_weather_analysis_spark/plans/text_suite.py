@@ -2812,6 +2812,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("x"),
     )
+    return ks_drift_from_vals(vals)
+
+
+def ks_drift_from_vals(vals: DataFrame) -> DataFrame:
+    """The exact-KS chain over pre-projected (source, x) rows — shared
+    by the batch monitor and its streaming twin (which drains the same
+    two columns off the live feed)."""
     grid = vals.select("x").distinct()
     srcs = vals.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("ns")
