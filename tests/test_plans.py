@@ -802,3 +802,30 @@ def test_embed_pca_rounds_checkpointed_broadcast_eigvec(spark):
     plan = _plan(REGISTRY["q_embed_pca"].fn(spark, SMOKE_SF))
     assert "ExistingRDD" in plan
     assert _n_ops(plan, "Window") == 0
+
+
+def test_ks_drift_no_corpus_window(spark):
+    """KS CDFs must come from frequency-table range-joins: no window at
+    all in the plan, no sort-merge join, no cartesian."""
+    plan = _plan(REGISTRY["q_ks_drift"].fn(spark, SMOKE_SF))
+    assert not _window_partition_keys(plan), "expected a window-free plan"
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_pairs_broadcast_marginals_takeordered(spark):
+    """PMI: both marginal relations ride broadcasts and the top-k is a
+    TakeOrdered — never a global sort of the pair relation."""
+    plan = _plan(REGISTRY["q_pmi_pairs"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_to_shards_two_phase_scan_after_gate(spark):
+    """The capstone's running total must be the two-phase scan (every
+    window partitions on the pinned _pid), and the gate verdicts are
+    lineage-cut (ExistingRDD) so the 3-stage gate runs once."""
+    plan = _plan(REGISTRY["q_corpus_to_shards"].fn(spark, SMOKE_SF))
+    keys = _window_partition_keys(plan)
+    assert keys and all(k.strip().startswith("_pid") for k in keys), keys
+    assert "ExistingRDD" in plan
