@@ -207,6 +207,8 @@ HEADLINE = [
     # round-8 twenty-first wave: streaming KS twin, curate→shard capstone
     "q_stream_ks_drift",
     "q_corpus_to_shards",
+    # round-8 twenty-second wave: kNN cosine histogram
+    "q_sim_histogram",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -439,6 +441,7 @@ BASELINE_SEC = {
     "q_ks_drift": 1.0,
     "q_stream_ks_drift": 2.7,
     "q_corpus_to_shards": 8.3,
+    "q_sim_histogram": 3.7,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

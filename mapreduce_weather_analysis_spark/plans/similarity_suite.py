@@ -3840,3 +3840,67 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_kcenter_select.__doc__ = q_kcenter_select.__doc__.format(K=_KCTR_K)
+
+
+# --- kNN cosine histogram: the threshold-picking evidence -------------------------
+
+_SH_BINS = 20  # cosine ∈ [-1,1] in 0.1-wide bins
+
+
+def _sim_histogram_oracle() -> str:
+    from .registry import REGISTRY
+
+    knn = REGISTRY["q_knn_join_persisted"].oracle
+    return f"""
+    WITH pairs AS (SELECT cosine FROM ({knn})),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((cosine + 1.0) * 10) AS BIGINT),
+                   {_SH_BINS - 1}) AS bin
+      FROM pairs
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM binned)
+    SELECT bin,
+           {dround_sql('bin / 10.0 - 1.0', 2)} AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {dround_sql('COUNT(*) * 1.0 / n', 6)} AS share
+    FROM binned, tot
+    GROUP BY bin, n
+    """
+
+
+@register("q_sim_histogram", oracle=_sim_histogram_oracle())
+def q_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity HISTOGRAM of the corpus kNN edges ({B} bins over
+    [−1, 1]) — the evidence behind every similarity threshold in the
+    repo: SemDeDup's drop-τ, the range-search radius, and the mutual-
+    graph's implicit density all get picked by looking at exactly this
+    distribution (a bimodal histogram = clean dup/non-dup separation;
+    a fat right tail = lower τ catches near-dups at acceptable FP). Runs
+    over the PERSISTED kNN join, so the expensive part is amortized.
+
+    Scale shape: one scan of the persisted N·k edge relation, a
+    projection to bins, one ≤{B}-group hash-agg, 1-row total broadcast.
+    Bin edges are computed from the raw cosines (identical IEEE doubles
+    both engines), so the floor cannot straddle an ulp."""
+    pairs = q_knn_join_persisted(spark, sf_dir).select("cosine")
+    binned = pairs.select(
+        F.least(
+            F.floor((F.col("cosine") + 1.0) * 10).cast("bigint"),
+            F.lit(_SH_BINS - 1).cast("bigint"),
+        ).alias("bin")
+    )
+    tot = binned.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            dround(F.col("bin") / 10.0 - 1.0, 2).alias("lo"),
+            "n_pairs",
+            dround(F.col("n_pairs") * 1.0 / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+q_sim_histogram.__doc__ = q_sim_histogram.__doc__.format(B=_SH_BINS)
