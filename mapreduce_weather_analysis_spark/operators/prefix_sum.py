@@ -92,7 +92,11 @@ def shard_by_budget(
     budget. Greedy first-fit on the running total — a row whose prefix
     crosses a shard boundary starts the next shard, so every shard except
     possibly the last holds ≥ budget − max(value) and < budget + max(value)
-    units. Integer ``DIV`` keeps the bucketing exact past 2^53."""
+    units. Integer ``DIV`` keeps the bucketing exact past 2^53. Shard ids
+    are monotone in key order but NOT necessarily dense: a single row
+    larger than the budget jumps the running total past whole ids
+    (hypothesis-pinned in tests/test_properties.py) — consumers must not
+    assume id = ordinal."""
     pre = exclusive_prefix_sum(
         df, order_col, value_col, out_col="_prefix", num_partitions=num_partitions
     )
