@@ -209,6 +209,8 @@ HEADLINE = [
     "q_corpus_to_shards",
     # round-8 twenty-second wave: kNN cosine histogram
     "q_sim_histogram",
+    # round-8 twenty-third wave: recall-vs-nprobe frontier
+    "q_recall_curve",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -442,6 +444,7 @@ BASELINE_SEC = {
     "q_stream_ks_drift": 2.7,
     "q_corpus_to_shards": 8.3,
     "q_sim_histogram": 3.7,
+    "q_recall_curve": 4.8,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

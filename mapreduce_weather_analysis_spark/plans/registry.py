@@ -193,6 +193,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_stream_ks_drift",
     "q_corpus_to_shards",
     "q_sim_histogram",
+    "q_recall_curve",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

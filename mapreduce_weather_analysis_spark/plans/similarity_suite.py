@@ -3904,3 +3904,95 @@ def q_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_sim_histogram.__doc__ = q_sim_histogram.__doc__.format(B=_SH_BINS)
+
+
+# --- Recall-vs-nprobe frontier as a certified query --------------------------------
+
+_RC_NPROBES = (1, 2, 4)
+
+
+def _recall_curve_oracle() -> str:
+    ctes = [
+        f"""rq AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE {_QUERY_FILTER}
+    )""",
+        """rc AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    )""",
+        f"""rbf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY {cosine_sql('qv', 'cv')} DESC, neighbor_id ASC
+        ) AS rank
+        FROM rq JOIN rc ON query_id <> neighbor_id
+      ) WHERE rank <= 5
+    )""",
+        "rnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM rq)",
+    ]
+    arms = []
+    for np_ in _RC_NPROBES:
+        inner = ivf_topk_sql("embeddings", _QUERY_FILTER, nprobe=np_)
+        arms.append(
+            f"""SELECT {np_} AS nprobe, nq AS n_queries,
+           CAST((SELECT COUNT(*) FROM rbf
+                 JOIN ({inner}) i USING (query_id, neighbor_id))
+             AS BIGINT) AS n_hits,
+           {dround_sql(
+               '(SELECT COUNT(*) FROM rbf JOIN (' + inner
+               + ') i USING (query_id, neighbor_id)) / (5.0 * nq)', 6
+           )} AS recall_at_5
+    FROM rnq"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n    " + "\n    UNION ALL ".join(arms)
+    )
+
+
+@register("q_recall_curve", oracle=_recall_curve_oracle())
+def q_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-nprobe FRONTIER as one oracle-certified relation:
+    mean recall@5 of the persisted IVF serving path at nprobe ∈ {NP},
+    against exact brute-force ground truth on the query sample — the
+    curve every serving team reads to place the latency/recall knob
+    (FAISS's nprobe sweep; SCALE.md's measured table, now a driver-
+    checkable query: q_ann_recall_eval generalized from one operating
+    point to the frontier).
+
+    Scale shape: ground truth is computed ONCE on the query sample
+    (the documented-quadratic certification arm — |Q|·N, never corpus²);
+    each nprobe arm reuses the same persisted index with a different
+    probe width (probe selection is |Q|·k broadcast work, candidates
+    scale with nprobe·cell-size), and the per-arm reduction is a
+    |Q|·k-row join + one counter. Counts exact; recall is one pinned
+    division per arm."""
+    from functools import reduce as _reduce
+
+    from ..operators.ann_store import ivf_search, ivfpq_write
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.expr(_QUERY_FILTER))
+    bf = brute_force_topk(q, e).select("query_id", "neighbor_id")
+    bf = bf.localCheckpoint()  # ground truth computed once, reused per arm
+    nq = bf.select("query_id").distinct().count()  # bounded: |Q|
+    path = ivfpq_write(spark, sf_dir)
+    arms = []
+    for np_ in _RC_NPROBES:
+        ivf = ivf_search(
+            spark, sf_dir, path, _QUERY_FILTER, nprobe=np_
+        ).select("query_id", "neighbor_id")
+        arm = bf.join(ivf, ["query_id", "neighbor_id"]).agg(
+            F.lit(np_).alias("nprobe"),
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            dround(
+                F.count(F.lit(1)) / F.lit(5.0 * nq), 6
+            ).alias("recall_at_5"),
+        )
+        arms.append(arm)
+    return _reduce(lambda a, b: a.unionAll(b), arms)
+
+
+q_recall_curve.__doc__ = q_recall_curve.__doc__.format(NP=_RC_NPROBES)
