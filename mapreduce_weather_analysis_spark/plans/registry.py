@@ -194,6 +194,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_corpus_to_shards",
     "q_sim_histogram",
     "q_recall_curve",
+    "q_source_outliers",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

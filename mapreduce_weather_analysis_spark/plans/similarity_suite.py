@@ -3996,3 +3996,108 @@ def q_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_recall_curve.__doc__ = q_recall_curve.__doc__.format(NP=_RC_NPROBES)
+
+
+# --- Per-source outlier documents ---------------------------------------------------
+
+_SO_TOPK = 3  # outliers surfaced per source
+
+
+def _source_outliers_oracle() -> str:
+    from ..operators.similarity import EMBED_DIM as _DIM
+
+    cos = cosine_sql("j2.v", "s.svec")
+    return f"""
+    WITH vv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    j AS (
+      SELECT d.source, vv.vec_id, vv.v
+      FROM vv JOIN documents d ON d.doc_id = vv.vec_id
+    ),
+    dims AS (
+      SELECT source, i AS dim, v[i] AS val
+      FROM j, (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+    ),
+    smeans AS (
+      SELECT source, dim,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY source, dim
+    ),
+    scents AS (
+      SELECT source, list(m ORDER BY dim) AS svec
+      FROM smeans GROUP BY source
+    ),
+    scored AS (
+      SELECT j2.source, j2.vec_id AS doc_id,
+             {dround_sql(cos, 8)} AS cos_to_centroid
+      FROM j j2 JOIN scents s ON s.source = j2.source
+    )
+    SELECT source, doc_id, cos_to_centroid, CAST(orank AS INTEGER) AS orank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY cos_to_centroid ASC, doc_id ASC
+      ) AS orank
+      FROM scored
+    ) WHERE orank <= {_SO_TOPK}
+    """
+
+
+@register("q_source_outliers", oracle=_source_outliers_oracle())
+def q_source_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-feed OUTLIER review queue: for every ingest source, the
+    {K} documents whose embeddings sit farthest (lowest cosine) from
+    their own source's centroid — the doc-level drill-down of
+    q_embedding_drift (the drift number says a feed moved; this says
+    WHICH documents to look at first: mislabeled routing, encoder
+    garbage, or injected content all surface here before they move the
+    aggregate). Standard centroid-distance outlier mining, per stratum.
+
+    Scale shape: the per-source centroids are the drift monitor's
+    decimal-exact per-dim means (|sources|·DIM rows, broadcast back);
+    per-doc scoring is one linear pass; the top-{K} is a window
+    partitioned on the source key — per-feed bounded, never global.
+    Cosines dround(8)-pinned; ranks tie-broken on doc_id."""
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    src = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    j = emb.join(src.hint("shuffle_hash"), "vec_id")
+    dims = j.select("source", F.posexplode("v").alias("dim", "val"))
+    dmean = (
+        F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+        / F.count(F.lit(1))
+    ).alias("m")
+    scents = (
+        dims.groupBy("source", "dim")
+        .agg(dmean)
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.m,
+            ).alias("svec")
+        )
+    )
+    scored = j.join(F.broadcast(scents), "source").select(
+        "source",
+        F.col("vec_id").alias("doc_id"),
+        dround(cosine(F.col("v"), F.col("svec")), 8).alias(
+            "cos_to_centroid"
+        ),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.asc("cos_to_centroid"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("orank", F.row_number().over(w).cast("int"))
+        .where(F.col("orank") <= _SO_TOPK)
+        .select("source", "doc_id", "cos_to_centroid", "orank")
+    )
+
+
+q_source_outliers.__doc__ = q_source_outliers.__doc__.format(K=_SO_TOPK)
