@@ -213,6 +213,8 @@ HEADLINE = [
     "q_recall_curve",
     # round-8 twenty-fourth wave: per-feed outlier review queue
     "q_source_outliers",
+    # round-8 twenty-fifth wave: c-TF-IDF cluster labeling
+    "q_cluster_terms",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -448,6 +450,7 @@ BASELINE_SEC = {
     "q_sim_histogram": 3.7,
     "q_recall_curve": 4.8,
     "q_source_outliers": 1.2,
+    "q_cluster_terms": 1.2,
     # stateless stream drain (explode only) + the batch JS chain
     "q_stream_lexical_drift": 3.8,
     # two single-scan gate relations + one slim doc_id join + 4-cell agg

@@ -195,6 +195,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_sim_histogram",
     "q_recall_curve",
     "q_source_outliers",
+    "q_cluster_terms",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -4101,3 +4101,114 @@ def q_source_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_source_outliers.__doc__ = q_source_outliers.__doc__.format(K=_SO_TOPK)
+
+
+# --- Cluster labeling: characteristic terms per near-dup component ------------------
+
+_CT_TOPK = 3
+
+
+def _cluster_terms_oracle() -> str:
+    from ..functions.text import tokens_sql
+
+    score = dround_sql("n * ln((ncomp + 1.0) / (df + 1.0))", 8)
+    extra = [
+        f"""cterms AS (
+      SELECT c.component, t.term
+      FROM comp c JOIN (
+        SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+      ) t ON t.doc_id = c.vec_id
+    )""",
+        """ctn AS (
+      SELECT component, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cterms GROUP BY 1, 2
+    )""",
+        """cdf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT component, term FROM cterms) GROUP BY 1
+    )""",
+        """ncr AS (
+      SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS ncomp FROM comp
+    )""",
+        f"""tscored AS (
+      SELECT component, term, n, {score} AS score
+      FROM ctn JOIN cdf USING (term), ncr
+    )""",
+    ]
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(_knn_graph_ctes() + extra)
+        + f"""
+    SELECT component, term, n, score, CAST(trank AS INTEGER) AS trank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY component ORDER BY score DESC, term ASC
+      ) AS trank
+      FROM tscored
+    ) WHERE trank <= {_CT_TOPK}
+    """
+    )
+
+
+@register("q_cluster_terms", oracle=_cluster_terms_oracle())
+def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER LABELING: the {K} most characteristic terms per mutual-kNN
+    component — term frequency within the cluster weighted by smoothed
+    inverse CLUSTER frequency (c-TF-IDF, the BERTopic labeling recipe:
+    Grootendorst arXiv:2203.05794 §3.3, with components as the topic
+    unit). The interpretability bridge between the graph family and the
+    text family: q_knn_graph_clusters says WHICH docs cluster together,
+    this says WHAT each cluster is about — the label a reviewer reads
+    before deciding collapse-vs-keep (q_component_profile gives the
+    structure, this gives the semantics).
+
+    Scale shape: component labels come from the persisted graph artifact
+    (vec_id-keyed join against the exploded token stream — near-dup
+    members only, ≪ corpus); per-(component, term) and per-term-distinct
+    aggs are partial-agg'd; the cluster count is one broadcast row and
+    the top-{K} window partitions on the component key over each
+    cluster's own vocabulary (bounded by member text, never global).
+    Counts exact; the single ln is dround(8)-pinned."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens
+
+    comp = read_components(spark, sf_dir).select("vec_id", "component")
+    terms = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.explode(tokens("text")).alias("term")
+    )
+    cterms = comp.join(terms, "vec_id").select("component", "term")
+    ctn = cterms.groupBy("component", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cdf = (
+        cterms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    ncr = comp.agg(
+        F.countDistinct("component").cast("bigint").alias("ncomp")
+    )
+    scored = (
+        ctn.join(cdf, "term")
+        .crossJoin(F.broadcast(ncr))
+        .select(
+            "component",
+            "term",
+            "n",
+            dround(
+                F.col("n")
+                * F.log((F.col("ncomp") + 1.0) / (F.col("df") + 1.0)),
+                8,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("component").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("trank", F.row_number().over(w).cast("int"))
+        .where(F.col("trank") <= _CT_TOPK)
+        .select("component", "term", "n", "score", "trank")
+    )
+
+
+q_cluster_terms.__doc__ = q_cluster_terms.__doc__.format(K=_CT_TOPK)
