@@ -95,11 +95,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # appears exactly once (VERDICT r7 asks #2/#10).
 _WINDOW = 50
 
-# Round-7 family — never driver-certified (first official rows this
-# round, VERDICT r7 ask #2): IMI/SQ8/Matryoshka/IVF-SQ8 serving, Bloom
-# decontamination, ExactSubstr removal, hybrid-persisted retrieval, the
-# kNN self-join family, quality classifier, A-ES weighted sampling.
-_R7_FAMILY: tuple[str, ...] = (
+# Certified round 8 (first official rows): the round-7 IMI/SQ8/kNN/
+# sampling family — now green, parked with the fresh tail below.
+_R8_GREEN_A: tuple[str, ...] = (
     "q_ann_imi_search",
     "q_ann_sq8_topk",
     "q_ann_matryoshka_rerank",
@@ -121,9 +119,9 @@ _R7_FAMILY: tuple[str, ...] = (
     "q_weighted_sample_stratified",
 )
 
-# Round-8 additions — never certified; inserted in-window ahead of the
-# re-certification fill as they land.
-_R8_NEW: tuple[str, ...] = (
+# Certified round 8 (first official rows): the round-8 graph/curation/
+# TPC-H-completion waves.
+_R8_GREEN_B: tuple[str, ...] = (
     "q_knn_refine2",
     "q_diverse_sample",
     "q_knn_triangles",
@@ -157,10 +155,13 @@ _R8_NEW: tuple[str, ...] = (
     "q_quality_calibration",
 )
 
-# Round-8 additions past the full window — the 19+31 never-certified
-# names above consume every slot, so these queue IMMEDIATELY after the
-# boundary (the round-5 q_sample_temperature precedent: parked at slot
-# 51, certified on the next rotation) and lead round 9's window.
+# NEVER driver-certified (VERDICT r8 ask #1): the round-8 waves 10-25
+# parked past the then-full window — lexical store build/serve/add,
+# prefix-sum sharding, ANN delete/compaction, graph beam search,
+# streaming monitors, PCA/anisotropy/ABTT, DSIR resampling, k-center,
+# k-anonymity, PMI, TextRank, KS drift, calibration bins, the
+# curate-to-shards capstone, and the three post-window additions.
+# They LEAD the round-9 window for their first official rows.
 _R9_QUEUE: tuple[str, ...] = (
     "q_token_shards",
     "q_bm25_search",
@@ -199,7 +200,8 @@ _R9_QUEUE: tuple[str, ...] = (
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification
-# candidates; the head of this section fills the window's free slots.
+# candidates; the head of this section fills the round-9 window's 16
+# free slots (VERDICT r8 ask #3: resume the re-cert rotation).
 _R3_GREEN: tuple[str, ...] = (
     "q_ann_gemm_topk",
     "q_ann_ivf_sampled",
@@ -388,13 +390,13 @@ _R7_GREEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    _R7_FAMILY
-    + _R8_NEW
-    + _R9_QUEUE
+    _R9_QUEUE
     + _R3_GREEN
     + _R4_GREEN
     + _R5_GREEN
     + _R7_GREEN
+    + _R8_GREEN_A
+    + _R8_GREEN_B
 )
 
 

@@ -83,8 +83,7 @@ def test_priority_sections_cover_registry_exactly():
     gets an official row on its first rotation."""
     from mapreduce_weather_analysis_spark.plans.registry import (
         _PRIORITY,
-        _R7_FAMILY,
-        _R8_NEW,
+        _R3_GREEN,
         _R9_QUEUE,
         _WINDOW,
         _import_plans,
@@ -93,11 +92,10 @@ def test_priority_sections_cover_registry_exactly():
     _import_plans()
     assert len(_PRIORITY) == len(set(_PRIORITY)) == len(REGISTRY)
     assert set(_PRIORITY) == set(REGISTRY)
-    assert len(_R7_FAMILY) + len(_R8_NEW) <= _WINDOW
-    # the round-8 window leads with the never-certified sections; the
-    # post-window additions queue immediately after the boundary so they
-    # lead the NEXT rotation's window
-    head = _R7_FAMILY + _R8_NEW + _R9_QUEUE
+    # the round-9 window leads with the never-certified _R9_QUEUE; the
+    # remaining slots re-certify the stalest (round-3) greens head-first
+    assert len(_R9_QUEUE) <= _WINDOW
+    head = _R9_QUEUE + _R3_GREEN
     assert _PRIORITY[: len(head)] == head
 
 
