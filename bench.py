@@ -215,6 +215,8 @@ HEADLINE = [
     "q_source_outliers",
     # round-8 twenty-fifth wave: c-TF-IDF cluster labeling
     "q_cluster_terms",
+    # round-9: ABTT indexed serving (the probe-bounded scale path)
+    "q_abtt_search_indexed",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -440,6 +442,7 @@ BASELINE_SEC = {
     "q_textrank_keywords": 3.0,
     "q_pmi_pairs": 1.1,
     "q_abtt_search": 6.8,
+    "q_abtt_search_indexed": 1.3,  # warm probe-bounded serving (build amortized)
     "q_kcenter_select": 1.8,
     "q_kanon_audit": 0.4,
     "q_ranker_agreement": 3.2,

@@ -437,14 +437,11 @@ def docvec_index_path(sf_dir: str) -> str:
     return os.path.join(INDEX_ROOT, f"{base}-doc-{fp}-{_LAYOUT_VERSION}")
 
 
-def docvec_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
-    """Build a persisted exact-cosine IVF index over an ARBITRARY vector
-    relation ``vecs`` (vec_id, embedding) — here the hashing-trick
-    document vectors, making the text corpus itself ANN-servable. Same
-    deterministic build (ivf_index) and layout (cluster-partitioned
-    ``vecs/`` + ``centroids/``) as the embeddings index; no PQ arm —
-    document serving here is exact-cosine within probed cells."""
-    path = docvec_index_path(sf_dir)
+def _write_exact_ivf(path: str, vecs: DataFrame) -> str:
+    """Build-and-persist an exact-cosine IVF index (cluster-partitioned
+    full-precision ``vecs/`` + ``centroids/``) over any (vec_id,
+    embedding) relation — the shared body of docvec_write and abtt_write.
+    Marker-idempotent: a complete artifact at ``path`` is served as-is."""
     marker = os.path.join(path, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return path
@@ -460,6 +457,51 @@ def docvec_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
     with open(marker, "w", encoding="utf-8"):
         pass
     return path
+
+
+def docvec_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
+    """Build a persisted exact-cosine IVF index over an ARBITRARY vector
+    relation ``vecs`` (vec_id, embedding) — here the hashing-trick
+    document vectors, making the text corpus itself ANN-servable. Same
+    deterministic build (ivf_index) and layout (cluster-partitioned
+    ``vecs/`` + ``centroids/``) as the embeddings index; no PQ arm —
+    document serving here is exact-cosine within probed cells."""
+    return _write_exact_ivf(docvec_index_path(sf_dir), vecs)
+
+
+def _abtt_signature() -> str:
+    """Constants the ABTT correction depends on: the power-iteration round
+    count (the eigenvector the correction subtracts) plus a correction-
+    recipe version (centering + single-component removal, psum scales).
+    Folded into the index path so a PCA-constant change rebuilds instead
+    of serving a stale corrected corpus against a fresh oracle."""
+    from ..plans.similarity_suite import _PCA_ROUNDS
+
+    # v2: corrected values dround(8)-pinned (raw cosine folds over the
+    # persisted lists need bit-identical cd across engines)
+    return f"abtt_v2:pca_rounds={_PCA_ROUNDS}"
+
+
+def abtt_index_path(sf_dir: str) -> str:
+    """Index path for the ABTT-CORRECTED vector index (Mu & Viswanath
+    ICLR'18 post-processing baked into the artifact): fingerprinted on
+    the embeddings file + build constants + the correction signature."""
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = hashlib.md5(
+        f"abtt:{st.st_size}:{st.st_mtime_ns}:{_build_signature()}:"
+        f"{_abtt_signature()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(INDEX_ROOT, f"{base}-abtt-{fp}-{_LAYOUT_VERSION}")
+
+
+def abtt_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
+    """Persist the exact-cosine IVF index over the ABTT-corrected corpus
+    (``vecs`` = the corrected (vec_id, embedding) relation computed by
+    the plans layer): correct ONCE at build time, then every query is a
+    probe-bounded partition-pruned search — the scale path that replaces
+    q_abtt_search's brute-force demonstration."""
+    return _write_exact_ivf(abtt_index_path(sf_dir), vecs)
 
 
 def search_vectors(

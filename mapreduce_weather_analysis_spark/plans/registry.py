@@ -197,6 +197,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_recall_curve",
     "q_source_outliers",
     "q_cluster_terms",
+    # round-9 additions (never certified) append here, inside the window
+    "q_abtt_search_indexed",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

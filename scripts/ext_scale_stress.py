@@ -62,6 +62,7 @@ QUERIES = [
     "q_ann_range_search",
     "q_stream_lexical_drift",
     "q_quality_calibration",
+    "q_abtt_search_indexed",
 ]
 
 

@@ -192,7 +192,13 @@ def test_persisted_serving_broadcasts_and_prunes(spark):
     query-side relation (probes/shortlist/queries — the corpus never
     shuffles for serving) and dynamically prune the cell-partitioned
     inverted lists."""
-    for name in ("q_ann_ivf_search", "q_ann_ivfpq_rerank"):
+    for name in (
+        "q_ann_ivf_search",
+        "q_ann_ivfpq_rerank",
+        # the ABTT indexed arm must serve exactly like the other
+        # persisted indexes — correct-then-index, never brute force
+        "q_abtt_search_indexed",
+    ):
         plan = _plan(REGISTRY[name].fn(spark, SMOKE_SF))
         assert _n_ops(plan, "BroadcastHashJoin") >= 1, name
         assert "SortMergeJoin" not in plan, name
