@@ -798,9 +798,14 @@ def compaction_write(
     tombstone anti-join. The LSM merge step: tombstones accumulate cheap,
     compaction amortizes them away; idempotent via the marker protocol,
     keyed off the live index's fingerprint so a corpus change invalidates
-    the compacted copy with its parent."""
+    the compacted copy with its parent. The delete predicate is part of
+    the artifact's identity (ADVICE r8): a compacted copy built for one
+    tombstone_filter must never serve a call with another, so its hash
+    joins the path suffix — the same convention as lexical_write's
+    _lex_signature folding every constant the build depends on."""
     parent = ivfpq_write(spark, sf_dir)
-    path = parent + "-compact"
+    tf = hashlib.md5(tombstone_filter.encode()).hexdigest()[:8]
+    path = f"{parent}-compact-{tf}"
     marker = os.path.join(path, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return path

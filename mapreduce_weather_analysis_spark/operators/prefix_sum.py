@@ -46,7 +46,12 @@ def exclusive_prefix_sum(
 
     ``value_col`` must be integral (the per-partition totals and offsets
     stay exact bigints end-to-end). ``order_col`` must be unique — it is
-    the total order being scanned.
+    the total order being scanned. With duplicate keys the row-based
+    frame below still produces a valid scan of SOME tie order, but that
+    order (hence each peer's prefix) is not deterministic across runs;
+    a count-vs-distinct guard is deliberately not paid here (it would
+    add a third full scan to a two-scan operator) — callers own the
+    uniqueness contract.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -68,7 +73,15 @@ def exclusive_prefix_sum(
     if not offsets:  # empty input: preserve schema, nothing to scan
         return df.withColumn(out_col, F.lit(0).cast("bigint"))
     odf = spark.createDataFrame(offsets, schema="_pid int, _off bigint")
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    # ROWS frame, not the default RANGE (ADVICE r8): with RANGE, peer
+    # rows (duplicate order keys) would share one inclusive sum and the
+    # subtraction below would yield wrong exclusive prefixes SILENTLY
+    # instead of surfacing the key-uniqueness precondition violation.
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     running = F.sum(F.col(value_col).cast("bigint")).over(w)
     return (
         part.join(F.broadcast(odf), "_pid")

@@ -33,20 +33,21 @@ _EDGES_SQL = """
 """
 
 
-def _pagerank_oracle(
-    iters: int = _PR_ITERS,
-    damping: float = _PR_DAMPING,
-    edges_sql: str | None = None,
-) -> str:
-    """Unrolled-CTE twin of operators/graph.pagerank: r0 -> r{iters}.
-    ``edges_sql`` (src, dst, w) defaults to the nation trade graph;
-    q_textrank_keywords reuses the same unroll over the word graph."""
+def _pagerank_cte_list(
+    edges_sql: str, iters: int, damping: float
+) -> list[str]:
+    """The unrolled PageRank recurrence as a LIST of CTE definitions
+    (e, nodes, nn, ow, r0, c1, r1, … r{iters}) — the single definition
+    both _pagerank_oracle and _pagerank_ctes compose from (ADVICE r8:
+    the WITH-block was previously recovered by string-splitting the
+    generated oracle, which any rewording of the final select would
+    silently break)."""
     term = (
         "CAST(CAST((r.rank * CAST(e.w AS DOUBLE)) / CAST(ow.out_w AS DOUBLE)"
         " AS VARCHAR) AS DECIMAL(18,12))"
     )
     ctes = [
-        f"e AS ({edges_sql or _EDGES_SQL})",
+        f"e AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
         "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1)",
@@ -69,20 +70,35 @@ def _pagerank_oracle(
             f" + CAST({damping} AS DOUBLE) * COALESCE(c.contrib, 0.0) AS rank"
             f" FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"
         )
+    return ctes
+
+
+def _pagerank_oracle(
+    iters: int = _PR_ITERS,
+    damping: float = _PR_DAMPING,
+    edges_sql: str | None = None,
+) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank: r0 -> r{iters}.
+    ``edges_sql`` (src, dst, w) defaults to the nation trade graph;
+    q_textrank_keywords reuses the same unroll over the word graph."""
     return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"\n    SELECT node AS nation, rank FROM r{iters}"
+        _pagerank_ctes(edges_sql or _EDGES_SQL, iters, damping)
+        + f"SELECT node AS nation, rank FROM r{iters}"
     )
 
 
 def _pagerank_ctes(
     edges_sql: str, iters: int, damping: float
 ) -> str:
-    """The WITH-block of :func:`_pagerank_oracle` without its final
-    select — callers append their own projection over ``r{iters}``."""
-    full = _pagerank_oracle(iters=iters, damping=damping, edges_sql=edges_sql)
-    return full.rsplit("SELECT node AS nation", 1)[0]
+    """The WITH-block of the PageRank unroll (trailing newline+indent
+    included) — callers append their own projection over ``r{iters}``.
+    Composed from :func:`_pagerank_cte_list`, not recovered from
+    generated SQL."""
+    return (
+        "WITH "
+        + ",\n    ".join(_pagerank_cte_list(edges_sql, iters, damping))
+        + "\n    "
+    )
 
 
 @register("q_pagerank_nations", oracle=_pagerank_oracle())

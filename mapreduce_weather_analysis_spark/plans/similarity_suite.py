@@ -4089,7 +4089,10 @@ def q_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.expr(_QUERY_FILTER))
     bf = brute_force_topk(q, e).select("query_id", "neighbor_id")
     bf = bf.localCheckpoint()  # ground truth computed once, reused per arm
-    nq = bf.select("query_id").distinct().count()  # bounded: |Q|
+    # nq from the QUERY relation itself, matching the oracle's rnq
+    # (ADVICE r8): counting distinct query_ids in the brute-force result
+    # diverges on a degenerate corpus where a query has zero neighbors
+    nq = q.count()  # bounded: |Q|
     path = ivfpq_write(spark, sf_dir)
     arms = []
     for np_ in _RC_NPROBES:

@@ -758,7 +758,11 @@ def test_skew_profile_aggregates_frequency_tables_only(spark):
     tiny self-join), and no global sort."""
     plan = _plan(REGISTRY["q_skew_profile"].fn(spark, SMOKE_SF))
     assert not _window_partition_keys(plan), "expected a window-free plan"
-    assert "Sort " not in plan or "SortMergeJoin" not in plan
+    # two independent asserts (ADVICE r8: the old `or` made this pair
+    # near-vacuous): no shuffle join anywhere, and no sort of any kind
+    # — the frequency tables are tiny hash-agg relations throughout
+    assert "SortMergeJoin" not in plan
+    assert "Sort " not in plan
     assert _n_ops(plan, "HashAggregate") >= 4  # counts + freq per branch
 
 
