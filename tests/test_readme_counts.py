@@ -81,3 +81,27 @@ def test_readme_collected_test_count():
         f"README claims {claims['tests']} collected tests, "
         f"pytest collects {collected}"
     )
+
+
+def test_readme_no_inline_query_counts_outside_block():
+    """No inline query-count or wall-over-N-queries literal may appear in
+    the CURRENT sections of the README (everything before the historical
+    '### Earlier rounds' archive) outside the enforced 'By the numbers'
+    block — VERDICT r8 #3's recurring drift class ("233.9 s over 144
+    queries" went stale the moment three more queries landed). Current
+    prose must cite the block or the BENCH_r{N}.json artifact instead of
+    repeating numbers the count tests can't see."""
+    text = (REPO / "README.md").read_text()
+    cut = text.find("### Earlier rounds")
+    assert cut != -1, "README must keep the '### Earlier rounds' archive"
+    current = text[:cut]
+    block = re.search(r"## By the numbers\n.*?\n## ", current, re.S)
+    assert block
+    current = current[: block.start()] + current[block.end():]
+    offenders = re.findall(
+        r"[^\n]*(?:\b\d+[- ]quer|\d[\d.]* s over \d)[^\n]*", current
+    )
+    assert not offenders, (
+        "inline query-count literals outside the enforced block "
+        f"(cite 'By the numbers' or BENCH_r{{N}}.json instead): {offenders}"
+    )
