@@ -217,6 +217,10 @@ HEADLINE = [
     "q_cluster_terms",
     # round-9: ABTT indexed serving (the probe-bounded scale path)
     "q_abtt_search_indexed",
+    # round-9 second wave: classifier PR sweep, deflated PCA-2, binary ANN
+    "q_pr_curve",
+    "q_embed_pca2",
+    "q_ann_binary_hamming",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -443,6 +447,9 @@ BASELINE_SEC = {
     "q_pmi_pairs": 1.1,
     "q_abtt_search": 6.8,
     "q_abtt_search_indexed": 1.3,  # warm probe-bounded serving (build amortized)
+    "q_pr_curve": 1.9,  # timed under concurrent 100x-pack load
+    "q_embed_pca2": 4.4,  # PCA chain + deflated iteration (same load caveat)
+    "q_ann_binary_hamming": 0.9,
     "q_kcenter_select": 1.8,
     "q_kanon_audit": 0.4,
     "q_ranker_agreement": 3.2,

@@ -3155,6 +3155,140 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_calibration_bins.__doc__ = q_calibration_bins.__doc__.format(B=_CB_BINS)
 
 
+def _pr_curve_oracle() -> str:
+    score = (
+        "0.5 + (logit_milli / (1000.0 * n_tokens))"
+        " / (2 * (1 + abs(logit_milli / (1000.0 * n_tokens))))"
+    )
+    return gopher_sig_sql("doc_id") + f""", cct AS (
+      SELECT doc_id, {portable_hash32_sql('term')} % {_QC_DIM} AS b
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS term
+            FROM documents)
+    ),
+    csc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM({_qc_weight_sql('b')}) AS logit_milli
+      FROM cct GROUP BY doc_id
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR({dround_sql(score, 6)} * {_CB_BINS})
+                   AS BIGINT), {_CB_BINS - 1}) AS bin,
+             CASE WHEN g.keep THEN 1 ELSE 0 END AS pos
+      FROM csc q JOIN g_keep g USING (doc_id)
+    ),
+    cells AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS npos
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(COALESCE(SUM(npos), 0) AS BIGINT) AS total_pos
+            FROM cells),
+    thr AS (SELECT unnest(range(0, {_CB_BINS})) AS k),
+    agg AS (
+      SELECT t.k,
+             CAST(COALESCE(SUM(c.npos), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(c.n - c.npos), 0) AS BIGINT) AS fp
+      FROM thr t LEFT JOIN cells c ON c.bin >= t.k
+      GROUP BY t.k
+    ),
+    pr AS (
+      SELECT CAST(k AS INTEGER) AS bin_threshold,
+             {dround_sql(f'k * 1.0 / {_CB_BINS}', 6)} AS threshold,
+             tp + fp AS n_pred_pos, tp,
+             CASE WHEN tp + fp > 0
+                  THEN {dround_sql('tp * 1.0 / (tp + fp)', 6)} END AS prec,
+             CASE WHEN total_pos > 0
+                  THEN {dround_sql('tp * 1.0 / total_pos', 6)} END AS rec
+      FROM agg, tot
+    )
+    SELECT bin_threshold, threshold, n_pred_pos, tp, prec, rec,
+           CASE WHEN prec + rec > 0
+                THEN {dround_sql('2 * prec * rec / (prec + rec)', 6)}
+           END AS f1
+    FROM pr
+    """
+
+
+@register("q_pr_curve", oracle=_pr_curve_oracle())
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 SWEEP for the quality classifier against the
+    Gopher rule gate as reference labels — the threshold-placement
+    evidence (Davis & Goadrich ICML'06: PR curves over ROC when the
+    positive class is what you ship): one row per candidate decision
+    threshold k/{B}, with predicted-positive volume, true positives,
+    precision, recall, F1. Completes the classifier-governance trio:
+    q_quality_calibration (4-cell confusion at the default threshold),
+    q_calibration_bins (is the score itself honest), this query (where
+    to PUT the threshold, and what corpus volume each choice admits).
+
+    Scale shape: ONE corpus pass reduces to a ≤{B}-cell (bin, count,
+    positives) histogram — the skew-profile trick: every threshold's
+    TP/FP is a SUFFIX SUM over that broadcast-sized table, so the
+    sweep costs a {B}×{B} nested-loop join of tiny relations, never a
+    per-threshold corpus rescan. NULL (not 0) precision when nothing
+    is predicted positive and NULL recall/F1 on a positive-free corpus
+    — pinned identically in both engines."""
+    g = gopher_signals(t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.col("keep").alias("pos")
+    )
+    c = q_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    binned = c.join(g, "doc_id").select(
+        F.least(
+            F.floor(F.col("score") * _CB_BINS).cast("bigint"),
+            F.lit(_CB_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.col("pos").cast("int").alias("pos"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    tot = cells.agg(
+        F.coalesce(F.sum("npos"), F.lit(0)).cast("bigint").alias("total_pos")
+    )
+    thr = spark.range(0, _CB_BINS).select(F.col("id").alias("k"))
+    agg = (
+        F.broadcast(thr)
+        .join(F.broadcast(cells), F.col("bin") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("npos"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.sum(F.col("n") - F.col("npos")), F.lit(0))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    pr = agg.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("int").alias("bin_threshold"),
+        dround(F.col("k") * 1.0 / _CB_BINS, 6).alias("threshold"),
+        (F.col("tp") + F.col("fp")).alias("n_pred_pos"),
+        "tp",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            dround(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6),
+        ).alias("prec"),
+        F.when(
+            F.col("total_pos") > 0,
+            dround(F.col("tp") * 1.0 / F.col("total_pos"), 6),
+        ).alias("rec"),
+    )
+    return pr.select(
+        "*",
+        F.when(
+            F.col("prec") + F.col("rec") > 0,
+            dround(
+                2 * F.col("prec") * F.col("rec")
+                / (F.col("prec") + F.col("rec")),
+                6,
+            ),
+        ).alias("f1"),
+    )
+
+
+q_pr_curve.__doc__ = q_pr_curve.__doc__.format(B=_CB_BINS)
+
+
 # --- End-to-end: curate → shard (the pipeline capstone) -------------------------
 
 

@@ -199,6 +199,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_cluster_terms",
     # round-9 additions (never certified) append here, inside the window
     "q_abtt_search_indexed",
+    "q_pr_curve",
+    "q_embed_pca2",
+    "q_ann_binary_hamming",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

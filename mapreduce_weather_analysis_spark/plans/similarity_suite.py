@@ -770,6 +770,168 @@ register("q_ann_matryoshka_rerank", oracle=_MRL_ORACLE)(
 )
 
 
+# --- Binary quantization: sign codes + Hamming shortlist + float rerank ----------
+
+_BH_SHORTLIST = 20
+
+_BH_CODES_SQL = """
+    bv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bx AS (
+      SELECT vec_id, i - 1 AS dim, v[i] AS x
+      FROM bv, (SELECT unnest(range(1, 65)) AS i)
+    ),
+    codes AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN x > 0 AND dim < 32
+                      THEN CAST(POW(2, dim) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN x > 0 AND dim >= 32
+                      THEN CAST(POW(2, dim - 32) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS hi
+      FROM bx GROUP BY vec_id
+    )"""
+
+_BH_ORACLE = f"""
+    WITH {_BH_CODES_SQL},
+    bq AS (
+      SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+      FROM codes WHERE {_QUERY_FILTER}
+    ),
+    ham AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi))
+               AS INTEGER) AS hamming
+      FROM bq JOIN codes c ON c.vec_id <> query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC
+        ) AS hrank FROM ham
+      ) WHERE hrank <= {_BH_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           hamming, cosine
+    FROM (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             {cosine_sql('qv.v', 'nv.v')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {cosine_sql('qv.v', 'nv.v')} DESC, s.neighbor_id ASC
+             ) AS rank
+      FROM short s
+      JOIN bv qv ON qv.vec_id = s.query_id
+      JOIN bv nv ON nv.vec_id = s.neighbor_id
+    ) WHERE rank <= 5
+    """
+
+
+@register("q_ann_binary_hamming", oracle=_BH_ORACLE)
+def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-quantized ANN (FAISS IndexBinaryFlat + rerank; the sign/
+    LSH-bit family of Charikar STOC'02): each vector collapses to its
+    64 SIGN BITS packed into two bigints (16 bytes — a 32× bandwidth
+    cut vs the float vector), the shortlist is a linear Hamming scan
+    (XOR + popcount, the cheapest distance a CPU can evaluate), and the
+    {S}-candidate shortlist is confirmed with full-precision cosine.
+    Fourth compact-representation arm beside PQ (codebook), SQ8
+    (per-dim affine), and MRL (prefix slice) — binary is the zero-
+    training, zero-arithmetic extreme of the winnow-then-confirm
+    family.
+
+    Scale shape: code build is one linear pass (a (vec_id, dim) partial
+    agg folding bits into two bigints); the scan is broadcast(|Q| query
+    codes) × N 16-byte rows — integer XOR/popcount inside whole-stage
+    codegen, no shuffle of the corpus; full-precision reads shrink to
+    the |Q|·{S} rerank joins. At 10¹⁰ vectors the binary relation is
+    160 GB vs 5 TB of floats — the difference between a scan that fits
+    page cache and one that doesn't. Determinism: codes are exact
+    integers both engines (sign tests on identical doubles, POW(2,dim)
+    exact in double through 2³¹); Hamming is integer; rerank is the
+    raw cosine/cosine_sql pair with id tie-breaks."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine as _cos
+
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bx = vecs.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    bit = F.when(
+        (F.col("x") > 0) & (F.col("dim") < 32),
+        F.pow(F.lit(2.0), F.col("dim")).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    bit_hi = F.when(
+        (F.col("x") > 0) & (F.col("dim") >= 32),
+        F.pow(F.lit(2.0), F.col("dim") - 32).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    codes = bx.groupBy("vec_id").agg(
+        F.sum(bit).cast("bigint").alias("lo"),
+        F.sum(bit_hi).cast("bigint").alias("hi"),
+    )
+    bq = codes.where(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        F.broadcast(bq)
+        .crossJoin(codes.withColumnRenamed("vec_id", "neighbor_id"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = (
+        ham.withColumn("hrank", F.row_number().over(wh))
+        .where(F.col("hrank") <= _BH_SHORTLIST)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvv")
+    )
+    nv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nvv")
+    )
+    rescored = (
+        F.broadcast(short)
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            _cos(F.col("qvv"), F.col("nvv")).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "hamming", "cosine")
+    )
+
+
+q_ann_binary_hamming.__doc__ = q_ann_binary_hamming.__doc__.format(
+    S=_BH_SHORTLIST
+)
+
+
 def _hard_neg_oracle() -> str:
     from ..operators.ivf import ivf_chain
 
@@ -3852,6 +4014,86 @@ def q_abtt_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     )
     return search_vectors(spark, path, qv)
+
+
+def _pca2_oracle() -> str:
+    ctes = _abtt_corr_ctes() + [
+        """u0 AS (
+      SELECT DISTINCT dim,
+             CASE WHEN dim = 0 THEN 1.0 ELSE 0.0 END AS val
+      FROM corr
+    )""",
+    ]
+    for r in range(1, _PCA_ROUNDS + 1):
+        ctes += [
+            f"""uproj{r} AS (
+      SELECT vec_id, {psum_sql('cd * val', 12)} AS p
+      FROM corr JOIN u{r - 1} USING (dim) GROUP BY vec_id
+    )""",
+            f"""uw{r} AS (
+      SELECT dim, {psum_sql('cd * p', 8)} AS wv
+      FROM corr JOIN uproj{r} USING (vec_id) GROUP BY dim
+    )""",
+            f"""un{r} AS (
+      SELECT sqrt({psum_sql('wv * wv', 8)}) AS nrm FROM uw{r}
+    )""",
+            f"""u{r} AS (
+      SELECT dim, {dround_sql('wv / nrm', 8)} AS val FROM uw{r}, un{r}
+    )""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT dim, val AS loading FROM u{_PCA_ROUNDS}
+    """
+    )
+
+
+@register("q_embed_pca2", oracle=_pca2_oracle())
+def q_embed_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND principal component by power iteration WITH DEFLATION:
+    iterate over the ABTT-corrected relation (the corpus with the top
+    component already projected out — _abtt_corrected, the exact
+    deflation classical PCA uses: deflate, then the dominant
+    eigenvector of the residual IS component 2). Mu & Viswanath remove
+    the top D components, not one (D ≈ dim/100); this is the D=2 step,
+    and the machinery composes: correct → iterate → correct again.
+    Same fixed-round/pinned-normalization determinism contract as
+    q_embed_pca, so the oracle unrolls identically over the shared
+    corrected-corpus CTE chain.
+
+    Scale shape: identical to q_embed_pca — the deflated corpus is one
+    extra linear pass (already materialized by the correction), each
+    round two key-partitioned psum aggregations + a 1-row norm
+    broadcast; the eigenvector relation stays DIM rows."""
+    corr = _abtt_corrected(spark, sf_dir)
+    u = (
+        corr.select("dim")
+        .distinct()
+        .select(
+            "dim",
+            F.when(F.col("dim") == 0, 1.0).otherwise(0.0).alias("val"),
+        )
+    )
+    for _ in range(_PCA_ROUNDS):
+        proj = (
+            corr.join(F.broadcast(u), "dim")
+            .groupBy("vec_id")
+            .agg(psum(F.col("cd") * F.col("val"), 12).alias("p"))
+        )
+        w = (
+            corr.join(proj, "vec_id")
+            .groupBy("dim")
+            .agg(psum(F.col("cd") * F.col("p"), 8).alias("wv"))
+        )
+        nrm = w.agg(F.sqrt(psum(F.col("wv") * F.col("wv"), 8)).alias("nrm"))
+        u = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("dim", dround(F.col("wv") / F.col("nrm"), 8).alias("val"))
+            .localCheckpoint()
+        )
+    return u.select("dim", F.col("val").alias("loading"))
 
 
 # --- Greedy k-center coreset selection -------------------------------------------

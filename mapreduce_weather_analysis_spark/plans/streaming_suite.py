@@ -17,6 +17,7 @@ from ..streaming.events_stream import (
     read_embeddings_stream,
     read_events_stream,
     run_available_now,
+    run_available_now_files,
     running_user_counts,
     tumbling_window_agg,
 )
@@ -675,7 +676,10 @@ def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # INTERNAL_ERROR (observed on Spark 4.1) and would re-read the sink
     # thrice anyway; the checkpoint gives the batch math a plain
     # materialized relation
-    drained = run_available_now(dims, spark, mode="append").localCheckpoint()
+    # file-sink drain: N×DIM exploded rows through the memory sink means
+    # corpus-sized task results at the driver — measured maxResultSize
+    # kill at the 100× pack; the parquet sink keeps rows on executors
+    drained = run_available_now_files(dims, spark).localCheckpoint()
     dmean = (
         F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
         / F.count(F.lit(1))
@@ -744,7 +748,10 @@ def q_stream_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = stream.select(
         "doc_id", "source", F.explode_outer(tokens("text")).alias("term")
     )
-    drained = run_available_now(rows, spark, mode="append").localCheckpoint()
+    # file-sink drain (see q_stream_embedding_drift): the token-exploded
+    # relation is corpus-sized — the memory sink's driver collect is the
+    # one piece of this plan that did NOT survive the 100× pack
+    drained = run_available_now_files(rows, spark).localCheckpoint()
     trows = drained.where(F.col("term").isNotNull()).select("source", "term")
     ndocs = (
         drained.select("doc_id", "source")

@@ -11,6 +11,7 @@ deterministic and batch-equivalent — the DuckDB oracle of the batch twin
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import ensure_session_conf
+
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -130,6 +132,32 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_available_now_files(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain a bounded APPEND-mode stream through a parquet FILE sink and
+    read the result back — for drains whose row count scales with the
+    corpus (exploded token/dimension relations). The memory sink ships
+    every sink row through the driver as task results: at the 100×
+    document pack the lexical-drift token drain exceeded
+    spark.driver.maxResultSize (1 GiB) and killed the stream — a
+    measured failure, not a hypothetical. The file sink is the
+    production posture anyway (executors write their own partitions;
+    the driver sees only commit metadata), and the downstream batch
+    chain reads the files exactly as it read the memory table."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_drain_")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(agg.schema).parquet(os.path.join(out, "data"))
 
 
 def run_foreach_batch_parquet(

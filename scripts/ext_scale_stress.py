@@ -63,6 +63,7 @@ QUERIES = [
     "q_stream_lexical_drift",
     "q_quality_calibration",
     "q_abtt_search_indexed",
+    "q_ann_binary_hamming",
 ]
 
 
