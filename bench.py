@@ -221,6 +221,10 @@ HEADLINE = [
     "q_pr_curve",
     "q_embed_pca2",
     "q_ann_binary_hamming",
+    # round-9 third wave: CDC fold, streaming BM25 serving, MaxSim rerank
+    "q_cdc_apply",
+    "q_stream_bm25_search",
+    "q_late_interaction",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -450,6 +454,9 @@ BASELINE_SEC = {
     "q_pr_curve": 1.9,  # timed under concurrent 100x-pack load
     "q_embed_pca2": 4.4,  # PCA chain + deflated iteration (same load caveat)
     "q_ann_binary_hamming": 0.9,
+    "q_cdc_apply": 0.5,
+    "q_stream_bm25_search": 3.9,  # stream-static postings join + file-sink drain
+    "q_late_interaction": 1.9,
     "q_kcenter_select": 1.8,
     "q_kanon_audit": 0.4,
     "q_ranker_agreement": 3.2,

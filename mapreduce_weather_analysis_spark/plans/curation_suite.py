@@ -3373,3 +3373,147 @@ def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --- Late-interaction rerank: token-level MaxSim over the BM25 shortlist ------
+
+_LI_TOPK = 10
+
+
+def _li_gram_sql(tok: str) -> str:
+    """Distinct char-trigram list of ``tok`` (whole token if shorter than
+    3 chars) — DuckDB twin of the Spark _li_grams column."""
+    return (
+        f"CASE WHEN len({tok}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({tok}) - 1), i -> substr({tok}, i, 3))) "
+        f"ELSE [{tok}] END"
+    )
+
+
+def _li_oracle() -> str:
+    terms = "[" + ", ".join(f"'{w}'" for w in _BM25_QUERY) + "]"
+    ctes = _lex_ctes() + [
+        f"""liq AS (
+      SELECT qt, CAST(len(grams) AS BIGINT) AS nq, unnest(grams) AS g
+      FROM (SELECT qt, {_li_gram_sql('qt')} AS grams
+            FROM (SELECT unnest({terms}) AS qt))
+    )""",
+        """litok AS (
+      SELECT DISTINCT lex.doc_id, term AS dt
+      FROM lex JOIN (SELECT doc_id, unnest(toks) AS term FROM toks) tt
+        ON tt.doc_id = lex.doc_id
+    )""",
+        f"""ligr AS (
+      SELECT doc_id, dt, CAST(len(grams) AS BIGINT) AS ng,
+             unnest(grams) AS g
+      FROM (SELECT doc_id, dt, {_li_gram_sql('dt')} AS grams FROM litok)
+    )""",
+        f"""lisim AS (
+      SELECT d.doc_id, d.dt, q.qt,
+             {dround_sql('COUNT(*) / sqrt(d.ng * q.nq)', 8)} AS sim
+      FROM ligr d JOIN liq q USING (g)
+      GROUP BY d.doc_id, d.dt, d.ng, q.qt, q.nq
+    )""",
+        """lims AS (
+      SELECT doc_id, qt, MAX(sim) AS ms FROM lisim GROUP BY doc_id, qt
+    )""",
+        f"""liscore AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_q_matched,
+             {dround_sql(psum_sql('ms', 8), 6)} AS score
+      FROM lims GROUP BY doc_id
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, n_q_matched, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score DESC, doc_id ASC) AS rank FROM liscore
+    ) WHERE rank <= {_LI_TOPK}
+    """
+    )
+
+
+def _li_grams(col: Column) -> Column:
+    """Distinct char-trigram array (whole token if < 3 chars)."""
+    return F.when(
+        F.length(col) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - 2),
+                lambda i: col.substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array(col))
+
+
+@register("q_late_interaction", oracle=_li_oracle())
+def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION rerank of the BM25 shortlist — the ColBERT
+    scoring SHAPE (Khattab & Zaharia SIGIR'20 §3.3: keep token-level
+    representations, score query·doc as Σ over query tokens of the MAX
+    similarity over doc tokens) with a deterministic lexical token
+    kernel standing in for the learned encoder: token similarity =
+    char-trigram set cosine (|∩| / √(|A|·|B|)) — typo- and morphology-
+    tolerant soft term matching, so 'streaming' partially satisfies
+    the query token 'stream' where exact-match BM25 scores zero. Swap
+    the trigram kernel for real token embeddings and the plan (explode
+    tokens → pairwise sim via an equi-join on a shared key → per-(doc,
+    query-token) max-pool → per-doc sum) is unchanged — the MaxSim
+    aggregation IS the operator.
+
+    Scale shape: the corpus appears only through the BM25 shortlist
+    (the two-stage retrieve-then-rerank contract — token-level scoring
+    touches {L} docs, never N); gram matching is an equi-join on the
+    trigram key (no token×token nested loop — zero-overlap pairs never
+    materialize); the max-pool and sum are partial-agg'd. Determinism:
+    gram counts are exact integers, sims dround-pinned, the per-doc
+    sum psum-routed, ranks id-tie-broken."""
+    short = _lex_rank_list(spark, sf_dir).select("doc_id")
+    dtoks = (
+        t(spark, sf_dir, "documents")
+        .join(F.broadcast(short), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens("text"))).alias("dt"),
+        )
+    )
+    dgr = dtoks.select(
+        "doc_id",
+        "dt",
+        F.size(_li_grams(F.col("dt"))).cast("bigint").alias("ng"),
+        F.explode(_li_grams(F.col("dt"))).alias("g"),
+    )
+    qrows = []
+    for qt in _BM25_QUERY:
+        grams = list(dict.fromkeys(qt[i : i + 3] for i in range(len(qt) - 2)))
+        qrows += [(qt, len(grams), g) for g in grams]
+    qgr = spark.createDataFrame(qrows, schema="qt string, nq bigint, g string")
+    sim = (
+        dgr.join(F.broadcast(qgr), "g")
+        .groupBy("doc_id", "dt", "ng", "qt", "nq")
+        .agg(F.count(F.lit(1)).alias("ncom"))
+        .select(
+            "doc_id",
+            "qt",
+            dround(
+                F.col("ncom") / F.sqrt(F.col("ng") * F.col("nq")), 8
+            ).alias("sim"),
+        )
+    )
+    ms = sim.groupBy("doc_id", "qt").agg(F.max("sim").alias("ms"))
+    score = ms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_q_matched"),
+        dround(psum(F.col("ms"), 8), 6).alias("score"),
+    )
+    w = bounded_rank_window(F.desc("score"), F.asc("doc_id"), anchor="doc_id")
+    return (
+        score.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _LI_TOPK)
+        .select("doc_id", "rank", "n_q_matched", "score")
+    )
+
+
+q_late_interaction.__doc__ = q_late_interaction.__doc__.format(L=_HY_LIST)

@@ -287,6 +287,71 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_apply",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_changes,
+             ts_us, event_id, op, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+             ) AS rn
+      FROM ch
+    )
+    SELECT user_id, n_changes, op AS last_op, ts_us AS last_ts_us,
+           value AS last_value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC CHANGELOG to produce current table state — the
+    Debezium-to-lakehouse fold every ingestion pipeline runs: events
+    become ops (signup=INSERT, error=DELETE, rest=UPDATE payloads),
+    latest-wins per key in (ts, event_id) order, and keys whose FINAL
+    op is a delete are tombstoned out of the result entirely (the
+    delete fold q_latest_per_key doesn't model and q_scd2_history
+    retains as history). Output: surviving keys with change count and
+    final payload.
+
+    Scale shape: ONE hash-partial-aggregated groupBy — the fold is a
+    skew-safe max-of-struct argmax over the unique (ts, event_id)
+    order key plus a counter, never a per-key window over the
+    changelog (the oracle's ROW_NUMBER formulation is the spec, not
+    the plan; at 10⁹ changes per hot key a window would single-thread
+    exactly the keys CDC makes hot). Payload doubles pass through
+    untouched — no arithmetic to diverge."""
+    ch = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    folded = ch.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        F.max(F.struct("ts_us", "event_id", "op", "value")).alias("last"),
+    )
+    return folded.where(F.col("last.op") != "D").select(
+        "user_id",
+        "n_changes",
+        F.col("last.op").alias("last_op"),
+        F.col("last.ts_us").alias("last_ts_us"),
+        F.col("last.value").alias("last_value"),
+    )
+
+
+@register(
     "q_events_funnel",
     oracle="""
     WITH s1 AS (

@@ -202,6 +202,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_pr_curve",
     "q_embed_pca2",
     "q_ann_binary_hamming",
+    "q_cdc_apply",
+    "q_stream_bm25_search",
+    "q_late_interaction",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -1133,3 +1133,145 @@ def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = run_available_now(stream, spark, mode="append").localCheckpoint()
     return ks_drift_from_vals(drained)
+
+
+# --- Streaming BM25 search: arriving queries vs the persisted lexical index ----
+
+_SBS_MOD = 100  # query sample: doc_id % MOD = 0
+_SBS_TOPK = 3
+
+
+def _stream_bm25_oracle() -> str:
+    from ..functions.compat import dround_sql, psum_sql
+    from ..functions.text import tokens_sql
+    from .curation_suite import _BM25_B, _BM25_K1
+
+    tf_term = (
+        f"tf * ({_BM25_K1} + 1.0) / "
+        f"(tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+    idf = "ln((nn - df + 0.5) / (df + 0.5) + 1.0)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks) AS dl FROM toks WHERE len(toks) > 0),
+    stats AS (
+      SELECT COUNT(*) * 1.0 AS nn,
+             CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(dl)
+               AS avgdl
+      FROM dls
+    ),
+    posts AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM posts GROUP BY 1),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, term
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      WHERE doc_id % {_SBS_MOD} = 0
+    ),
+    shits AS (
+      SELECT q.query_id, p.doc_id,
+             {dround_sql(f"{idf} * {tf_term}", 8)} AS s
+      FROM qterms q
+      JOIN posts p USING (term)
+      JOIN dfs USING (term)
+      JOIN dls ON dls.doc_id = p.doc_id, stats
+      WHERE p.doc_id <> q.query_id
+    ),
+    sperdoc AS (
+      SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             {dround_sql(psum_sql('s', 8), 6)} AS score
+      FROM shits GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, n_terms, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+      ) AS rank FROM sperdoc
+    ) WHERE rank <= {_SBS_TOPK}
+    """
+
+
+@register("q_stream_bm25_search", oracle=_stream_bm25_oracle())
+def q_stream_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-TEXT search served AT INGEST: arriving query documents are
+    tokenized, dedup'd (array_distinct — a projection, so no streaming
+    aggregation), bucket-hashed, and candidate-matched against the
+    PERSISTED lexical index by a stateless stream-static join; each hit
+    row carries its complete BM25 term contribution (df via the
+    vocabulary-slim broadcast join, corpus stats as frozen literals —
+    the percolate posture), and the per-query top-k ranks on the
+    drained candidates in batch. COMPLETES THE SERVING MATRIX: lexical
+    and dense retrieval each now serve both batch (q_bm25_search /
+    q_ann_ivf_search) and at-ingest (this / q_stream_ann_search) — the
+    four cells a retrieval stack deploys.
+
+    Scale: zero streaming state (projections + one stream-static join);
+    per-micro-batch cost is the matched posting lists, and the drain is
+    a FILE sink because candidate volume scales with posting length
+    (the memory-sink maxResultSize failure measured at the 100x pack).
+    In a real deployment the static side is the same term-bucket layout
+    this index already persists, so the join co-partitions on tb.
+    Oracle: the recompute-from-scratch BM25 over the same query sample
+    — the persisted index + streamed matching must reproduce batch
+    scoring bit-for-bit."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..functions.compat import dround, portable_hash32, psum
+    from ..functions.text import tokens
+    from ..operators.lexical_store import _TERM_BUCKETS, lexical_write
+    from .curation_suite import _BM25_B, _BM25_K1
+
+    path = lexical_write(spark, sf_dir)
+    stats = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    nn, avgdl = float(stats["nn"]), float(stats["avgdl"])
+
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .where(F.pmod(F.col("doc_id"), F.lit(_SBS_MOD)) == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(tokens("text"))).alias("term"),
+        )
+        .withColumn(
+            "tb", F.pmod(portable_hash32("term"), F.lit(_TERM_BUCKETS))
+        )
+    )
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    dfs = spark.read.parquet(os.path.join(path, "dfs"))
+    idf = F.log(
+        (F.lit(nn) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    cand = (
+        stream.join(postings, ["tb", "term"])  # stream-static: stateless
+        .where(F.col("query_id") != F.col("doc_id"))
+        .join(F.broadcast(dfs), "term")
+        .select("query_id", "doc_id", dround(idf * tf_norm, 8).alias("s"))
+    )
+    drained = run_available_now_files(cand, spark)
+    perdoc = drained.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        dround(psum(F.col("s"), 8), 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        perdoc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _SBS_TOPK)
+        .select("query_id", "doc_id", "rank", "n_terms", "score")
+    )
