@@ -225,6 +225,10 @@ HEADLINE = [
     "q_cdc_apply",
     "q_stream_bm25_search",
     "q_late_interaction",
+    # round-9 fourth wave: link prediction, Zipf fit, l-diversity
+    "q_adamic_adar",
+    "q_zipf_fit",
+    "q_ldiversity",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -457,6 +461,9 @@ BASELINE_SEC = {
     "q_cdc_apply": 0.5,
     "q_stream_bm25_search": 3.9,  # stream-static postings join + file-sink drain
     "q_late_interaction": 1.9,
+    "q_adamic_adar": 0.9,  # warm off the persisted graph artifact
+    "q_zipf_fit": 0.7,
+    "q_ldiversity": 0.5,
     "q_kcenter_select": 1.8,
     "q_kanon_audit": 0.4,
     "q_ranker_agreement": 3.2,

@@ -1016,3 +1016,46 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_event_anomaly.__doc__ = q_event_anomaly.__doc__.format(
     W=_ANOM_WIN, Z=_ANOM_Z
 )
+
+
+_LD_L = 5  # minimum distinct sensitive values per released QI cell
+
+
+@register(
+    "q_ldiversity",
+    oracle=f"""
+    SELECT event_type,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(DISTINCT user_id) < {_LD_L} AS at_risk
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al., ICDE'06) — the
+    attribute-disclosure check k-anonymity misses: a released event
+    aggregate keyed by the quasi-identifiers (event_type, hour-of-day)
+    is safe only if each cell spans at least l={L} DISTINCT users;
+    a cell with few distinct users lets an attacker who knows someone
+    acted in that window infer WHO. Pairs with q_kanon_audit (group
+    SIZE) to complete the release-audit pair: big groups can still be
+    homogeneous, which is exactly what this catches.
+
+    Scale shape: one hash-agg with an exact two-phase distinct count
+    (partial distinct within partitions, merge across — Spark's
+    standard expand/agg plan); the QI grid is ≤ |types|×24 cells, so
+    output is broadcast-sized at any event volume. Hours are extracted
+    under the pinned UTC session on both engines."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        (F.count_distinct(F.col("user_id")) < _LD_L).alias("at_risk"),
+    )
+
+
+q_ldiversity.__doc__ = q_ldiversity.__doc__.format(L=_LD_L)

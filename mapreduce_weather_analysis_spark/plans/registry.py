@@ -205,6 +205,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_cdc_apply",
     "q_stream_bm25_search",
     "q_late_interaction",
+    "q_adamic_adar",
+    "q_zipf_fit",
+    "q_ldiversity",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

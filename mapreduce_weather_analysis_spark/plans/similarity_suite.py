@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import dround, dround_sql, psum, psum_sql
+from ..functions.compat import (
+    bounded_rank_window,
+    dround,
+    dround_sql,
+    psum,
+    psum_sql,
+)
 from ..functions.vectors import as_double, cosine, cosine_sql
 from ..operators.ivf import ivf_topk, ivf_topk_sql
 from ..operators.pq import pq_topk, pq_topk_sql
@@ -4570,3 +4576,105 @@ def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_cluster_terms.__doc__ = q_cluster_terms.__doc__.format(K=_CT_TOPK)
+
+
+# --- Adamic-Adar link prediction over the mutual-kNN graph ---------------------
+
+_AA_TOPK = 20
+
+
+def _adamic_adar_oracle() -> str:
+    contrib = dround_sql("1.0 / ln(d)", 8)
+    extra = [
+        """adeg AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a
+    )""",
+        """aaw AS (
+      SELECT x.b AS u, y.b AS v, x.a AS w
+      FROM und x JOIN und y ON x.a = y.a AND x.b < y.b
+    )""",
+        f"""aasc AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+             {dround_sql(psum_sql(contrib, 8), 6)} AS aa
+      FROM aaw JOIN adeg ON adeg.a = aaw.w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM mutual m WHERE m.src = aaw.u AND m.dst = aaw.v
+      )
+      GROUP BY u, v
+    )""",
+    ]
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(_knn_graph_ctes() + extra)
+        + f"""
+    SELECT u, v, n_common, aa, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY aa DESC, u ASC, v ASC) AS rank FROM aasc
+    ) WHERE rank <= {_AA_TOPK}
+    """
+    )
+
+
+@register("q_adamic_adar", oracle=_adamic_adar_oracle())
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the mutual-kNN graph: Adamic-Adar scores
+    (Adamic & Adar, Social Networks 2003) for the non-edge pairs —
+    Σ over common neighbors w of 1/ln(deg(w)), the classic "rare shared
+    friends count more" index. In the curation setting these are the
+    near-miss pairs: documents the mutuality threshold separated but
+    whose neighborhoods overlap heavily — the review queue between
+    'distinct' and 'duplicate', and the edges a graph-augmentation pass
+    would add before re-clustering. Top-{K} candidate links.
+
+    Scale shape: reuses the persisted graph artifact (no kNN recompute)
+    — a degree agg and ONE wedge self-join on the center vertex, the
+    exact O(Σ deg²) enumeration q_knn_triangles already bounds on the
+    k-regular-ish mutual graph; existing edges drop via a broadcast
+    anti-join on the slim edge relation, and the top-{K} is a
+    TakeOrdered, never a global window. Common-neighbor centers always
+    have degree ≥ 2, so ln(deg) never divides by zero. Determinism:
+    contributions dround-pinned, sums psum-routed, ranks id-broken."""
+    e = read_mutual_edges(spark, sf_dir)
+    und = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wedges = (
+        und.alias("x")
+        .join(
+            und.alias("y").hint("shuffle_hash"),
+            (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")),
+        )
+        .select(
+            F.col("x.b").alias("u"),
+            F.col("y.b").alias("v"),
+            F.col("x.a").alias("w"),
+        )
+    )
+    nonedge = wedges.join(
+        F.broadcast(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(deg.select(F.col("a").alias("w"), "d"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            dround(
+                psum(dround(1.0 / F.log(F.col("d")), 8), 8), 6
+            ).alias("aa"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("aa"), F.asc("u"), F.asc("v")
+    ).limit(_AA_TOPK)
+    w_r = bounded_rank_window(
+        F.desc("aa"), F.asc("u"), F.asc("v"), anchor="u"
+    )
+    return top.withColumn("rank", F.row_number().over(w_r).cast("int"))
+
+
+q_adamic_adar.__doc__ = q_adamic_adar.__doc__.format(K=_AA_TOPK)

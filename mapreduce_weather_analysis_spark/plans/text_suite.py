@@ -2866,3 +2866,109 @@ def ks_drift_from_vals(vals: DataFrame) -> DataFrame:
         .groupBy("source", F.col("ns").alias("n_docs"))
         .agg(F.max(gap).alias("ks_stat"))
     )
+
+
+# --- Zipf rank-frequency fit --------------------------------------------------
+
+_ZIPF_HEAD = 100  # fitted head of the rank-frequency curve
+
+
+def _zipf_oracle() -> str:
+    slope_raw = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    r2_raw = (
+        "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+        " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+    )
+    return f"""
+    WITH ztoks AS (
+      SELECT unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    ztf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM ztoks GROUP BY term
+    ),
+    ztop AS (
+      SELECT term, f, r FROM (
+        SELECT term, f, ROW_NUMBER() OVER (
+          ORDER BY f DESC, term ASC) AS r
+        FROM ztf
+      ) WHERE r <= {_ZIPF_HEAD}
+    ),
+    zpts AS (
+      SELECT {dround_sql('ln(r)', 8)} AS x, {dround_sql('ln(f)', 8)} AS y
+      FROM ztop
+    ),
+    zsums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {psum_sql('x', 8)} AS sx, {psum_sql('y', 8)} AS sy,
+             {psum_sql('x * y', 8)} AS sxy,
+             {psum_sql('x * x', 8)} AS sxx,
+             {psum_sql('y * y', 8)} AS syy
+      FROM zpts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CASE WHEN n > 1 THEN {dround_sql(slope_raw, 6)} END AS slope,
+           CASE WHEN n > 1
+                THEN {dround_sql(f'(sy - ({slope_raw}) * sx) / n', 6)}
+           END AS intercept,
+           CASE WHEN n > 1 THEN {dround_sql(r2_raw, 6)} END AS r2
+    FROM zsums
+    """
+
+
+@register("q_zipf_fit", oracle=_zipf_oracle())
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF FIT of the corpus rank-frequency curve: log-log OLS over the
+    top-{H} terms — slope ≈ −1 is the Zipf signature of natural
+    language (Zipf 1949; Piantadosi 2014's review), and deviations are
+    working corpus diagnostics: a too-shallow slope flags boilerplate/
+    template floods, too-steep flags vocabulary collapse (OCR noise,
+    language-ID failures), and a low R² says the corpus mixes regimes.
+    Completes the corpus-statistics family (q_corpus_stats,
+    q_vocab_coverage, q_heavy_hitters) with the distributional-SHAPE
+    check those counts don't capture.
+
+    Scale shape: one token scan to the term-frequency hash-agg, then a
+    distributed TakeOrdered head (never a vocabulary-wide window — the
+    q_vocab_coverage lesson); the OLS runs on {H} points via the
+    closed-form normal equations with psum-routed sums, 1-row output.
+    Logs dround-pinned BEFORE the sums so a libm last-ulp divergence
+    cannot enter the normal equations; the slope expression reuses the
+    identical pinned sums in both engines, NULL-pinned on a degenerate
+    (single-point) head."""
+    tok_rows = t(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("term")
+    )
+    tf = tok_rows.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    top = tf.orderBy(F.desc("f"), F.asc("term")).limit(_ZIPF_HEAD)
+    wr = bounded_rank_window(F.desc("f"), F.asc("term"), anchor="term")
+    pts = top.withColumn("r", F.row_number().over(wr)).select(
+        dround(F.log(F.col("r")), 8).alias("x"),
+        dround(F.log(F.col("f")), 8).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        psum(F.col("x"), 8).alias("sx"),
+        psum(F.col("y"), 8).alias("sy"),
+        psum(F.col("x") * F.col("y"), 8).alias("sxy"),
+        psum(F.col("x") * F.col("x"), 8).alias("sxx"),
+        psum(F.col("y") * F.col("y"), 8).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2_raw = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return sums.select(
+        n.cast("bigint").alias("n_terms"),
+        F.when(n > 1, dround(slope_raw, 6)).alias("slope"),
+        F.when(n > 1, dround((sy - slope_raw * sx) / n, 6)).alias(
+            "intercept"
+        ),
+        F.when(n > 1, dround(r2_raw, 6)).alias("r2"),
+    )
+
+
+q_zipf_fit.__doc__ = q_zipf_fit.__doc__.format(H=_ZIPF_HEAD)
