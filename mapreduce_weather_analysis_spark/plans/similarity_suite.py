@@ -4583,6 +4583,47 @@ q_cluster_terms.__doc__ = q_cluster_terms.__doc__.format(K=_CT_TOPK)
 _AA_TOPK = 20
 
 
+def _adamic_adar_scores(e: DataFrame) -> DataFrame:
+    """(u, v, n_common, aa) over a (src < dst)-oriented edge relation:
+    AA scores for every NON-edge pair sharing ≥1 neighbor — the wedge
+    self-join on the center vertex, existing edges anti-joined away.
+    Property-tested against a pure-Python reference on hypothesis
+    graphs (tests/test_properties.py)."""
+    und = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wedges = (
+        und.alias("x")
+        .join(
+            und.alias("y").hint("shuffle_hash"),
+            (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")),
+        )
+        .select(
+            F.col("x.b").alias("u"),
+            F.col("y.b").alias("v"),
+            F.col("x.a").alias("w"),
+        )
+    )
+    nonedge = wedges.join(
+        F.broadcast(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        nonedge.join(deg.select(F.col("a").alias("w"), "d"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            dround(
+                psum(dround(1.0 / F.log(F.col("d")), 8), 8), 6
+            ).alias("aa"),
+        )
+    )
+
+
 def _adamic_adar_oracle() -> str:
     contrib = dround_sql("1.0 / ln(d)", 8)
     extra = [
@@ -4635,39 +4676,7 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     have degree ≥ 2, so ln(deg) never divides by zero. Determinism:
     contributions dround-pinned, sums psum-routed, ranks id-broken."""
     e = read_mutual_edges(spark, sf_dir)
-    und = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
-        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    )
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    wedges = (
-        und.alias("x")
-        .join(
-            und.alias("y").hint("shuffle_hash"),
-            (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")),
-        )
-        .select(
-            F.col("x.b").alias("u"),
-            F.col("y.b").alias("v"),
-            F.col("x.a").alias("w"),
-        )
-    )
-    nonedge = wedges.join(
-        F.broadcast(
-            e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        ),
-        ["u", "v"],
-        "left_anti",
-    )
-    scored = (
-        nonedge.join(deg.select(F.col("a").alias("w"), "d"), "w")
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_common"),
-            dround(
-                psum(dround(1.0 / F.log(F.col("d")), 8), 8), 6
-            ).alias("aa"),
-        )
-    )
+    scored = _adamic_adar_scores(e)
     top = scored.orderBy(
         F.desc("aa"), F.asc("u"), F.asc("v")
     ).limit(_AA_TOPK)

@@ -839,3 +839,61 @@ def test_corpus_to_shards_two_phase_scan_after_gate(spark):
     keys = _window_partition_keys(plan)
     assert keys and all(k.strip().startswith("_pid") for k in keys), keys
     assert "ExistingRDD" in plan
+
+
+def test_cdc_apply_no_changelog_window(spark):
+    """The CDC fold must be a partial-aggregated max-of-struct argmax —
+    a per-key window over the changelog would single-thread exactly the
+    keys CDC makes hot. No window operator at all; the struct-buffered
+    max plans as a SortAggregate pair (Spark's hash agg can't hold a
+    struct buffer) but the PARTIAL side still combines before the
+    shuffle, which is the scale property."""
+    plan = _plan(REGISTRY["q_cdc_apply"].fn(spark, SMOKE_SF))
+    assert not _window_partition_keys(plan), "expected a window-free plan"
+    assert "SortMergeJoin" not in plan
+    assert (
+        _n_ops(plan, "HashAggregate") + _n_ops(plan, "SortAggregate") >= 2
+    )
+    assert "partial_max" in plan  # map-side combine survives
+
+
+def test_pr_curve_single_histogram_pass(spark):
+    """The threshold sweep must run off the broadcast-sized bin
+    histogram: the documents scans are the gate-family constant (two
+    per gate — tokens + signals, same as q_quality_calibration), never
+    one per threshold (10 thresholds × 4 would be 40); the threshold
+    expansion is a nested-loop join of tiny relations."""
+    plan = _plan(REGISTRY["q_pr_curve"].fn(spark, SMOKE_SF))
+    scans = plan.count("documents.parquet")
+    assert scans <= 4, f"expected <=4 documents scans, saw {scans}"
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") >= 1
+
+
+def test_zipf_fit_takeordered_head(spark):
+    """The rank-frequency head must be a distributed TakeOrdered of the
+    term-frequency agg — a vocabulary-wide global sort/window here is
+    the scale bug the vocab-coverage family already fixed once."""
+    plan = _plan(REGISTRY["q_zipf_fit"].fn(spark, SMOKE_SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_binary_hamming_no_shuffle_join(spark):
+    """The binary scan must stream the 16-byte code relation against
+    broadcast query codes (nested-loop on the integer compare) and
+    rerank via broadcast joins — the corpus never shuffles."""
+    plan = _plan(REGISTRY["q_ann_binary_hamming"].fn(spark, SMOKE_SF))
+    assert "SortMergeJoin" not in plan
+    assert (
+        _n_ops(plan, "BroadcastNestedLoopJoin")
+        + _n_ops(plan, "BroadcastHashJoin")
+        >= 2
+    )
+
+
+def test_adamic_adar_shuffled_wedge_join(spark):
+    """The wedge enumeration must shuffle-hash on the center vertex
+    (graph-sized sides — nothing to broadcast at scale) and drop
+    existing edges with a broadcast anti-join."""
+    plan = _plan(REGISTRY["q_adamic_adar"].fn(spark, SMOKE_SF))
+    assert "SortMergeJoin" not in plan
+    assert _n_ops(plan, "ShuffledHashJoin") >= 1

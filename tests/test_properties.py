@@ -589,3 +589,47 @@ def test_shard_by_budget_invariants(spark, vals):
         want.append(acc // budget)
         acc += v
     assert [s for *_, s in rows] == want
+
+
+def _py_adamic_adar(edges):
+    """Brute-force AA over (a < b) edges: {(u, v): (n_common, score)}
+    for every non-edge pair with >= 1 common neighbor."""
+    import math
+
+    adj = _adj(edges)
+    es = set(edges)
+    out = {}
+    for w, ns in adj.items():
+        nss = sorted(ns)
+        for i, u in enumerate(nss):
+            for v in nss[i + 1:]:
+                if (u, v) in es:
+                    continue
+                n, s = out.get((u, v), (0, 0.0))
+                out[(u, v)] = (n + 1, s + 1.0 / math.log(len(ns)))
+    return out
+
+
+@given(edges=graph_edges)
+@settings(**_SETTINGS)
+def test_adamic_adar_matches_bruteforce(spark, edges):
+    """The wedge-join AA scorer must produce exactly the brute-force
+    non-edge pair set with exact common-neighbor counts and matching
+    scores (to rounding): pairs that ARE edges never appear, every
+    wedge contributes exactly once, degree is the full undirected
+    degree of the center."""
+    from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+        _adamic_adar_scores,
+    )
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.u, r.v): (r.n_common, r.aa)
+        for r in _adamic_adar_scores(e).collect()
+    }
+    want = _py_adamic_adar(edges)
+    assert set(got) == set(want)
+    for pair, (n, s) in want.items():
+        gn, gs = got[pair]
+        assert gn == n, pair
+        assert abs(gs - s) < 1e-5, pair
