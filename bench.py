@@ -229,6 +229,8 @@ HEADLINE = [
     "q_adamic_adar",
     "q_zipf_fit",
     "q_ldiversity",
+    # round-9 fifth wave: persisted binary-code serving
+    "q_ann_binary_search",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -462,6 +464,7 @@ BASELINE_SEC = {
     "q_stream_bm25_search": 3.9,  # stream-static postings join + file-sink drain
     "q_late_interaction": 1.9,
     "q_adamic_adar": 0.9,  # warm off the persisted graph artifact
+    "q_ann_binary_search": 0.8,  # warm persisted-code scan
     "q_zipf_fit": 0.7,
     "q_ldiversity": 0.5,
     "q_kcenter_select": 1.8,

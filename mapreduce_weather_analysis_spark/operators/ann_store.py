@@ -495,6 +495,35 @@ def abtt_index_path(sf_dir: str) -> str:
     return os.path.join(INDEX_ROOT, f"{base}-abtt-{fp}-{_LAYOUT_VERSION}")
 
 
+def binary_index_path(sf_dir: str) -> str:
+    """Index path for the persisted BINARY sign-code relation (FAISS
+    IndexBinaryFlat posture): fingerprinted on the embeddings file +
+    the packing recipe (64 dims split into two 32-bit bigint halves)."""
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = hashlib.md5(
+        f"bin:{st.st_size}:{st.st_mtime_ns}:bin_v1:dim=64:split=32".encode()
+    ).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(INDEX_ROOT, f"{base}-bin-{fp}")
+
+
+def binary_write(spark: SparkSession, sf_dir: str, codes: DataFrame) -> str:
+    """Persist the packed sign codes (vec_id, lo, hi) — 16 bytes/vector,
+    the artifact a binary-flat deployment scans instead of re-deriving
+    codes from the float corpus every query batch. Marker-idempotent;
+    no partitioning: binary-flat serving is a deliberate full scan of
+    the compact relation (that IS the index), so there is nothing to
+    prune — the layout optimizes for sequential bandwidth."""
+    path = binary_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return path
+
+
 def abtt_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
     """Persist the exact-cosine IVF index over the ABTT-corrected corpus
     (``vecs`` = the corrected (vec_id, embedding) relation computed by

@@ -208,6 +208,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_adamic_adar",
     "q_zipf_fit",
     "q_ldiversity",
+    "q_ann_binary_search",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

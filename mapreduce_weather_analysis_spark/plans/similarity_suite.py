@@ -857,14 +857,16 @@ def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers both engines (sign tests on identical doubles, POW(2,dim)
     exact in double through 2³¹); Hamming is integer; rerank is the
     raw cosine/cosine_sql pair with id tie-breaks."""
-    from pyspark.sql import Window as W
-
-    from ..functions.vectors import cosine as _cos
-
-    e = t(spark, sf_dir, "embeddings")
-    vecs = e.select(
+    vecs = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    return _binary_serve(_binary_codes(vecs), vecs)
+
+
+def _binary_codes(vecs: DataFrame) -> DataFrame:
+    """(vec_id, lo, hi): the 64 sign bits packed into two bigint halves
+    — one linear partial-agg pass folding POW(2, dim) terms (exact in
+    double through 2³¹, so the codes are exact integers)."""
     bx = vecs.select("vec_id", F.posexplode("v").alias("dim", "x"))
     bit = F.when(
         (F.col("x") > 0) & (F.col("dim") < 32),
@@ -874,10 +876,20 @@ def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") > 0) & (F.col("dim") >= 32),
         F.pow(F.lit(2.0), F.col("dim") - 32).cast("bigint"),
     ).otherwise(F.lit(0).cast("bigint"))
-    codes = bx.groupBy("vec_id").agg(
+    return bx.groupBy("vec_id").agg(
         F.sum(bit).cast("bigint").alias("lo"),
         F.sum(bit_hi).cast("bigint").alias("hi"),
     )
+
+
+def _binary_serve(codes: DataFrame, vecs: DataFrame) -> DataFrame:
+    """Hamming-shortlist + float-rerank serving over a (vec_id, lo, hi)
+    code relation — shared by the inline build and the persisted-code
+    path (the artifact and the recompute must answer identically)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine as _cos
+
     bq = codes.where(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("lo").alias("qlo"),
@@ -936,6 +948,30 @@ def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ann_binary_hamming.__doc__ = q_ann_binary_hamming.__doc__.format(
     S=_BH_SHORTLIST
 )
+
+
+@register("q_ann_binary_search", oracle=_BH_ORACLE)
+def q_ann_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-Hamming serving from the PERSISTED code artifact
+    (ann_store.binary_write) — the build/serve split for the binary
+    arm, completing the pattern every compact representation follows
+    (IVF/PQ/SQ8/lexical/graph/ABTT all persist-then-serve): steady-
+    state queries scan the 16-byte-per-vector codes parquet and never
+    touch the float corpus except for the |Q|·shortlist rerank rows.
+    Same oracle as the inline build — the artifact and the recompute
+    must answer bit-for-bit (the q_ann_search_compacted contract)."""
+    import os
+
+    from ..operators.ann_store import binary_index_path, binary_write
+
+    path = binary_index_path(sf_dir)
+    vecs = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if not os.path.exists(os.path.join(path, "_INDEX_COMPLETE")):
+        binary_write(spark, sf_dir, _binary_codes(vecs))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return _binary_serve(codes, vecs)
 
 
 def _hard_neg_oracle() -> str:

@@ -64,6 +64,11 @@ QUERIES = [
     "q_quality_calibration",
     "q_abtt_search_indexed",
     "q_ann_binary_hamming",
+    "q_ann_binary_search",
+    "q_late_interaction",
+    "q_adamic_adar",
+    "q_zipf_fit",
+    "q_pr_curve",
 ]
 
 
