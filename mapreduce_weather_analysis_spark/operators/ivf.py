@@ -144,6 +144,15 @@ def ivf_index(
     ``k=None`` → the ivf_cells(N) policy (one tiny count job at build time;
     the corpus is localCheckpointed first so the scan isn't repeated).
 
+    Deployment ceiling: the ⌊√N⌋×DIM centroid relation is collected to
+    the driver for the Arrow assignment kernel — ~50 MB at N=10¹⁰.
+    Deployments past ~10⁹ vectors route the coarse quantizer through
+    the IMI pair (operators/imi.py: two ⌊⁴√N⌋-cell half-space
+    quantizers, ~162 KB of centroids at 10¹⁰ — measured r7, SCALE.md
+    "Flat-IVF family at >10⁹ vectors"); the flat form stays the default
+    below that because one quantizer beats two on probe-selection
+    latency and recall-per-probe.
+
     ``sample_points_per_cell`` — if set, Lloyd rounds train on a
     deterministic hash-mod subsample of ~``points_per_cell·k`` vectors
     (portable_hash32(vec_id) % D = 0) and only the FINAL assignment
