@@ -231,6 +231,8 @@ HEADLINE = [
     "q_ldiversity",
     # round-9 fifth wave: persisted binary-code serving
     "q_ann_binary_search",
+    # round-9 sixth wave: binary codes in the IVF cell layout
+    "q_ann_ivf_binary_search",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -465,6 +467,7 @@ BASELINE_SEC = {
     "q_late_interaction": 1.9,
     "q_adamic_adar": 0.9,  # warm off the persisted graph artifact
     "q_ann_binary_search": 0.8,  # warm persisted-code scan
+    "q_ann_ivf_binary_search": 1.9,  # probe-bounded Hamming (cells pruned)
     "q_zipf_fit": 0.7,
     "q_ldiversity": 0.5,
     "q_kcenter_select": 1.8,

@@ -524,6 +524,44 @@ def binary_write(spark: SparkSession, sf_dir: str, codes: DataFrame) -> str:
     return path
 
 
+def binary_cells_index_path(sf_dir: str) -> str:
+    """Path for the CELL-PARTITIONED binary codes (the binary-flat codes
+    dropped into the IVF cell layout): fingerprinted on the embeddings
+    file + the IVF build constants (the cluster assignment is part of
+    the artifact) + the packing recipe."""
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = hashlib.md5(
+        f"bincells:{st.st_size}:{st.st_mtime_ns}:{_build_signature()}:"
+        f"bin_v1:dim=64:split=32".encode()
+    ).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(INDEX_ROOT, f"{base}-bincells-{fp}")
+
+
+def binary_cells_write(
+    spark: SparkSession, sf_dir: str, codes: DataFrame
+) -> str:
+    """Persist (vec_id, lo, hi) PARTITIONED BY cluster — the composition
+    SCALE.md's binary-arm guidance names for >10⁸ vectors: the same
+    16-byte sign codes, laid out in the IVF cells so probe selection
+    bounds the Hamming scan (dynamic partition pruning skips unprobed
+    cells' code files, exactly the inverted-list I/O story with 1/32
+    the bytes). Marker-idempotent."""
+    path = binary_cells_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    (
+        codes.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "codes"))
+    )
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return path
+
+
 def abtt_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
     """Persist the exact-cosine IVF index over the ABTT-corrected corpus
     (``vecs`` = the corrected (vec_id, embedding) relation computed by

@@ -209,6 +209,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_zipf_fit",
     "q_ldiversity",
     "q_ann_binary_search",
+    "q_ann_ivf_binary_search",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -950,6 +950,187 @@ q_ann_binary_hamming.__doc__ = q_ann_binary_hamming.__doc__.format(
 )
 
 
+def _bin_lo_sql(v: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN "
+        f"{v}[i] > 0 THEN CAST(POW(2, i - 1) AS BIGINT) ELSE 0 END)) "
+        f"AS BIGINT)"
+    )
+
+
+def _bin_hi_sql(v: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(33, 65), i -> CASE WHEN "
+        f"{v}[i] > 0 THEN CAST(POW(2, i - 33) AS BIGINT) ELSE 0 END)) "
+        f"AS BIGINT)"
+    )
+
+
+def _ivf_binary_oracle() -> str:
+    from ..operators.ivf import ivf_chain
+
+    ctes = ivf_chain("embeddings", _QUERY_FILTER, materialize=True)
+    cos = cosine_sql("q.qv", "nv.v")
+    ctes += [
+        f"""bcc AS (
+      SELECT vec_id, cluster, {_bin_lo_sql('v')} AS lo,
+             {_bin_hi_sql('v')} AS hi
+      FROM fa
+    )""",
+        f"""bqq AS (
+      SELECT query_id, cluster, {_bin_lo_sql('qv')} AS qlo,
+             {_bin_hi_sql('qv')} AS qhi
+      FROM probes
+    )""",
+        """bham AS (
+      SELECT b.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(qlo, lo)) + bit_count(xor(qhi, hi))
+               AS INTEGER) AS hamming
+      FROM bqq b JOIN bcc c
+        ON b.cluster = c.cluster AND c.vec_id <> b.query_id
+    )""",
+        f"""bshort AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC
+        ) AS hrank FROM bham
+      ) WHERE hrank <= {_BH_SHORTLIST}
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           hamming, cosine
+    FROM (
+      SELECT s.query_id, s.neighbor_id, s.hamming, {cos} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {cos} DESC, s.neighbor_id ASC
+             ) AS rank
+      FROM bshort s
+      JOIN q ON q.query_id = s.query_id
+      JOIN fa nv ON nv.vec_id = s.neighbor_id
+    ) WHERE rank <= 5
+    """
+    )
+
+
+@register("q_ann_ivf_binary_search", oracle=_ivf_binary_oracle())
+def q_ann_ivf_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IVF..,BINARY`` composed — the deployment SCALE.md's binary-arm
+    guidance names for >10⁸ vectors, as real code: the 16-byte sign
+    codes live in the IVF CELL LAYOUT (ann_store.binary_cells_write —
+    cluster-partitioned codes parquet), probe selection runs against
+    the persisted float centroids, and the Hamming scan touches ONLY
+    the probed cells' code files (dynamic partition pruning — the
+    inverted-list I/O story at 1/32 the bytes: nprobe/k of 16-byte
+    rows). Full-precision reads shrink to the |Q|·shortlist rerank.
+    The two cuts multiply exactly like IVF,SQ8 — this is the binary
+    point on the same compact-representation frontier.
+
+    Scale shape: probe selection broadcasts ⌊√N⌋ centroids; the
+    candidate join is broadcast(probes+query codes) against the
+    cluster-partitioned codes (no corpus shuffle); rerank joins the
+    float lists on the broadcast shortlist. Determinism: the composed
+    ivf_chain + exact-integer code oracle replays cluster assignment,
+    probes, codes, Hamming and cosine bit-for-bit."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine as _cos
+    from ..operators.ann_store import (
+        binary_cells_index_path,
+        binary_cells_write,
+        ivfpq_write,
+    )
+    from ..operators.ivf import IVF_NPROBE, _sq_l2
+
+    path = ivfpq_write(spark, sf_dir)
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    bpath = binary_cells_index_path(sf_dir)
+    if not os.path.exists(os.path.join(bpath, "_INDEX_COMPLETE")):
+        codes = _binary_codes(vecs.select("vec_id", "v")).join(
+            vecs.select("vec_id", "cluster"), "vec_id"
+        )
+        binary_cells_write(spark, sf_dir, codes)
+    bcodes = spark.read.parquet(os.path.join(bpath, "codes"))
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    qv = vecs.where(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = qv.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", _sq_l2("qv", "c").alias("dist"), "cluster"
+    )
+    probes = (
+        qc.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
+                1,
+                IVF_NPROBE,
+            ).alias("near")
+        )
+        .select("query_id", F.explode("near").alias("p"))
+        .select("query_id", F.col("p.cluster").alias("cluster"))
+    )
+    qcodes = _binary_codes(
+        qv.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    pq = probes.join(qcodes, "query_id")
+    ham = (
+        F.broadcast(pq)
+        .join(bcodes, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = (
+        ham.withColumn("hrank", F.row_number().over(wh))
+        .where(F.col("hrank") <= _BH_SHORTLIST)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    nv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nvv")
+    )
+    rescored = (
+        F.broadcast(short)
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            _cos(F.col("qv"), F.col("nvv")).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "hamming", "cosine")
+    )
+
+
 @register("q_ann_binary_search", oracle=_BH_ORACLE)
 def q_ann_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-Hamming serving from the PERSISTED code artifact

@@ -897,3 +897,14 @@ def test_adamic_adar_shuffled_wedge_join(spark):
     plan = _plan(REGISTRY["q_adamic_adar"].fn(spark, SMOKE_SF))
     assert "SortMergeJoin" not in plan
     assert _n_ops(plan, "ShuffledHashJoin") >= 1
+
+
+def test_ivf_binary_serving_prunes_cells(spark):
+    """The composed IVF,BINARY arm must keep the persisted-serving
+    contract: probes broadcast, the cluster-partitioned CODE files
+    dynamically pruned (the Hamming scan touches only probed cells),
+    and no shuffle join anywhere."""
+    plan = _plan(REGISTRY["q_ann_ivf_binary_search"].fn(spark, SMOKE_SF))
+    assert "SortMergeJoin" not in plan
+    assert "dynamicpruning" in plan.lower()
+    assert _n_ops(plan, "BroadcastHashJoin") >= 2  # candidate + rerank joins
