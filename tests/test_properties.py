@@ -633,3 +633,38 @@ def test_adamic_adar_matches_bruteforce(spark, edges):
         gn, gs = got[pair]
         assert gn == n, pair
         assert abs(gs - s) < 1e-5, pair
+
+
+@given(
+    tok=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_li_gram_python_matches_sql(tok):
+    """q_late_interaction builds DOC-side grams in SQL/Spark but the
+    QUERY-side grams driver-side in Python (the terms are plan-time
+    constants) — the two definitions must agree on any token or the
+    MaxSim kernel silently skews. DuckDB evaluates the SQL twin."""
+    import duckdb
+
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _li_gram_sql,
+    )
+
+    py = list(dict.fromkeys(
+        [tok[i : i + 3] for i in range(len(tok) - 2)] if len(tok) >= 3
+        else [tok]
+    ))
+    got = duckdb.connect().execute(
+        f"SELECT {_li_gram_sql('t')} FROM (SELECT ? AS t)", [tok]
+    ).fetchone()[0]
+    # SET equality, not sequence: DuckDB's list_distinct does not
+    # preserve first-occurrence order (hypothesis found 'aaab' →
+    # ['aab','aaa']); every downstream use is order-insensitive
+    # (len(grams) for the norm + unnest/explode into an equi-join), so
+    # the contract is same members AND same cardinality on both sides.
+    assert len(got) == len(py)
+    assert set(got) == set(py)
