@@ -35,6 +35,10 @@ ARMS = [
     "q_ann_ivf_sq8_topk",
     "q_ann_imi_sq8_search",
     "q_ann_imi_rerank",
+    "q_ann_binary_hamming",
+    "q_ann_binary_search",
+    "q_ann_ivf_binary_search",
+    "q_abtt_search_indexed",
 ]
 
 
