@@ -29,6 +29,8 @@ ARMS = [
     "q_ann_imi_search",
     "q_ann_imi_sq8_search",
     "q_ann_ivf_sq8_topk",
+    "q_ann_binary_hamming",
+    "q_ann_ivf_binary_search",
 ]
 
 N_GROUPS = 16
