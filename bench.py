@@ -233,6 +233,8 @@ HEADLINE = [
     "q_ann_binary_search",
     # round-9 sixth wave: binary codes in the IVF cell layout
     "q_ann_ivf_binary_search",
+    # round-9 seventh wave: incremental component maintenance
+    "q_components_incremental",
 ]
 
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
@@ -468,6 +470,7 @@ BASELINE_SEC = {
     "q_adamic_adar": 0.9,  # warm off the persisted graph artifact
     "q_ann_binary_search": 0.8,  # warm persisted-code scan
     "q_ann_ivf_binary_search": 1.9,  # probe-bounded Hamming (cells pruned)
+    "q_components_incremental": 5.9,  # base CC + quotient fold (warm edges)
     "q_zipf_fit": 0.7,
     "q_ldiversity": 0.5,
     "q_kcenter_select": 1.8,

@@ -210,6 +210,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_ldiversity",
     "q_ann_binary_search",
     "q_ann_ivf_binary_search",
+    "q_components_incremental",
 )
 
 # Greens whose last driver row is round 3 — stalest re-certification

@@ -1093,3 +1093,78 @@ def test_lexical_drift_is_bounded_jsd(spark):
     assert len(rows) == n_sources
     for r in rows:
         assert 0.0 <= r.js_div <= math.log(2.0) + 1e-9
+
+
+def test_incremental_components_merge_cases(spark):
+    """The incremental fold (contract delta through base labels → CC the
+    quotient → map back) must equal full CC on three tricky topologies
+    at once: a delta edge MERGING two base components, a delta node
+    BRIDGING a base component to a brand-new node, and a delta node
+    whose id is SMALLER than every base node (the min-id label must
+    flow from the delta side). Mirrors q_components_incremental's body
+    on synthetic edges."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_weather_analysis_spark.operators.graph import (
+        connected_components,
+    )
+
+    # base: {10-11}, {20-21}, {30-31}; delta node ids ≡ 0 mod 17:
+    # 17 merges the first two comps; 34 bridges {30,31} to new node 51;
+    # 0 attaches to {10,11} and must become that component's min label.
+    edges = [
+        (10, 11), (20, 21), (30, 31),           # base
+        (10, 17), (17, 20),                     # merge via delta 17
+        (31, 34), (34, 51),                     # bridge to new node
+        (0, 11),                                # delta with smallest id
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    full = {
+        r.node: r.component
+        for r in connected_components(e, "src", "dst").collect()
+    }
+
+    touches = (F.pmod(F.col("src"), F.lit(17)) == 0) | (
+        F.pmod(F.col("dst"), F.lit(17)) == 0
+    )
+    e_new, e_old = e.where(touches), e.where(~touches)
+    labels_old = connected_components(e_old, "src", "dst")
+    lsrc = labels_old.select(
+        F.col("node").alias("src"), F.col("component").alias("csrc")
+    )
+    ldst = labels_old.select(
+        F.col("node").alias("dst"), F.col("component").alias("cdst")
+    )
+    contracted = (
+        e_new.join(lsrc, "src", "left")
+        .join(ldst, "dst", "left")
+        .select(
+            F.coalesce("csrc", F.col("src")).alias("s2"),
+            F.coalesce("cdst", F.col("dst")).alias("d2"),
+        )
+        .where(F.col("s2") != F.col("d2"))
+    )
+    merge = connected_components(contracted, "s2", "d2").select(
+        F.col("node").alias("super"), F.col("component").alias("newc")
+    )
+    old_final = labels_old.join(
+        merge, labels_old["component"] == F.col("super"), "left"
+    ).select(
+        "node", F.coalesce("newc", F.col("component")).alias("component")
+    )
+    new_nodes = (
+        e_new.select(F.col("src").alias("node"))
+        .unionByName(e_new.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(labels_old.select("node"), "node", "left_anti")
+    )
+    new_final = new_nodes.join(
+        merge, new_nodes["node"] == F.col("super")
+    ).select("node", F.col("newc").alias("component"))
+    got = {
+        r.node: r.component
+        for r in old_final.unionByName(new_final).collect()
+    }
+    assert got == full
+    # and the smallest-id delta node won the label of its merged group
+    assert got[10] == 0 and got[20] == 0 and got[17] == 0
