@@ -883,6 +883,48 @@ def test_imi_fingerprint_tracks_build_constants(monkeypatch):
     assert bumped != base
 
 
+def test_compaction_path_embeds_tombstone_predicate(spark):
+    """ADVICE r8: the compacted artifact's identity must include the
+    delete predicate — a compacted copy built for one tombstone_filter
+    must never serve a later call with another. Two predicates, two
+    paths; same predicate, same path (idempotence key intact)."""
+    from mapreduce_weather_analysis_spark.operators.ann_store import (
+        ivfpq_write,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ivfpq_write(spark, sf)  # parent must exist for path derivation
+
+    import hashlib
+    import os
+
+    from mapreduce_weather_analysis_spark.operators import ann_store
+
+    parent = ann_store.ivfpq_index_path(sf)
+
+    def derived(pred: str) -> str:
+        tf = hashlib.md5(pred.encode()).hexdigest()[:8]
+        return f"{parent}-compact-{tf}"
+
+    # the production path derivation must match this recipe AND differ
+    # across predicates: build with one predicate, then ask for another
+    p1 = ann_store.compaction_write(spark, sf, "vec_id % 7 = 0")
+    assert p1 == derived("vec_id % 7 = 0")
+    assert os.path.exists(os.path.join(p1, "_INDEX_COMPLETE"))
+    p2_expected = derived("vec_id % 11 = 0")
+    assert p2_expected != p1  # a different predicate cannot hit p1's cache
+
+
+def test_binary_and_bincells_paths_distinct():
+    """The flat binary codes and the cell-partitioned codes are
+    different artifacts (different layouts, different serve paths) and
+    must never share a cache directory."""
+    from mapreduce_weather_analysis_spark.operators import ann_store
+
+    sf = "/root/testdata/sf0.001"
+    assert ann_store.binary_index_path(sf) != ann_store.binary_cells_index_path(sf)
+
+
 def test_dup_span_removal_consistent_with_maximal(spark):
     """Cross-query invariant: the tokens q_dup_span_removal REMOVES are
     exactly the tokens q_dup_span_maximal COUNTS as duplicated coverage —
