@@ -3436,6 +3436,22 @@ def _li_oracle() -> str:
     )
 
 
+def _li_grams_py(tok: str) -> list[str]:
+    """Distinct char-trigram list (whole token if < 3 chars) — the
+    driver-side Python twin of _li_grams/_li_gram_sql, used for the
+    plan-time-constant QUERY terms. One definition shared by the
+    production loop in q_late_interaction AND the property test
+    (tests/test_properties.py::test_li_gram_python_matches_sql), so a
+    short query token takes the same whole-token fallback as the SQL
+    oracle instead of silently vanishing (ADVICE r9)."""
+    grams = (
+        [tok[i : i + 3] for i in range(len(tok) - 2)]
+        if len(tok) >= 3
+        else [tok]
+    )
+    return list(dict.fromkeys(grams))
+
+
 def _li_grams(col: Column) -> Column:
     """Distinct char-trigram array (whole token if < 3 chars)."""
     return F.when(
@@ -3488,7 +3504,7 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qrows = []
     for qt in _BM25_QUERY:
-        grams = list(dict.fromkeys(qt[i : i + 3] for i in range(len(qt) - 2)))
+        grams = _li_grams_py(qt)
         qrows += [(qt, len(grams), g) for g in grams]
     qgr = spark.createDataFrame(qrows, schema="qt string, nq bigint, g string")
     sim = (

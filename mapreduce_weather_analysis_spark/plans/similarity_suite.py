@@ -4236,7 +4236,10 @@ def q_abtt_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(_QUERY_FILTER))
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     )
-    return search_vectors(spark, path, qv)
+    # k pinned to the oracle's _ABTT_TOPK — relying on search_vectors'
+    # default k_neighbors would silently desync plan from oracle if the
+    # constant ever changes (ADVICE r9)
+    return search_vectors(spark, path, qv, k_neighbors=_ABTT_TOPK)
 
 
 def _pca2_oracle() -> str:
@@ -4822,9 +4825,12 @@ def _adamic_adar_scores(e: DataFrame) -> DataFrame:
             F.col("x.a").alias("w"),
         )
     )
+    # shuffled hash anti-join, NOT broadcast: the edge relation is
+    # O(N·k) — corpus-scaled, so broadcasting it would blow the driver
+    # at >=1e8 vectors (ADVICE r9); same choice as the wedge join above
     nonedge = wedges.join(
-        F.broadcast(
-            e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")).hint(
+            "shuffle_hash"
         ),
         ["u", "v"],
         "left_anti",

@@ -20,6 +20,23 @@ from pyspark.sql import types as T
 
 from ..session import ensure_session_conf
 
+_DRAIN_ROOT: str | None = None
+
+
+def _drain_scratch_root() -> str:
+    """Lazily-created per-process scratch root for file-sink drains,
+    shutil.rmtree'd via atexit so drained corpus-sized parquet and
+    checkpoints don't accumulate across runs (ADVICE r9)."""
+    global _DRAIN_ROOT
+    if _DRAIN_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _DRAIN_ROOT = tempfile.mkdtemp(prefix="stream_drain_")
+        atexit.register(shutil.rmtree, _DRAIN_ROOT, ignore_errors=True)
+    return _DRAIN_ROOT
+
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -144,10 +161,15 @@ def run_available_now_files(agg: DataFrame, spark: SparkSession) -> DataFrame:
     measured failure, not a hypothetical. The file sink is the
     production posture anyway (executors write their own partitions;
     the driver sees only commit metadata), and the downstream batch
-    chain reads the files exactly as it read the memory table."""
+    chain reads the files exactly as it read the memory table.
+
+    The drain directory (data + checkpoint) lives under one per-process
+    scratch root removed at interpreter exit (ADVICE r9: a bare mkdtemp
+    per drain leaked corpus-sized parquet across runs). Deletion must
+    wait for exit — the returned DataFrame reads the files lazily."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="stream_drain_")
+    out = tempfile.mkdtemp(prefix="drain_", dir=_drain_scratch_root())
     q = (
         agg.writeStream.outputMode("append")
         .format("parquet")

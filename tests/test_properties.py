@@ -652,12 +652,12 @@ def test_li_gram_python_matches_sql(tok):
 
     from mapreduce_weather_analysis_spark.plans.curation_suite import (
         _li_gram_sql,
+        _li_grams_py,
     )
 
-    py = list(dict.fromkeys(
-        [tok[i : i + 3] for i in range(len(tok) - 2)] if len(tok) >= 3
-        else [tok]
-    ))
+    # the SAME function the production query-side loop calls (ADVICE r9:
+    # testing a reimplementation would not catch plan/oracle divergence)
+    py = _li_grams_py(tok)
     got = duckdb.connect().execute(
         f"SELECT {_li_gram_sql('t')} FROM (SELECT ? AS t)", [tok]
     ).fetchone()[0]
