@@ -49,7 +49,6 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_clusters",
-    "q_ann_cosine_topk",
     "q_ann_ivf_topk",
     "q_text_quality",
     "q_token_count",
@@ -194,8 +193,6 @@ HEADLINE = [
     "q_ann_search_compacted",
     "q_textrank_keywords",
     "q_pmi_pairs",
-    # round-8 seventeenth wave: ABTT-corrected similarity
-    "q_abtt_search",
     # round-8 eighteenth wave: k-center coreset, k-anonymity audit
     "q_kcenter_select",
     "q_kanon_audit",
@@ -237,6 +234,20 @@ HEADLINE = [
     "q_components_incremental",
 ]
 
+# GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
+# baselines kept REGISTERED and oracle-paired because they certify their
+# indexed siblings (q_ann_cosine_topk is the recall oracle for the whole
+# IVF/IMI/binary family; q_abtt_search is the exact arm behind
+# q_abtt_search_indexed), but EXCLUDED from the benched headline wall —
+# a |Q|·N·DIM brute scan is not a serving plan and its wall time says
+# nothing about the engine's scale posture. They remain runnable on
+# demand via SPARK_GRAFT_BENCH_ONLY, and ext_scale_stress no longer
+# needs a hand-maintained >=10x skip list for them.
+GROUND_TRUTH = [
+    "q_ann_cosine_topk",
+    "q_abtt_search",
+]
+
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
 # loop every run and recorded separately in the JSON. Purpose: attribute
 # round-over-round drift — if the controls move by the same factor as the
@@ -263,6 +274,7 @@ BASELINE_SEC = {
     "q_dedup_minhash_lsh": 6.4,
     "q_dedup_simhash": 1.7,
     "q_dedup_clusters": 3.7,
+    # GROUND_TRUTH tier — bound applies only to explicit BENCH_ONLY runs
     "q_ann_cosine_topk": 1.3,
     "q_ann_ivf_topk": 3.1,
     "q_text_quality": 0.7,
@@ -459,6 +471,7 @@ BASELINE_SEC = {
     "q_ann_search_compacted": 1.3,
     "q_textrank_keywords": 3.0,
     "q_pmi_pairs": 1.1,
+    # GROUND_TRUTH tier — bound applies only to explicit BENCH_ONLY runs
     "q_abtt_search": 6.8,
     "q_abtt_search_indexed": 1.3,  # warm probe-bounded serving (build amortized)
     "q_pr_curve": 1.9,  # timed under concurrent 100x-pack load
@@ -604,11 +617,15 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     names = [n for n in HEADLINE if n in REGISTRY]
     # Dev knob: comma-separated subset for quick local iteration and for
-    # exercising the gate paths without a 2-minute full run.
+    # exercising the gate paths without a 2-minute full run. GROUND_TRUTH
+    # names may be requested explicitly here (opt-in timing) but never
+    # enter the default headline wall.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         keep = set(only.split(","))
-        names = [n for n in names if n in keep]
+        names = [
+            n for n in HEADLINE + GROUND_TRUTH if n in REGISTRY and n in keep
+        ]
     warm_sf = "/root/testdata/sf0.001"
     for name in names:
         try:

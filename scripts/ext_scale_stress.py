@@ -31,7 +31,10 @@ QUERIES = [
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     "q_dedup_simhash",
-    "q_ann_cosine_topk",
+    # q_ann_cosine_topk moved to bench.py's GROUND_TRUTH tier (exact
+    # |Q|·N·DIM recall oracle, quadratic by design — mult^2 work since
+    # both |Q| and N grow); the LSH/IVF/binary serving arms below are
+    # its scale paths. Request it via ONLY to time it anyway.
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
     "q_text_quality",
@@ -167,11 +170,6 @@ def _run_queries(spark, out: str, base: str, mult: int) -> None:
         queries = [q for q in queries if q in only] + sorted(
             q for q in only - set(QUERIES) if q in REGISTRY
         )
-    if mult >= 30 and "q_ann_cosine_topk" in queries:
-        # the documented-quadratic baseline scales as mult^2 (both |Q| and
-        # |N| grow) — 10,000x work at 100x; the LSH/IVF scale paths stand in
-        print(f"skipping q_ann_cosine_topk at {mult}x (quadratic by design)")
-        queries.remove("q_ann_cosine_topk")
     for name in queries:
         fn = REGISTRY[name].fn
         # warm plan/codegen at the smoke SF
