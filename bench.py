@@ -232,6 +232,8 @@ HEADLINE = [
     "q_ann_ivf_binary_search",
     # round-9 seventh wave: incremental component maintenance
     "q_components_incremental",
+    # round-10: warm delta fold off the persisted base labels
+    "q_components_incremental_persisted",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -484,6 +486,9 @@ BASELINE_SEC = {
     "q_ann_binary_search": 0.8,  # warm persisted-code scan
     "q_ann_ivf_binary_search": 1.9,  # probe-bounded Hamming (cells pruned)
     "q_components_incremental": 5.9,  # base CC + quotient fold (warm edges)
+    # warm fold only: parquet base labels + contraction + quotient CC
+    # (round-latency-bound at sf0.1 — the star rounds dominate)
+    "q_components_incremental_persisted": 2.9,
     "q_zipf_fit": 0.7,
     "q_ldiversity": 0.5,
     "q_kcenter_select": 1.8,

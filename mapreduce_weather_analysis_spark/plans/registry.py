@@ -155,14 +155,20 @@ _R8_GREEN_B: tuple[str, ...] = (
     "q_quality_calibration",
 )
 
-# NEVER driver-certified (VERDICT r8 ask #1): the round-8 waves 10-25
-# parked past the then-full window — lexical store build/serve/add,
-# prefix-sum sharding, ANN delete/compaction, graph beam search,
-# streaming monitors, PCA/anisotropy/ABTT, DSIR resampling, k-center,
-# k-anonymity, PMI, TextRank, KS drift, calibration bins, the
-# curate-to-shards capstone, and the three post-window additions.
-# They LEAD the round-9 window for their first official rows.
-_R9_QUEUE: tuple[str, ...] = (
+# NEVER driver-certified: the round-10 additions — persisted-base
+# incremental component fold, rotated binary codes, LSM-merged lexical
+# serving, MERGE upsert (VERDICT r9 asks #3-#6). They LEAD the round-10
+# window for their first official rows; the rest of the window goes to
+# the re-certification rotation (ask #1): ALL 28 remaining r3-dated
+# greens, then the oldest r4-dated greens head-first.
+_R10_QUEUE: tuple[str, ...] = (
+    "q_components_incremental_persisted",
+)
+
+# Certified round 9 (first official rows): the round-8/9 tail — lexical
+# store, prefix-sum sharding, streaming monitors, PCA/ABTT, binary ANN,
+# CDC fold, incremental components. Parked with the fresh greens.
+_R9_GREEN: tuple[str, ...] = (
     "q_token_shards",
     "q_bm25_search",
     "q_skew_profile",
@@ -213,13 +219,18 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_components_incremental",
 )
 
-# Greens whose last driver row is round 3 — stalest re-certification
-# candidates; the head of this section fills the round-9 window's 16
-# free slots (VERDICT r8 ask #3: resume the re-cert rotation).
-_R3_GREEN: tuple[str, ...] = (
+# Re-certified in round 9 (the window's 3 free slots beyond the new
+# queue took the then-stalest r3 heads) — freshest re-cert rows.
+_R9_RECERT: tuple[str, ...] = (
     "q_ann_gemm_topk",
     "q_ann_ivf_sampled",
     "q_ann_ivf_topk",
+)
+
+# Greens whose last driver row is round 3 — stalest re-certification
+# candidates; ALL 28 fit inside the round-10 window right after
+# _R10_QUEUE (VERDICT r9 ask #1: finish the rotation, oldest first).
+_R3_GREEN: tuple[str, ...] = (
     "q_ann_pq_topk",
     "q_big_orders",
     "q_bpe_pair_counts",
@@ -404,13 +415,15 @@ _R7_GREEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    _R9_QUEUE
+    _R10_QUEUE
     + _R3_GREEN
     + _R4_GREEN
     + _R5_GREEN
     + _R7_GREEN
     + _R8_GREEN_A
     + _R8_GREEN_B
+    + _R9_GREEN
+    + _R9_RECERT
 )
 
 

@@ -7,7 +7,7 @@ ranks, ties and scores all oracle-match exactly with no rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.compat import (
@@ -4917,6 +4917,99 @@ q_adamic_adar.__doc__ = q_adamic_adar.__doc__.format(K=_AA_TOPK)
 _INC_MOD = 17  # delta batch: nodes with vec_id % MOD == 0
 
 
+def _inc_touches_delta() -> Column:
+    """Edge predicate defining the late-arriving DELTA batch: any edge
+    touching a vec_id ≡ 0 mod _INC_MOD. One definition shared by the
+    in-query split, the persisted-base artifact build, and the warm
+    serve path, so the base/delta partition can't drift between them."""
+    return (F.pmod(F.col("src"), F.lit(_INC_MOD)) == 0) | (
+        F.pmod(F.col("dst"), F.lit(_INC_MOD)) == 0
+    )
+
+
+def _fold_delta(e_new: DataFrame, labels_old: DataFrame) -> DataFrame:
+    """Fold a delta edge batch into an existing (node, component)
+    labeling: contract each delta endpoint through its base label
+    (unseen nodes stay themselves), run connected components on the
+    quotient graph — |affected components| + |delta nodes| supernodes,
+    not N — then map merged roots back over the base labels and union
+    in the genuinely-new nodes. Min-id labeling makes the composition
+    exact (min over merged groups of min-ids IS the global min), so the
+    fold is bit-identical to a full relabel — both callers' oracle is
+    the full-graph labeling. Returns (vec_id, component, csize)."""
+    from ..operators.graph import connected_components
+
+    lsrc = labels_old.select(
+        F.col("node").alias("src"), F.col("component").alias("csrc")
+    )
+    ldst = labels_old.select(
+        F.col("node").alias("dst"), F.col("component").alias("cdst")
+    )
+    contracted = (
+        e_new.join(lsrc, "src", "left")
+        .join(ldst, "dst", "left")
+        .select(
+            F.coalesce(F.col("csrc"), F.col("src")).alias("s2"),
+            F.coalesce(F.col("cdst"), F.col("dst")).alias("d2"),
+        )
+        .where(F.col("s2") != F.col("d2"))
+    )
+    cc2 = connected_components(contracted, "s2", "d2")
+    merge = cc2.select(
+        F.col("node").alias("super"), F.col("component").alias("newc")
+    )
+    old_final = labels_old.join(
+        F.broadcast(merge),
+        labels_old["component"] == F.col("super"),
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("newc"), F.col("component")).alias("component")
+    )
+    new_nodes = (
+        e_new.select(F.col("src").alias("node"))
+        .unionByName(e_new.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(labels_old.select("node"), "node", "left_anti")
+    )
+    new_final = new_nodes.join(
+        F.broadcast(merge), new_nodes["node"] == F.col("super")
+    ).select("node", F.col("newc").alias("component"))
+    allc = old_final.unionByName(new_final)
+    csize = allc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize")
+    )
+    return allc.join(csize, "component").select(
+        F.col("node").alias("vec_id"), "component", "csize"
+    )
+
+
+def inc_base_write(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the BASE labeling (components over the mutual-kNN edges
+    that do NOT touch the delta batch) — the artifact a deployment's
+    incremental fold actually reads: the expensive full CC runs once
+    per index fingerprint, and each arriving delta folds against the
+    parquet labels (VERDICT r9 ask #3). Lives inside the components
+    artifact directory so index-fingerprint invalidation cascades;
+    marker-file idempotent (ann_store protocol)."""
+    import os
+
+    from ..operators.graph import connected_components
+
+    root = components_write(spark, sf_dir)
+    path = os.path.join(root, f"inc-base-m{_INC_MOD}")
+    marker = os.path.join(path, "_INC_BASE_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    e_old = spark.read.parquet(os.path.join(root, "edges")).where(
+        ~_inc_touches_delta()
+    )
+    labels = connected_components(e_old, "src", "dst")
+    labels.write.mode("overwrite").parquet(os.path.join(path, "labels"))
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return path
+
+
 @register("q_components_incremental", oracle=_knn_graph_oracle())
 def q_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL connected-component maintenance — fold a DELTA edge
@@ -4939,64 +5032,42 @@ def q_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient graph that is orders of magnitude smaller than the corpus
     (in a deployment the base labels come from the persisted artifact;
     here the base slice is labeled in-query so the contract is
-    self-contained). csize via groupBy + join-back, never a component
-    window."""
+    self-contained — q_components_incremental_persisted is the warm
+    twin that reads the base labels from the artifact). csize via
+    groupBy + join-back, never a component window."""
     from ..operators.graph import connected_components
 
     e = read_mutual_edges(spark, sf_dir)
-    touches_delta = (F.pmod(F.col("src"), F.lit(_INC_MOD)) == 0) | (
-        F.pmod(F.col("dst"), F.lit(_INC_MOD)) == 0
-    )
-    e_new = e.where(touches_delta).localCheckpoint()
-    e_old = e.where(~touches_delta).localCheckpoint()
+    e_new = e.where(_inc_touches_delta()).localCheckpoint()
+    e_old = e.where(~_inc_touches_delta()).localCheckpoint()
     labels_old = connected_components(e_old, "src", "dst").localCheckpoint()
-    lsrc = labels_old.select(
-        F.col("node").alias("src"), F.col("component").alias("csrc")
-    )
-    ldst = labels_old.select(
-        F.col("node").alias("dst"), F.col("component").alias("cdst")
-    )
-    contracted = (
-        e_new.join(lsrc, "src", "left")
-        .join(ldst, "dst", "left")
-        .select(
-            F.coalesce(F.col("csrc"), F.col("src")).alias("s2"),
-            F.coalesce(F.col("cdst"), F.col("dst")).alias("d2"),
-        )
-        .where(F.col("s2") != F.col("d2"))
-    )
-    cc2 = connected_components(contracted, "s2", "d2")
-    merge = cc2.select(
-        F.col("node").alias("super"), F.col("component").alias("newc")
-    )
-    old_final = (
-        labels_old.join(
-            F.broadcast(merge),
-            labels_old["component"] == F.col("super"),
-            "left",
-        )
-        .select(
-            "node", F.coalesce(F.col("newc"), F.col("component")).alias("component")
-        )
-    )
-    new_nodes = (
-        e_new.select(F.col("src").alias("node"))
-        .unionByName(e_new.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(labels_old.select("node"), "node", "left_anti")
-    )
-    new_final = new_nodes.join(
-        F.broadcast(merge), new_nodes["node"] == F.col("super")
-    ).select("node", F.col("newc").alias("component"))
-    allc = old_final.unionByName(new_final)
-    csize = allc.groupBy("component").agg(
-        F.count(F.lit(1)).cast("bigint").alias("csize")
-    )
-    return allc.join(csize, "component").select(
-        F.col("node").alias("vec_id"), "component", "csize"
-    )
+    return _fold_delta(e_new, labels_old)
 
 
 q_components_incremental.__doc__ = q_components_incremental.__doc__.format(
     M=_INC_MOD
 )
+
+
+@register("q_components_incremental_persisted", oracle=_knn_graph_oracle())
+def q_components_incremental_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q_components_incremental served WARM: base labels come from the
+    persisted inc-base artifact (inc_base_write — built once per index
+    fingerprint, like every build/serve split in the repo) so the query
+    measures what an incremental deployment actually pays per delta
+    batch: one parquet scan of the base labels + the slim contraction
+    joins + CC on the quotient graph (VERDICT r9 ask #3 — the in-query
+    twin's bench number was dominated by the base CC it would never
+    re-run in production). The fold is bit-identical to the full
+    relabel (min-id composition, see _fold_delta), so the oracle is the
+    SAME full-graph labeling that certifies q_knn_graph_clusters,
+    q_components_persisted, and the in-query twin: four independent
+    computations, one truth."""
+    import os
+
+    path = inc_base_write(spark, sf_dir)
+    labels_old = spark.read.parquet(os.path.join(path, "labels"))
+    e_new = read_mutual_edges(spark, sf_dir).where(_inc_touches_delta())
+    return _fold_delta(e_new, labels_old)

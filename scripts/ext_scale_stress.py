@@ -73,6 +73,7 @@ QUERIES = [
     "q_adamic_adar",
     "q_zipf_fit",
     "q_pr_curve",
+    "q_components_incremental_persisted",
 ]
 
 

@@ -84,7 +84,7 @@ def test_priority_sections_cover_registry_exactly():
     from mapreduce_weather_analysis_spark.plans.registry import (
         _PRIORITY,
         _R3_GREEN,
-        _R9_QUEUE,
+        _R10_QUEUE,
         _WINDOW,
         _import_plans,
     )
@@ -92,10 +92,11 @@ def test_priority_sections_cover_registry_exactly():
     _import_plans()
     assert len(_PRIORITY) == len(set(_PRIORITY)) == len(REGISTRY)
     assert set(_PRIORITY) == set(REGISTRY)
-    # the round-9 window leads with the never-certified _R9_QUEUE; the
-    # remaining slots re-certify the stalest (round-3) greens head-first
-    assert len(_R9_QUEUE) <= _WINDOW
-    head = _R9_QUEUE + _R3_GREEN
+    # the round-10 window leads with the never-certified _R10_QUEUE,
+    # then retires ALL remaining round-3 greens; whatever slots are left
+    # re-certify the stalest (round-4) greens head-first
+    assert len(_R10_QUEUE) + len(_R3_GREEN) <= _WINDOW
+    head = _R10_QUEUE + _R3_GREEN
     assert _PRIORITY[: len(head)] == head
 
 
