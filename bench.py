@@ -234,6 +234,10 @@ HEADLINE = [
     "q_components_incremental",
     # round-10: warm delta fold off the persisted base labels
     "q_components_incremental_persisted",
+    # round-10 second wave: HD-rotated sign codes (anisotropy remedy),
+    # flat and composed into the cell layout
+    "q_ann_binary_rotated",
+    "q_ann_ivf_binary_rotated",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -479,6 +483,10 @@ BASELINE_SEC = {
     "q_pr_curve": 1.9,  # timed under concurrent 100x-pack load
     "q_embed_pca2": 4.4,  # PCA chain + deflated iteration (same load caveat)
     "q_ann_binary_hamming": 0.9,
+    # inline HD-rotation (fixed-point integer fold) + flat Hamming scan
+    "q_ann_binary_rotated": 2.2,
+    # rotated codes served from the binrot_v2 cell layout (probe-bounded)
+    "q_ann_ivf_binary_rotated": 2.1,
     "q_cdc_apply": 0.5,
     "q_stream_bm25_search": 3.9,  # stream-static postings join + file-sink drain
     "q_late_interaction": 1.9,

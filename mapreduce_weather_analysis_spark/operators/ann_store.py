@@ -524,22 +524,24 @@ def binary_write(spark: SparkSession, sf_dir: str, codes: DataFrame) -> str:
     return path
 
 
-def binary_cells_index_path(sf_dir: str) -> str:
+def binary_cells_index_path(sf_dir: str, variant: str = "bin_v1") -> str:
     """Path for the CELL-PARTITIONED binary codes (the binary-flat codes
     dropped into the IVF cell layout): fingerprinted on the embeddings
     file + the IVF build constants (the cluster assignment is part of
-    the artifact) + the packing recipe."""
+    the artifact) + the packing recipe. ``variant`` names the code
+    recipe — "bin_v1" raw sign bits, "binrot_v2" the HD-rotated codes —
+    so the two layouts never collide."""
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     fp = hashlib.md5(
         f"bincells:{st.st_size}:{st.st_mtime_ns}:{_build_signature()}:"
-        f"bin_v1:dim=64:split=32".encode()
+        f"{variant}:dim=64:split=32".encode()
     ).hexdigest()[:12]
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(INDEX_ROOT, f"{base}-bincells-{fp}")
 
 
 def binary_cells_write(
-    spark: SparkSession, sf_dir: str, codes: DataFrame
+    spark: SparkSession, sf_dir: str, codes: DataFrame, variant: str = "bin_v1"
 ) -> str:
     """Persist (vec_id, lo, hi) PARTITIONED BY cluster — the composition
     SCALE.md's binary-arm guidance names for >10⁸ vectors: the same
@@ -547,7 +549,7 @@ def binary_cells_write(
     bounds the Hamming scan (dynamic partition pruning skips unprobed
     cells' code files, exactly the inverted-list I/O story with 1/32
     the bytes). Marker-idempotent."""
-    path = binary_cells_index_path(sf_dir)
+    path = binary_cells_index_path(sf_dir, variant)
     marker = os.path.join(path, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return path

@@ -163,6 +163,8 @@ _R8_GREEN_B: tuple[str, ...] = (
 # greens, then the oldest r4-dated greens head-first.
 _R10_QUEUE: tuple[str, ...] = (
     "q_components_incremental_persisted",
+    "q_ann_binary_rotated",
+    "q_ann_ivf_binary_rotated",
 )
 
 # Certified round 9 (first official rows): the round-8/9 tail — lexical

@@ -950,6 +950,197 @@ q_ann_binary_hamming.__doc__ = q_ann_binary_hamming.__doc__.format(
 )
 
 
+# --- Rotated binary codes: randomized Hadamard before sign quantization -------
+#
+# The clustered-corpus control (SCALE.md r9) measured the binary arms'
+# recall collapsing 0.37 -> 0.22 on anisotropic data: every member of a
+# tight cluster shares nearly the same sign pattern, so Hamming cannot
+# rank WITHIN a cluster. Documented remedy, now implemented: rotate
+# before sign (the HD step of Ailon-Chazelle's FJLT / the rotation ITQ
+# iterates on — Gong et al. CVPR'11 use exactly "random orthogonal
+# rotation" as their baseline): codes become sign(H·D·v) with H the
+# 64-point Hadamard matrix (H[k][j] = (-1)^popcount(k AND j)) and D a
+# fixed ±1 diagonal. Why it helps: unrotated, a cluster anchor can
+# dominate EVERY coordinate (all |anchor_j| large), leaving zero bits
+# for the residual; rotation spreads the anchor's energy into a
+# Gaussian profile across output dims, so the dims where the rotated
+# anchor is small carry the residual's sign — within-cluster ranking
+# comes back. Orthogonality preserves cosine geometry, so the float
+# rerank is untouched.
+
+_ROT_D = 64  # fixture embedding dim; H is the 2^6 Hadamard
+_ROT_SCALE = 1 << 20  # fixed-point quantization before the integer fold
+
+
+def _rot_d_signs() -> list[int]:
+    """The fixed ±1 diagonal D — derived per-dim from the repo's
+    portable hash (no RNG at plan time; same values every run)."""
+    from ..functions.compat import portable_hash32_py
+
+    return [
+        1 if portable_hash32_py(f"hdrot:{j}") % 2 else -1
+        for j in range(_ROT_D)
+    ]
+
+
+def _rotated_coords(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """(vec_id, k, r): r = Σ_j H[k][j]·D[j]·⌊2²⁰·v_j⌋ — the HD rotation
+    over FIXED-POINT coordinates. Quantizing first makes every term a
+    bigint, so the fold is exact integer arithmetic: order-independent
+    and bit-identical across engines with no decimal/string routing in
+    the hot path (the psum formulation measured 8.4 s at sf0.1 — 9× the
+    integer version). ⌊2²⁰·x⌋ itself is deterministic: ·2²⁰ is an exact
+    exponent shift on a double and FLOOR is exact, in both engines; the
+    2⁻²⁰ quantization only moves sign decisions within ~1e-6 of zero,
+    which the oracle reproduces exactly (it quantizes the same way).
+
+    Scale shape: one narrow pass — a 64-row broadcast of the per-k sign
+    rows, each output coordinate a 64-term zip_with/aggregate fold
+    inside whole-stage codegen (no explode of the corpus, no shuffle
+    before the bit pack's (vec_id) agg). A 100 TB deployment would fold
+    the rotation into the embedding producer; this formulation has the
+    same I/O shape as the unrotated pack."""
+    d = _rot_d_signs()
+    srows = [
+        (
+            k,
+            [
+                (1 if bin(k & j).count("1") % 2 == 0 else -1) * d[j]
+                for j in range(_ROT_D)
+            ],
+        )
+        for k in range(_ROT_D)
+    ]
+    sk = spark.createDataFrame(srows, schema="k int, s array<bigint>")
+    xi = vecs.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.floor(x * F.lit(float(_ROT_SCALE))).cast("bigint")
+        ).alias("xi"),
+    )
+    return xi.crossJoin(F.broadcast(sk)).select(
+        "vec_id",
+        "k",
+        F.aggregate(
+            F.zip_with("xi", "s", lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("r"),
+    )
+
+
+def _rot_codes(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """(vec_id, lo, hi): sign bits of the ROTATED coordinates packed
+    into two bigints — same 16-byte layout as _binary_codes, so every
+    downstream serving plan (flat scan, cell layout) is unchanged."""
+    rx = _rotated_coords(spark, vecs)
+    bit = F.when(
+        (F.col("r") > 0) & (F.col("k") < 32),
+        F.pow(F.lit(2.0), F.col("k")).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    bit_hi = F.when(
+        (F.col("r") > 0) & (F.col("k") >= 32),
+        F.pow(F.lit(2.0), F.col("k") - 32).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return rx.groupBy("vec_id").agg(
+        F.sum(bit).cast("bigint").alias("lo"),
+        F.sum(bit_hi).cast("bigint").alias("hi"),
+    )
+
+
+def _rot_codes_sql() -> str:
+    """DuckDB CTE chain ending in ``rcodes`` (vec_id, lo, hi) — the
+    rotated-code twin of _BH_CODES_SQL (also defines ``bv``). Same
+    fixed-point integer fold as the Spark side: exact, order-free."""
+    dcsv = ", ".join(str(s) for s in _rot_d_signs())
+    return f"""
+    bv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    xiq AS (
+      SELECT vec_id,
+             list_transform(
+               v, x -> CAST(FLOOR(x * {_ROT_SCALE}) AS BIGINT)) AS xi
+      FROM bv
+    ),
+    rx AS (
+      SELECT vec_id, kk.k,
+             list_sum(list_transform(range(0, {_ROT_D}), j ->
+               xi[CAST(j + 1 AS INT)]
+               * (CASE WHEN bit_count(CAST(kk.k & j AS BIGINT)) % 2 = 0
+                       THEN 1 ELSE -1 END)
+               * ([{dcsv}])[CAST(j + 1 AS INT)])) AS r
+      FROM xiq, (SELECT unnest(range(0, {_ROT_D})) AS k) kk
+    ),
+    rcodes AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN r > 0 AND k < 32
+                      THEN CAST(POW(2, k) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN r > 0 AND k >= 32
+                      THEN CAST(POW(2, k - 32) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS hi
+      FROM rx GROUP BY vec_id
+    )"""
+
+
+def _rot_oracle() -> str:
+    return f"""
+    WITH {_rot_codes_sql()},
+    bq AS (
+      SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+      FROM rcodes WHERE {_QUERY_FILTER}
+    ),
+    ham AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi))
+               AS INTEGER) AS hamming
+      FROM bq JOIN rcodes c ON c.vec_id <> query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC
+        ) AS hrank FROM ham
+      ) WHERE hrank <= {_BH_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           hamming, cosine
+    FROM (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             {cosine_sql('qv.v', 'nv.v')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {cosine_sql('qv.v', 'nv.v')} DESC, s.neighbor_id ASC
+             ) AS rank
+      FROM short s
+      JOIN bv qv ON qv.vec_id = s.query_id
+      JOIN bv nv ON nv.vec_id = s.neighbor_id
+    ) WHERE rank <= 5
+    """
+
+
+@register("q_ann_binary_rotated", oracle=_rot_oracle())
+def q_ann_binary_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-Hamming ANN over ROTATED sign codes — q_ann_binary_hamming
+    with the anisotropy remedy applied (VERDICT r9 ask #4): codes are
+    sign(H·D·v) instead of sign(v), same 16-byte pack, same Hamming
+    shortlist + float-rerank serving (_binary_serve, rerank on the
+    ORIGINAL vectors — rotation is orthogonal so true cosine is
+    unchanged). Clustered-control recall measured in SCALE.md beside
+    the unrotated arm's honest negative.
+
+    Scale shape: identical to the unrotated arm plus one linear
+    rotation pass at build time (constant 64× term fan-in through a
+    map-side combine); serving I/O is byte-identical. Determinism:
+    rotated coordinates are psum-exact (±v_j terms, decimal-routed
+    sum), codes exact integers, rerank the shared cosine pair."""
+    vecs = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return _binary_serve(_rot_codes(spark, vecs), vecs)
+
+
 def _bin_lo_sql(v: str) -> str:
     return (
         f"CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN "
@@ -966,22 +1157,18 @@ def _bin_hi_sql(v: str) -> str:
     )
 
 
-def _ivf_binary_oracle() -> str:
+def _celled_binary_oracle(code_ctes: list[str]) -> str:
+    """Shared celled-binary oracle scaffold: the composed ivf_chain
+    (cluster assignment + probes), caller-supplied CTEs ending in
+    ``bcc`` (vec_id, cluster, lo, hi) / ``bqq`` (query_id, cluster,
+    qlo, qhi), then the probed Hamming shortlist + float rerank —
+    one serve definition for the raw and rotated code recipes."""
     from ..operators.ivf import ivf_chain
 
     ctes = ivf_chain("embeddings", _QUERY_FILTER, materialize=True)
     cos = cosine_sql("q.qv", "nv.v")
+    ctes += code_ctes
     ctes += [
-        f"""bcc AS (
-      SELECT vec_id, cluster, {_bin_lo_sql('v')} AS lo,
-             {_bin_hi_sql('v')} AS hi
-      FROM fa
-    )""",
-        f"""bqq AS (
-      SELECT query_id, cluster, {_bin_lo_sql('qv')} AS qlo,
-             {_bin_hi_sql('qv')} AS qhi
-      FROM probes
-    )""",
         """bham AS (
       SELECT b.query_id, c.vec_id AS neighbor_id,
              CAST(bit_count(xor(qlo, lo)) + bit_count(xor(qhi, hi))
@@ -1017,6 +1204,42 @@ def _ivf_binary_oracle() -> str:
     )
 
 
+def _ivf_binary_oracle() -> str:
+    return _celled_binary_oracle(
+        [
+            f"""bcc AS (
+      SELECT vec_id, cluster, {_bin_lo_sql('v')} AS lo,
+             {_bin_hi_sql('v')} AS hi
+      FROM fa
+    )""",
+            f"""bqq AS (
+      SELECT query_id, cluster, {_bin_lo_sql('qv')} AS qlo,
+             {_bin_hi_sql('qv')} AS qhi
+      FROM probes
+    )""",
+        ]
+    )
+
+
+def _ivf_binary_rotated_oracle() -> str:
+    # the rotated-code chain (bv/rotm/rx/rcodes — one rotation over the
+    # whole table covers corpus AND queries, since queries come from the
+    # corpus), joined into the cell layout by vec_id
+    return _celled_binary_oracle(
+        [
+            _rot_codes_sql(),
+            """bcc AS (
+      SELECT f.vec_id, f.cluster, r.lo, r.hi
+      FROM fa f JOIN rcodes r USING (vec_id)
+    )""",
+            """bqq AS (
+      SELECT p.query_id, p.cluster, r.lo AS qlo, r.hi AS qhi
+      FROM probes p JOIN rcodes r ON r.vec_id = p.query_id
+    )""",
+        ]
+    )
+
+
 @register("q_ann_ivf_binary_search", oracle=_ivf_binary_oracle())
 def q_ann_ivf_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``IVF..,BINARY`` composed — the deployment SCALE.md's binary-arm
@@ -1036,6 +1259,35 @@ def q_ann_ivf_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     float lists on the broadcast shortlist. Determinism: the composed
     ivf_chain + exact-integer code oracle replays cluster assignment,
     probes, codes, Hamming and cosine bit-for-bit."""
+    return _celled_binary_serve(spark, sf_dir, _binary_codes, "bin_v1")
+
+
+@register("q_ann_ivf_binary_rotated", oracle=_ivf_binary_rotated_oracle())
+def q_ann_ivf_binary_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IVF..,BINARY(rotated)`` — the anisotropy remedy composed into
+    the CELL LAYOUT (VERDICT r9 ask #4, second half): the HD-rotated
+    sign codes (see q_ann_binary_rotated) persisted cluster-partitioned
+    under their own artifact variant ("binrot_v2" — the raw and rotated
+    layouts never collide), probe-bounded Hamming scan, float rerank.
+    Rotation is orthogonal, so the IVF cluster geometry and the rerank
+    cosine are both unchanged — only the 16-byte codes differ.
+
+    Scale shape / determinism: identical to q_ann_ivf_binary_search
+    (the serve plan is literally shared — _celled_binary_serve) plus
+    the linear psum-exact rotation pass at build time."""
+    return _celled_binary_serve(
+        spark, sf_dir, lambda v: _rot_codes(spark, v), "binrot_v2"
+    )
+
+
+def _celled_binary_serve(
+    spark: SparkSession, sf_dir: str, codes_fn, variant: str
+) -> DataFrame:
+    """Probe-bounded Hamming serving over cell-partitioned codes — the
+    shared body of the raw and rotated celled arms: build the codes
+    with ``codes_fn`` into the ``variant`` artifact if absent, select
+    probes against the persisted float centroids, scan only probed
+    cells' codes, rerank the shortlist with exact cosine."""
     import os
 
     from pyspark.sql import Window as W
@@ -1050,12 +1302,12 @@ def q_ann_ivf_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ivfpq_write(spark, sf_dir)
     vecs = spark.read.parquet(os.path.join(path, "vecs"))
-    bpath = binary_cells_index_path(sf_dir)
+    bpath = binary_cells_index_path(sf_dir, variant)
     if not os.path.exists(os.path.join(bpath, "_INDEX_COMPLETE")):
-        codes = _binary_codes(vecs.select("vec_id", "v")).join(
+        codes = codes_fn(vecs.select("vec_id", "v")).join(
             vecs.select("vec_id", "cluster"), "vec_id"
         )
-        binary_cells_write(spark, sf_dir, codes)
+        binary_cells_write(spark, sf_dir, codes, variant)
     bcodes = spark.read.parquet(os.path.join(bpath, "codes"))
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     qv = vecs.where(F.expr(_QUERY_FILTER)).select(
@@ -1076,7 +1328,7 @@ def q_ann_ivf_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.explode("near").alias("p"))
         .select("query_id", F.col("p.cluster").alias("cluster"))
     )
-    qcodes = _binary_codes(
+    qcodes = codes_fn(
         qv.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v"))
     ).select(
         F.col("vec_id").alias("query_id"),

@@ -30,7 +30,9 @@ ARMS = [
     "q_ann_imi_sq8_search",
     "q_ann_ivf_sq8_topk",
     "q_ann_binary_hamming",
+    "q_ann_binary_rotated",
     "q_ann_ivf_binary_search",
+    "q_ann_ivf_binary_rotated",
 ]
 
 N_GROUPS = 16

@@ -67,8 +67,10 @@ QUERIES = [
     "q_quality_calibration",
     "q_abtt_search_indexed",
     "q_ann_binary_hamming",
+    "q_ann_binary_rotated",
     "q_ann_binary_search",
     "q_ann_ivf_binary_search",
+    "q_ann_ivf_binary_rotated",
     "q_late_interaction",
     "q_adamic_adar",
     "q_zipf_fit",
