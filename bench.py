@@ -238,6 +238,8 @@ HEADLINE = [
     # flat and composed into the cell layout
     "q_ann_binary_rotated",
     "q_ann_ivf_binary_rotated",
+    # round-10 third wave: LSM segment-merged lexical serving
+    "q_bm25_search_merged",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -468,6 +470,8 @@ BASELINE_SEC = {
     "q_stream_index_add": 2.7,
     "q_stream_percolate": 1.6,
     "q_bm25_index_add": 0.8,
+    # base+delta segment search (both term-bucket pruned), merged df/stats
+    "q_bm25_search_merged": 1.4,
     "q_index_compaction": 0.5,
     "q_retrieval_eval": 1.7,
     "q_embed_pca": 2.3,

@@ -102,6 +102,144 @@ def lexical_write(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def lexical_segment_path(sf_dir: str, seg: str) -> str:
+    """Path for a named SEGMENT of the corpus (LSM model: the base
+    segment plus append-only delta segments). Fingerprinted like the
+    monolithic index, plus the segment name — a changed corpus or
+    tokenizer rebuilds every segment."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.md5(
+        f"lexseg:{st.st_size}:{st.st_mtime_ns}:{_lex_signature()}:{seg}".encode()
+    ).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(INDEX_ROOT, f"{base}-lexseg-{seg}-{fp}")
+
+
+def lexical_segment_write(
+    spark: SparkSession, sf_dir: str, seg: str, doc_pred
+) -> str:
+    """Build one SEGMENT over the documents matching ``doc_pred`` —
+    same postings/dfs layout as lexical_write, but stats additionally
+    carries the EXACT decimal length sum ``sdl`` so merged serving can
+    recombine (nn, sdl) across segments and reproduce the monolithic
+    avgdl bit-for-bit: segment doc sets are disjoint, df and nn add,
+    and sdl is an exact integer-valued double, so the merged
+    avgdl = Σsdl / Σnn is the SAME single division the full rebuild
+    performs. Marker-idempotent."""
+    path = lexical_segment_path(sf_dir, seg)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(doc_pred)
+        .select("doc_id", tokens("text").alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    dls = d.select("doc_id", F.size("toks").alias("dl"))
+    postings = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dls, "doc_id")
+        .withColumn(
+            "tb", F.pmod(portable_hash32("term"), F.lit(_TERM_BUCKETS))
+        )
+    )
+    (
+        postings.repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfs.write.mode("overwrite").parquet(os.path.join(path, "dfs"))
+    stats = dls.agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("nn"),
+        F.sum(F.col("dl").cast("decimal(18,2)")).cast("double").alias("sdl"),
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return path
+
+
+def lexical_search_merged(
+    spark: SparkSession,
+    seg_paths: list[str],
+    terms: tuple[str, ...],
+    k1: float,
+    b: float,
+    topk: int,
+) -> DataFrame:
+    """BM25 top-k over the UNION of persisted segments — the LSM read
+    path: per segment, the query buckets' posting files (partition-
+    pruned exactly like the monolithic search); df merged by summing
+    per-term counts (segment doc sets are disjoint); corpus stats
+    merged as (Σnn, Σsdl). Because postings rows, merged df, nn and
+    avgdl all equal the monolithic rebuild's values, the scoring math
+    below (shared dround/psum routing) is bit-identical to it — one
+    full-corpus oracle certifies the merged read path."""
+    from functools import reduce
+
+    from ..functions.compat import dround, psum
+
+    buckets = sorted({portable_hash32_py(w) % _TERM_BUCKETS for w in terms})
+    posts = [
+        spark.read.parquet(os.path.join(p, "postings"))
+        .where(F.col("tb").isin(buckets))
+        .where(F.col("term").isin(list(terms)))
+        for p in seg_paths
+    ]
+    postings = reduce(lambda a, b_: a.unionByName(b_), posts)
+    dfs = (
+        reduce(
+            lambda a, b_: a.unionByName(b_),
+            [
+                spark.read.parquet(os.path.join(p, "dfs")).where(
+                    F.col("term").isin(list(terms))
+                )
+                for p in seg_paths
+            ],
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = (
+        reduce(
+            lambda a, b_: a.unionByName(b_),
+            [
+                spark.read.parquet(os.path.join(p, "stats"))
+                for p in seg_paths
+            ],
+        )
+        .agg(F.sum("nn").alias("nn"), F.sum("sdl").alias("sdl"))
+        .select("nn", (F.col("sdl") / F.col("nn")).alias("avgdl"))
+    )
+    idf = F.log(
+        (F.col("nn") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        postings.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", dround(idf * tf_norm, 8).alias("s"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        dround(psum(F.col("s"), 8), 6).alias("score"),
+    )
+    return (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+        .select("doc_id", "n_terms", "score")
+    )
+
+
 def lexical_search(
     spark: SparkSession,
     index_path: str,

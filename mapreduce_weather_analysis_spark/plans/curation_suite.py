@@ -2760,6 +2760,50 @@ def q_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_bm25_search_merged", oracle=_bm25_oracle())
+def q_bm25_search_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving over SEGMENT-MERGED postings — the LSM read path
+    that completes the lexical lifecycle (VERDICT r9 ask #5):
+    q_bm25_index_add produces the delta segment's write manifest; this
+    query proves the read side actually works — search runs over the
+    persisted BASE segment (docs outside the arriving batch) PLUS the
+    appended DELTA segment (doc_id % {M} = {R}, the same batch), with
+    df summed per term across segments and corpus stats recombined
+    from exact per-segment (nn, Σdl) — Lucene/Elasticsearch's
+    multi-segment search expressed relationally. Oracle protocol is
+    q_ann_search_compacted's: the recompute-from-scratch BM25 over the
+    UNION corpus (the same _bm25_oracle that certifies q_bm25_search),
+    so a wrong df merge, a stale stats row, or a lost posting
+    hash-fails.
+
+    Scale shape: per segment the scan carries the same literal
+    term-bucket partition filters as the monolithic search (|query|
+    posting lists × |segments| files — the read amplification LSM
+    trades for append-only writes; compaction, q_index_compaction,
+    bounds |segments|); df/stats merging touches vocabulary-sized and
+    1-row relations. Determinism: disjoint segments make df and nn
+    exact sums, Σdl is an exact decimal-routed integer, so merged
+    scoring is bit-identical to the monolithic rebuild."""
+    from ..operators.lexical_store import (
+        lexical_search_merged,
+        lexical_segment_write,
+    )
+
+    arriving = (
+        F.pmod(F.col("doc_id"), F.lit(_LADD_MOD)) == F.lit(_LADD_REM)
+    )
+    base = lexical_segment_write(spark, sf_dir, "base", ~arriving)
+    delta = lexical_segment_write(spark, sf_dir, "delta", arriving)
+    return lexical_search_merged(
+        spark, [base, delta], _BM25_QUERY, _BM25_K1, _BM25_B, _BM25_TOPK
+    )
+
+
+q_bm25_search_merged.__doc__ = q_bm25_search_merged.__doc__.format(
+    M=_LADD_MOD, R=_LADD_REM
+)
+
+
 # --- Retrieval evaluation: nDCG / MRR / P@10 over the ranked list --------------
 
 _REV_K = 10  # metric cutoff

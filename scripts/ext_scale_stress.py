@@ -61,6 +61,7 @@ QUERIES = [
     "q_hybrid_search_persisted",
     "q_containment_pairs",
     "q_bm25_rm3",
+    "q_bm25_search_merged",
     "q_lexical_drift",
     "q_ann_range_search",
     "q_stream_lexical_drift",
