@@ -240,6 +240,8 @@ HEADLINE = [
     "q_ann_ivf_binary_rotated",
     # round-10 third wave: LSM segment-merged lexical serving
     "q_bm25_search_merged",
+    # round-10 fourth wave: MERGE INTO emulation (anti-join + union)
+    "q_merge_upsert",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -492,6 +494,8 @@ BASELINE_SEC = {
     # rotated codes served from the binrot_v2 cell layout (probe-bounded)
     "q_ann_ivf_binary_rotated": 2.1,
     "q_cdc_apply": 0.5,
+    # anti-join + union MERGE; window only over the update batch
+    "q_merge_upsert": 0.8,
     "q_stream_bm25_search": 3.9,  # stream-static postings join + file-sink drain
     "q_late_interaction": 1.9,
     "q_adamic_adar": 0.9,  # warm off the persisted graph artifact

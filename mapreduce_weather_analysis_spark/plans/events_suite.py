@@ -352,6 +352,99 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_upsert",
+    oracle="""
+    WITH mbase AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+             o_totalprice AS price, CAST(o_orderdate AS DATE) AS ts
+      FROM orders WHERE o_orderkey % 4 <> 1
+    ),
+    mupd AS (
+      SELECT o_orderkey, o_custkey,
+             'V' || CAST(v AS VARCHAR) AS status,
+             CAST(CAST(CAST(o_totalprice + v AS VARCHAR)
+               AS DECIMAL(28,2)) AS DOUBLE) AS price,
+             CAST(o_orderdate AS DATE) + CAST(v AS INTEGER) AS ts
+      FROM orders, (SELECT unnest([1, 2]) AS v)
+      WHERE o_orderkey % 4 <= 1
+    ),
+    mlatest AS (
+      SELECT o_orderkey, o_custkey, status, price, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+        FROM mupd
+      ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.status, b.price,
+           strftime(b.ts, '%Y-%m-%d') AS ts
+    FROM mbase b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM mlatest l WHERE l.o_orderkey = b.o_orderkey
+    )
+    UNION ALL
+    SELECT o_orderkey, o_custkey, status, price,
+           strftime(ts, '%Y-%m-%d') AS ts
+    FROM mlatest
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (operators/merge.py:17) registered as a
+    query — the operator its scd2/latest-per-key/CDC siblings already
+    certify was unit-tested only (VERDICT r9 ask #6). Base = orders
+    outside the arriving batch; the update batch carries TWO versions
+    per key (v ∈ {1,2}: bumped price, dated v days later) and overlaps
+    base on half its keys — exercising all three MERGE behaviors at
+    once: WHEN MATCHED (latest version replaces the base row), latest-
+    wins WITHIN the batch (v=2 beats v=1), and WHEN NOT MATCHED
+    (batch-only keys insert). Oracle is the ANSI anti-join + union
+    spec of the same plan.
+
+    Scale shape: the within-batch dedup windows over the UPDATE BATCH
+    only (incremental batches ≪ base — the one window this family
+    allows; the full-table fold stays the max-of-struct in
+    q_cdc_apply), and the anti-join hashes on the key (AQE broadcasts
+    the batch side when small). Determinism: version dates are unique
+    per key within the batch, price bump is dround-pinned, the date
+    emits as a formatted string (TZ-proof)."""
+    from ..functions.compat import dround
+    from ..operators.merge import merge_upsert
+
+    o = t(spark, sf_dir, "orders")
+    base = o.where(F.pmod(F.col("o_orderkey"), F.lit(4)) != 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.to_date("o_orderdate").alias("ts"),
+    )
+    upd = (
+        o.where(F.pmod(F.col("o_orderkey"), F.lit(4)) <= 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("d0"),
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("v"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.concat(F.lit("V"), F.col("v").cast("string")).alias("status"),
+            dround(F.col("o_totalprice") + F.col("v"), 2).alias("price"),
+            F.date_add("d0", F.col("v")).alias("ts"),
+        )
+    )
+    merged = merge_upsert(base, upd, "o_orderkey", "ts")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "status",
+        "price",
+        F.date_format("ts", "yyyy-MM-dd").alias("ts"),
+    )
+
+
+@register(
     "q_events_funnel",
     oracle="""
     WITH s1 AS (
