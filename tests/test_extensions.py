@@ -1210,3 +1210,107 @@ def test_incremental_components_merge_cases(spark):
     assert got == full
     # and the smallest-id delta node won the label of its merged group
     assert got[10] == 0 and got[20] == 0 and got[17] == 0
+
+
+def test_rotated_codes_match_numpy_hadamard(spark):
+    """The fixed-point HD rotation (q_ann_binary_rotated's build) must
+    agree with an independent numpy reference: explicit 64×64 Hadamard
+    matrix (H[k][j] = (-1)^popcount(k&j)) times D times the quantized
+    coordinates — validating the zip_with/aggregate fold and the bit
+    pack independent of the DuckDB oracle (which shares the SQL-side
+    formulation, not this one)."""
+    import numpy as np
+
+    from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+        _ROT_D,
+        _ROT_SCALE,
+        _rot_codes,
+        _rot_d_signs,
+    )
+
+    vecs = (
+        spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(50)
+    )
+    got = {
+        r.vec_id: (r.lo, r.hi) for r in _rot_codes(spark, vecs).collect()
+    }
+    H = np.array(
+        [
+            [(-1) ** bin(k & j).count("1") for j in range(_ROT_D)]
+            for k in range(_ROT_D)
+        ],
+        dtype=np.int64,
+    )
+    D = np.array(_rot_d_signs(), dtype=np.int64)
+    for row in vecs.collect():
+        xi = np.floor(np.array(row.v) * _ROT_SCALE).astype(np.int64)
+        r = H @ (D * xi)
+        lo = sum(1 << k for k in range(32) if r[k] > 0)
+        hi = sum(1 << (k - 32) for k in range(32, 64) if r[k] > 0)
+        assert got[row.vec_id] == (lo, hi), row.vec_id
+    assert len(got) == 50
+
+
+def test_rotation_matrix_is_orthogonal():
+    """H·D must be orthogonal (H_64 rows are mutually orthogonal and D
+    is ±1 diagonal) — the property that keeps the rerank cosine exact
+    on the original vectors. Checked as (HD)(HD)^T = 64·I."""
+    import numpy as np
+
+    from mapreduce_weather_analysis_spark.plans.similarity_suite import (
+        _ROT_D,
+        _rot_d_signs,
+    )
+
+    H = np.array(
+        [
+            [(-1) ** bin(k & j).count("1") for j in range(_ROT_D)]
+            for k in range(_ROT_D)
+        ],
+        dtype=np.int64,
+    )
+    R = H * np.array(_rot_d_signs(), dtype=np.int64)[None, :]
+    assert (R @ R.T == _ROT_D * np.eye(_ROT_D, dtype=np.int64)).all()
+
+
+def test_lexical_merged_equals_monolithic(spark):
+    """Segment-merged BM25 serving must return exactly what the
+    monolithic index returns on the same corpus — the stronger, direct
+    form of the oracle's recompute check: same doc ids, n_terms, and
+    bit-identical scores."""
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERY,
+        _BM25_TOPK,
+    )
+    from mapreduce_weather_analysis_spark.operators.lexical_store import (
+        lexical_search,
+        lexical_search_merged,
+        lexical_segment_write,
+        lexical_write,
+    )
+
+    pred = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    base = lexical_segment_write(spark, SMOKE_SF, "t-base", ~pred)
+    delta = lexical_segment_write(spark, SMOKE_SF, "t-delta", pred)
+    merged = {
+        r.doc_id: (r.n_terms, r.score)
+        for r in lexical_search_merged(
+            spark, [base, delta], _BM25_QUERY, _BM25_K1, _BM25_B, _BM25_TOPK
+        ).collect()
+    }
+    mono = {
+        r.doc_id: (r.n_terms, r.score)
+        for r in lexical_search(
+            spark,
+            lexical_write(spark, SMOKE_SF),
+            _BM25_QUERY,
+            _BM25_K1,
+            _BM25_B,
+            _BM25_TOPK,
+        ).collect()
+    }
+    assert merged == mono and len(merged) > 0
