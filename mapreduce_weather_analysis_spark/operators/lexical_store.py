@@ -184,9 +184,18 @@ def lexical_search_merged(
 
     from ..functions.compat import dround, psum
 
+    # Explicit read schemas: a segment whose document slice tokenizes to
+    # NOTHING (legal — segment predicates don't know about empty docs)
+    # writes a partitionBy parquet with zero data files, and schema
+    # inference fails on it. Declared schemas make empty segments read
+    # as empty relations instead (caught by the edge-case corpus).
+    post_schema = "doc_id bigint, term string, tf bigint, dl int, tb int"
+    dfs_schema = "term string, df bigint"
+    stats_schema = "nn double, sdl double"
     buckets = sorted({portable_hash32_py(w) % _TERM_BUCKETS for w in terms})
     posts = [
-        spark.read.parquet(os.path.join(p, "postings"))
+        spark.read.schema(post_schema)
+        .parquet(os.path.join(p, "postings"))
         .where(F.col("tb").isin(buckets))
         .where(F.col("term").isin(list(terms)))
         for p in seg_paths
@@ -196,9 +205,9 @@ def lexical_search_merged(
         reduce(
             lambda a, b_: a.unionByName(b_),
             [
-                spark.read.parquet(os.path.join(p, "dfs")).where(
-                    F.col("term").isin(list(terms))
-                )
+                spark.read.schema(dfs_schema)
+                .parquet(os.path.join(p, "dfs"))
+                .where(F.col("term").isin(list(terms)))
                 for p in seg_paths
             ],
         )
@@ -209,7 +218,9 @@ def lexical_search_merged(
         reduce(
             lambda a, b_: a.unionByName(b_),
             [
-                spark.read.parquet(os.path.join(p, "stats"))
+                spark.read.schema(stats_schema).parquet(
+                    os.path.join(p, "stats")
+                )
                 for p in seg_paths
             ],
         )
