@@ -238,6 +238,7 @@ HEADLINE = [
     # flat and composed into the cell layout
     "q_ann_binary_rotated",
     "q_ann_ivf_binary_rotated",
+    "q_ann_binary_rotated_search",
     # round-10 third wave: LSM segment-merged lexical serving
     "q_bm25_search_merged",
     # round-10 fourth wave: MERGE INTO emulation (anti-join + union)
@@ -493,6 +494,8 @@ BASELINE_SEC = {
     "q_ann_binary_rotated": 2.2,
     # rotated codes served from the binrot_v2 cell layout (probe-bounded)
     "q_ann_ivf_binary_rotated": 2.1,
+    # persisted rotated codes: serving I/O byte-identical to the raw arm
+    "q_ann_binary_rotated_search": 0.9,
     "q_cdc_apply": 0.5,
     # anti-join + union MERGE; window only over the update batch
     "q_merge_upsert": 0.8,

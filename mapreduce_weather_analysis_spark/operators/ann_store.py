@@ -495,26 +495,30 @@ def abtt_index_path(sf_dir: str) -> str:
     return os.path.join(INDEX_ROOT, f"{base}-abtt-{fp}-{_LAYOUT_VERSION}")
 
 
-def binary_index_path(sf_dir: str) -> str:
+def binary_index_path(sf_dir: str, variant: str = "bin_v1") -> str:
     """Index path for the persisted BINARY sign-code relation (FAISS
     IndexBinaryFlat posture): fingerprinted on the embeddings file +
-    the packing recipe (64 dims split into two 32-bit bigint halves)."""
+    the packing recipe (64 dims split into two 32-bit bigint halves).
+    ``variant`` names the code recipe ("bin_v1" raw sign bits,
+    "binrot_v2" HD-rotated) so the flat layouts never collide."""
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     fp = hashlib.md5(
-        f"bin:{st.st_size}:{st.st_mtime_ns}:bin_v1:dim=64:split=32".encode()
+        f"bin:{st.st_size}:{st.st_mtime_ns}:{variant}:dim=64:split=32".encode()
     ).hexdigest()[:12]
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(INDEX_ROOT, f"{base}-bin-{fp}")
 
 
-def binary_write(spark: SparkSession, sf_dir: str, codes: DataFrame) -> str:
+def binary_write(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, variant: str = "bin_v1"
+) -> str:
     """Persist the packed sign codes (vec_id, lo, hi) — 16 bytes/vector,
     the artifact a binary-flat deployment scans instead of re-deriving
     codes from the float corpus every query batch. Marker-idempotent;
     no partitioning: binary-flat serving is a deliberate full scan of
     the compact relation (that IS the index), so there is nothing to
     prune — the layout optimizes for sequential bandwidth."""
-    path = binary_index_path(sf_dir)
+    path = binary_index_path(sf_dir, variant)
     marker = os.path.join(path, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return path

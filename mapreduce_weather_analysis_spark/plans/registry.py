@@ -165,6 +165,7 @@ _R10_QUEUE: tuple[str, ...] = (
     "q_components_incremental_persisted",
     "q_ann_binary_rotated",
     "q_ann_ivf_binary_rotated",
+    "q_ann_binary_rotated_search",
     "q_bm25_search_merged",
     "q_merge_upsert",
 )

@@ -1407,6 +1407,31 @@ def q_ann_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _binary_serve(codes, vecs)
 
 
+@register("q_ann_binary_rotated_search", oracle=_rot_oracle())
+def q_ann_binary_rotated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROTATED-code serving from the PERSISTED artifact — the
+    build/serve split applied to the rotation remedy, completing the
+    flat-binary symmetry (raw codes already had q_ann_binary_search):
+    the HD rotation is a BUILD-time cost paid once per index
+    fingerprint; steady-state queries scan the same 16-byte codes
+    parquet as the unrotated arm (serving I/O is byte-identical — the
+    rotation is free at query time, which is the whole deployment
+    argument for rotating). Same oracle as the inline rotated build:
+    artifact and recompute must answer bit-for-bit."""
+    import os
+
+    from ..operators.ann_store import binary_index_path, binary_write
+
+    path = binary_index_path(sf_dir, "binrot_v2")
+    vecs = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if not os.path.exists(os.path.join(path, "_INDEX_COMPLETE")):
+        binary_write(spark, sf_dir, _rot_codes(spark, vecs), "binrot_v2")
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return _binary_serve(codes, vecs)
+
+
 def _hard_neg_oracle() -> str:
     from ..operators.ivf import ivf_chain
 

@@ -69,6 +69,7 @@ QUERIES = [
     "q_abtt_search_indexed",
     "q_ann_binary_hamming",
     "q_ann_binary_rotated",
+    "q_ann_binary_rotated_search",
     "q_ann_binary_search",
     "q_ann_ivf_binary_search",
     "q_ann_ivf_binary_rotated",
