@@ -239,6 +239,7 @@ HEADLINE = [
     "q_ann_binary_rotated",
     "q_ann_ivf_binary_rotated",
     "q_ann_binary_rotated_search",
+    "q_ann_binary_recall_eval",
     # round-10 third wave: LSM segment-merged lexical serving
     "q_bm25_search_merged",
     # round-10 fourth wave: MERGE INTO emulation (anti-join + union)
@@ -496,6 +497,8 @@ BASELINE_SEC = {
     "q_ann_ivf_binary_rotated": 2.1,
     # persisted rotated codes: serving I/O byte-identical to the raw arm
     "q_ann_binary_rotated_search": 0.9,
+    # |Q|-sample brute ground truth + persisted rotated arm + join/agg
+    "q_ann_binary_recall_eval": 1.5,
     "q_cdc_apply": 0.5,
     # anti-join + union MERGE; window only over the update batch
     "q_merge_upsert": 0.8,

@@ -166,6 +166,7 @@ _R10_QUEUE: tuple[str, ...] = (
     "q_ann_binary_rotated",
     "q_ann_ivf_binary_rotated",
     "q_ann_binary_rotated_search",
+    "q_ann_binary_recall_eval",
     "q_bm25_search_merged",
     "q_merge_upsert",
 )

@@ -1432,6 +1432,96 @@ def q_ann_binary_rotated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _binary_serve(codes, vecs)
 
 
+def _rot_recall_oracle() -> str:
+    return f"""
+    WITH {_rot_codes_sql()},
+    rqe AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE {_QUERY_FILTER}
+    ),
+    rce AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    rbf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY {cosine_sql('qv', 'cv')} DESC, neighbor_id ASC
+        ) AS rank
+        FROM rqe JOIN rce ON query_id <> neighbor_id
+      ) WHERE rank <= 5
+    ),
+    rbq AS (
+      SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+      FROM rcodes WHERE {_QUERY_FILTER}
+    ),
+    rham AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi))
+               AS INTEGER) AS hamming
+      FROM rbq JOIN rcodes c ON c.vec_id <> query_id
+    ),
+    rshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC
+        ) AS hrank FROM rham
+      ) WHERE hrank <= {_BH_SHORTLIST}
+    ),
+    rtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY s.query_id
+          ORDER BY {cosine_sql('qv.v', 'nv.v')} DESC, s.neighbor_id ASC
+        ) AS rank
+        FROM rshort s
+        JOIN bv qv ON qv.vec_id = s.query_id
+        JOIN bv nv ON nv.vec_id = s.neighbor_id
+      ) WHERE rank <= 5
+    )
+    SELECT rbf.query_id,
+           CAST(COUNT(rtop.neighbor_id) AS BIGINT) AS n_hits,
+           COUNT(rtop.neighbor_id) / 5.0 AS recall_at_5
+    FROM rbf LEFT JOIN rtop USING (query_id, neighbor_id)
+    GROUP BY 1
+    """
+
+
+@register("q_ann_binary_recall_eval", oracle=_rot_recall_oracle())
+def q_ann_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 certification for the ROTATED binary arm — the
+    q_ann_recall_eval protocol applied to the rotation remedy, so the
+    recall the driver certifies is measured against the PERSISTED
+    rotated serving path (what production answers with), not a script:
+    brute-force exact top-5 on the query sample joined against
+    q_ann_binary_rotated_search's top-5, one exact integer division
+    per query. The clustered-corpus sweep in SCALE.md gives the
+    corpus-dependent absolute numbers; this query pins the protocol
+    and the fixture point under the driver hash.
+
+    Scale shape: the exact arm is ground truth over the query SAMPLE
+    (the filter IS the sample — FAISS-benchmark posture); the
+    approximate arm is the persisted 16-byte-code scan; the final
+    join/agg is |Q|·k rows."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.expr(_QUERY_FILTER))
+    bf = brute_force_topk(q, e).select("query_id", "neighbor_id")
+    rot = q_ann_binary_rotated_search(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("rot_neighbor_id")
+    )
+    hits = bf.join(
+        rot,
+        (bf.query_id == rot.query_id)
+        & (F.col("neighbor_id") == F.col("rot_neighbor_id")),
+        "left",
+    ).select(bf.query_id.alias("qid"), "rot_neighbor_id")
+    return hits.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("rot_neighbor_id").alias("n_hits"),
+        (F.count("rot_neighbor_id") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
 def _hard_neg_oracle() -> str:
     from ..operators.ivf import ivf_chain
 
