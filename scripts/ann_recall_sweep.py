@@ -37,7 +37,10 @@ ARMS = [
     "q_ann_imi_rerank",
     "q_ann_binary_hamming",
     "q_ann_binary_search",
+    "q_ann_binary_rotated",
+    "q_ann_binary_rotated_search",
     "q_ann_ivf_binary_search",
+    "q_ann_ivf_binary_rotated",
     "q_abtt_search_indexed",
 ]
 
