@@ -1335,7 +1335,11 @@ def _celled_binary_serve(
         F.col("lo").alias("qlo"),
         F.col("hi").alias("qhi"),
     )
-    pq = probes.join(qcodes, "query_id")
+    # explicit broadcast: qcodes is |Q|-sized but sits behind aggs (and,
+    # for the rotated arm, the rotation subtree) whose output size
+    # Catalyst can't estimate — without the hint the probes⋈qcodes join
+    # degrades to sort-merge at plan time
+    pq = probes.join(F.broadcast(qcodes), "query_id")
     ham = (
         F.broadcast(pq)
         .join(bcodes, "cluster")

@@ -908,3 +908,40 @@ def test_ivf_binary_serving_prunes_cells(spark):
     assert "SortMergeJoin" not in plan
     assert "dynamicpruning" in plan.lower()
     assert _n_ops(plan, "BroadcastHashJoin") >= 2  # candidate + rerank joins
+
+
+def test_merged_lexical_prunes_both_segments(spark):
+    """q_bm25_search_merged must carry the literal term-bucket
+    PartitionFilters on EVERY segment's posting scan (base AND delta) —
+    losing the filter on either side silently turns one segment's read
+    back into a full postings scan, which the oracle cannot catch (the
+    result is unchanged, only the I/O regresses)."""
+    import re
+
+    plan = _plan(REGISTRY["q_bm25_search_merged"].fn(spark, SMOKE_SF))
+    seg_scans = [
+        chunk
+        for chunk in plan.split("(")
+        if "lexseg-" in chunk and "/postings" in chunk
+    ]
+    posting_locs = set(re.findall(r"lexseg-(base|delta)-[0-9a-f]+", plan))
+    assert {"base", "delta"} <= {m for m in posting_locs}
+    # every postings FileScan block must show a non-empty PartitionFilters
+    blocks = re.findall(
+        r"Location[^\n]*lexseg-(?:base|delta)[^\n]*postings[^\n]*\n"
+        r"(?:[^\n]*\n){0,4}?[^\n]*PartitionFilters: \[([^\]]*)\]",
+        plan,
+    )
+    assert len(blocks) >= 2, plan[:2000]
+    for f in blocks:
+        assert "tb" in f, f
+
+
+def test_rotated_celled_serving_prunes(spark):
+    """The rotated celled arm must serve exactly like its unrotated
+    twin: broadcast query-side relations, no sort-merge join, dynamic
+    partition pruning on the cell-partitioned rotated codes."""
+    plan = _plan(REGISTRY["q_ann_ivf_binary_rotated"].fn(spark, SMOKE_SF))
+    assert _n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "dynamicpruning" in plan.lower()
