@@ -695,33 +695,40 @@ def main() -> None:
     }
 
     # Per-query regression gate (bounds are calibrated at sf0.1 only).
-    # Retime policy (VERDICT r7 ask #6, extended round 10): every
-    # breaching query is retimed once (best-of-2, keeping the minimum
-    # over all draws) before the gate decides — a breach that survives
-    # its retime is real. Originally the retime only ran when the
-    # control queries drifted >2x first-vs-last (attributing the breach
-    # to box load); round 10 observed the other flake class — a single
-    # sub-second query drawing a 2.9x hiccup (GC/JIT) with PERFECTLY
-    # quiet controls, isolated rerun 0.93 s vs a 0.6 s baseline — so
-    # the retime now applies unconditionally. Real plan regressions
-    # reproduce across three draws; scheduler hiccups don't.
+    # Retime policy (VERDICT r7 ask #6; narrowed round 11 per ADVICE
+    # r10): a breaching query is retimed once (best-of-2) before the
+    # gate decides, but the UNCONDITIONAL retime applies only to the
+    # flake class round 10 actually observed — sub-second baselines,
+    # where a single GC/JIT hiccup is 2-3x of the bound (observed:
+    # 2.9x draw, quiet controls, isolated rerun fine). For ≥1 s
+    # baselines the retime still requires control drift >2x (box-load
+    # attribution, the original r7 policy): letting every big-query
+    # breach take a best-of-4 minimum would let a real high-variance
+    # regression near the 2x bound intermittently draw one fast run
+    # and slip through.
     over: dict[str, tuple[float, float]] = {}
     if sf == 0.1:
         over = _breaches(timings)
         control_drift = _control_drift(controls_first, controls_last)
-        if over:
+        retime = {
+            n
+            for n in over
+            if BASELINE_SEC.get(n, 0.0) < 1.0 or control_drift > 2.0
+        }
+        if retime:
             print(
-                f"RETIMING {len(over)} breaching queries (control drift "
-                f"{control_drift:.1f}x)",
+                f"RETIMING {len(retime)}/{len(over)} breaching queries "
+                f"(control drift {control_drift:.1f}x; sub-second "
+                f"baselines always; larger only under control drift)",
                 file=sys.stderr,
             )
-            for n in list(over):
+            for n in sorted(retime):
                 timings[n] = min(
                     timings[n], _time_best_of_2(spark, REGISTRY[n].fn)
                 )
             total = round(sum(timings.values()), 3)
             full_record["value"] = total
-            full_record["retimed"] = sorted(over)
+            full_record["retimed"] = sorted(retime)
             over = _breaches(timings)
 
     # Full record first (complete per-query map for humans/scripts)...

@@ -102,21 +102,27 @@ def lexical_write(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def lexical_segment_path(sf_dir: str, seg: str) -> str:
+def lexical_segment_path(sf_dir: str, seg: str, pred_tag: str) -> str:
     """Path for a named SEGMENT of the corpus (LSM model: the base
     segment plus append-only delta segments). Fingerprinted like the
-    monolithic index, plus the segment name — a changed corpus or
-    tokenizer rebuilds every segment."""
+    monolithic index, plus the segment name AND a canonical tag for
+    the doc predicate that defines the split (ADVICE r10: the name
+    alone left marker-idempotent stale segments serving an OLD split
+    when the caller's predicate constants changed under a warm
+    INDEX_ROOT — every other build constant in this module is in its
+    fingerprint, so the split must be too). A changed corpus,
+    tokenizer, or split predicate rebuilds the segment."""
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp = hashlib.md5(
-        f"lexseg:{st.st_size}:{st.st_mtime_ns}:{_lex_signature()}:{seg}".encode()
+        f"lexseg:{st.st_size}:{st.st_mtime_ns}:{_lex_signature()}"
+        f":{seg}:{pred_tag}".encode()
     ).hexdigest()[:12]
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(INDEX_ROOT, f"{base}-lexseg-{seg}-{fp}")
 
 
 def lexical_segment_write(
-    spark: SparkSession, sf_dir: str, seg: str, doc_pred
+    spark: SparkSession, sf_dir: str, seg: str, doc_pred, pred_tag: str
 ) -> str:
     """Build one SEGMENT over the documents matching ``doc_pred`` —
     same postings/dfs layout as lexical_write, but stats additionally
@@ -125,8 +131,10 @@ def lexical_segment_write(
     avgdl bit-for-bit: segment doc sets are disjoint, df and nn add,
     and sdl is an exact integer-valued double, so the merged
     avgdl = Σsdl / Σnn is the SAME single division the full rebuild
-    performs. Marker-idempotent."""
-    path = lexical_segment_path(sf_dir, seg)
+    performs. Marker-idempotent per (corpus, tokenizer, seg,
+    pred_tag); ``pred_tag`` must canonically describe ``doc_pred`` so
+    a split change invalidates the cached segment."""
+    path = lexical_segment_path(sf_dir, seg, pred_tag)
     marker = os.path.join(path, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return path

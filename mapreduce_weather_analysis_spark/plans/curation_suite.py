@@ -2792,8 +2792,11 @@ def q_bm25_search_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving = (
         F.pmod(F.col("doc_id"), F.lit(_LADD_MOD)) == F.lit(_LADD_REM)
     )
-    base = lexical_segment_write(spark, sf_dir, "base", ~arriving)
-    delta = lexical_segment_write(spark, sf_dir, "delta", arriving)
+    split = f"mod{_LADD_MOD}rem{_LADD_REM}"
+    base = lexical_segment_write(
+        spark, sf_dir, "base", ~arriving, f"not-{split}"
+    )
+    delta = lexical_segment_write(spark, sf_dir, "delta", arriving, split)
     return lexical_search_merged(
         spark, [base, delta], _BM25_QUERY, _BM25_K1, _BM25_B, _BM25_TOPK
     )

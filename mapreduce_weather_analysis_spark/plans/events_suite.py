@@ -600,7 +600,7 @@ def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     overall = (
         e.agg(F.countDistinct("user_id").alias("exact_users"))
-        .crossJoin(merged)
+        .crossJoin(F.broadcast(merged))
         .select(
             F.lit("ALL").alias("month"),
             "n_events",
@@ -673,7 +673,9 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.95)).alias("p95_exact"),
         F.count(F.lit(1)).alias("n"),
     )
-    overall = row(overall_exact.crossJoin(merged), F.lit("ALL"), F.col("m"))
+    overall = row(
+        overall_exact.crossJoin(F.broadcast(merged)), F.lit("ALL"), F.col("m")
+    )
     return per_type.unionByName(overall)
 
 
@@ -797,7 +799,7 @@ def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_col * F.lit(0.05), F.lit(2.0)
         )
 
-    return exact.crossJoin(est).select(
+    return exact.crossJoin(F.broadcast(est)).select(
         "both_exact",
         "either_exact",
         "click_only_exact",

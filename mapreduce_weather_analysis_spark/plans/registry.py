@@ -33,13 +33,35 @@ class QuerySpec:
     # the undecorated source fn — _resync_docs reads its (possibly
     # post-decoration .format()-ed) __doc__ after all modules imported
     src: QueryFn | None = None
+    # Scale-posture tier (VERDICT r10 ask #2) — machine-readable so a
+    # fast sf0.1 number can't be mistaken for a 100-TB deployment
+    # posture. Mandatory (test-enforced) for the ANN serving family:
+    #   "scale"        bucketed / celled / probe-bounded — work per
+    #                  query is sublinear in corpus size; the plan you
+    #                  would run at 100 TB.
+    #   "small-corpus" flat |Q|x|N| scan — correct and in-gate at
+    #                  sf0.1, but pair work grows with the corpus;
+    #                  fine as a small-corpus serve only.
+    #   "ground-truth" deliberately-exact quadratic baseline kept as
+    #                  the recall oracle for indexed siblings; never a
+    #                  serving plan (bench keeps these off the wall).
+    #   "eval"         index health / recall-measurement output, not a
+    #                  serving path at all.
+    scale_tier: str | None = None
 
+
+SCALE_TIERS = ("scale", "small-corpus", "ground-truth", "eval")
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, scale_tier: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
+
+    if scale_tier is not None and scale_tier not in SCALE_TIERS:
+        raise ValueError(f"unknown scale_tier {scale_tier!r} for {name}")
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +73,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         if name in REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = QuerySpec(
-            name, wrapped, oracle, (fn.__doc__ or "").strip(), src=fn
+            name,
+            wrapped,
+            oracle,
+            (fn.__doc__ or "").strip(),
+            src=fn,
+            scale_tier=scale_tier,
         )
         return fn
 
@@ -155,12 +182,18 @@ _R8_GREEN_B: tuple[str, ...] = (
     "q_quality_calibration",
 )
 
-# NEVER driver-certified: the round-10 additions — persisted-base
-# incremental component fold, rotated binary codes, LSM-merged lexical
-# serving, MERGE upsert (VERDICT r9 asks #3-#6). They LEAD the round-10
-# window for their first official rows; the rest of the window goes to
-# the re-certification rotation (ask #1): ALL 28 remaining r3-dated
-# greens, then the oldest r4-dated greens head-first.
+# NEVER driver-certified: the round-11 additions. They LEAD the
+# round-11 window for their first official rows; the rest of the
+# window goes to the re-certification rotation (VERDICT r10 ask #1):
+# the three weather flagships first (last driver-checked r5 — the
+# reference's raison d'être leads the re-cert), then the 24 remaining
+# r4-dated greens, then the stalest r5 heads fill the window.
+_R11_QUEUE: tuple[str, ...] = (
+    "q_ann_serve_tiers",
+)
+
+# Re-certified in round 10 (CORRECTNESS_r10 rows 1-7): the round-10
+# additions' first official greens.
 _R10_QUEUE: tuple[str, ...] = (
     "q_components_incremental_persisted",
     "q_ann_binary_rotated",
@@ -233,9 +266,8 @@ _R9_RECERT: tuple[str, ...] = (
     "q_ann_ivf_topk",
 )
 
-# Greens whose last driver row is round 3 — stalest re-certification
-# candidates; ALL 28 fit inside the round-10 window right after
-# _R10_QUEUE (VERDICT r9 ask #1: finish the rotation, oldest first).
+# Re-certified in round 10 (CORRECTNESS_r10 rows 8-35): the formerly
+# r3-dated greens, all retired from the rotation backlog in one window.
 _R3_GREEN: tuple[str, ...] = (
     "q_ann_pq_topk",
     "q_big_orders",
@@ -267,8 +299,9 @@ _R3_GREEN: tuple[str, ...] = (
     "q_vocab_coverage",
 )
 
-# Greens last certified in round 4.
-_R4_GREEN: tuple[str, ...] = (
+# Re-certified in round 10 (CORRECTNESS_r10 rows 36-50): the 15
+# oldest r4-dated greens that fit the round-10 window.
+_R4_RECERT_R10: tuple[str, ...] = (
     "q_agg_pricing_summary",
     "q_ann_index_stats",
     "q_ann_ivf_search",
@@ -284,6 +317,11 @@ _R4_GREEN: tuple[str, ...] = (
     "q_doc_fingerprint",
     "q_dup_span_fraction",
     "q_embed_quantize",
+)
+
+# Greens last certified in round 4 — the 24 remaining r4-dated rows;
+# they follow the flagships inside the round-11 window.
+_R4_GREEN: tuple[str, ...] = (
     "q_encode_ids",
     "q_events_funnel_sessionized",
     "q_events_session_window",
@@ -310,11 +348,19 @@ _R4_GREEN: tuple[str, ...] = (
     "q_window_topk_per_group",
 )
 
-# Greens last certified in round 5 (the full round-5 window).
-_R5_GREEN: tuple[str, ...] = (
+# The weather flagships — the reference's entire raison d'être, last
+# driver-checked in round 5. VERDICT r10 ask #1: they lead the
+# round-11 re-certification, right after the never-certified names.
+_R5_FLAGSHIPS: tuple[str, ...] = (
     "q_max_month",
     "q_city_month",
     "q_city_month_formatted",
+)
+
+# Greens last certified in round 5 (the rest of the round-5 window);
+# the head of this section fills the round-11 window's remaining
+# slots, the tail carries into round 12.
+_R5_GREEN: tuple[str, ...] = (
     "q_scan_filter_project",
     "q_join_inner",
     "q_date_funcs",
@@ -421,8 +467,8 @@ _R7_GREEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    _R10_QUEUE
-    + _R3_GREEN
+    _R11_QUEUE
+    + _R5_FLAGSHIPS
     + _R4_GREEN
     + _R5_GREEN
     + _R7_GREEN
@@ -430,6 +476,9 @@ _PRIORITY: tuple[str, ...] = (
     + _R8_GREEN_B
     + _R9_GREEN
     + _R9_RECERT
+    + _R10_QUEUE
+    + _R3_GREEN
+    + _R4_RECERT_R10
 )
 
 

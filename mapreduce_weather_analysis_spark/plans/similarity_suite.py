@@ -26,13 +26,14 @@ from ..operators.similarity import (
     lsh_topk,
     probe_buckets_sql,
 )
-from .registry import register, t
+from .registry import REGISTRY, register, t
 
 _QUERY_FILTER = "vec_id % 100 = 0"
 
 
 @register(
     "q_ann_cosine_topk",
+    scale_tier="ground-truth",
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -64,6 +65,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_lsh_topk",
+    scale_tier="scale",
     oracle=f"""
     WITH c AS (
       SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
@@ -133,6 +135,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_ivf_topk",
+    scale_tier="scale",
     oracle=ivf_topk_sql("embeddings", _QUERY_FILTER),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +152,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_filtered_topk",
+    scale_tier="scale",
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
@@ -270,6 +274,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_pq_topk",
+    scale_tier="small-corpus",
     oracle=pq_topk_sql("embeddings", _QUERY_FILTER),
 )
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +296,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_gemm_topk",
+    scale_tier="ground-truth",
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -330,6 +336,7 @@ from ..operators.ivfpq import ivfpq_topk, ivfpq_topk_sql  # noqa: E402
 
 @register(
     "q_ann_ivfpq_topk",
+    scale_tier="scale",
     oracle=ivfpq_topk_sql("embeddings", _QUERY_FILTER),
 )
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,6 +353,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_ivf_sampled",
+    scale_tier="scale",
     oracle=ivf_topk_sql("embeddings", _QUERY_FILTER, sample_points_per_cell=8),
 )
 def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,6 +371,7 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_ivfpq_search",
+    scale_tier="scale",
     oracle=ivfpq_topk_sql("embeddings", _QUERY_FILTER),
 )
 def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +396,7 @@ _RERANK_SHORTLIST = 20
 
 @register(
     "q_ann_ivfpq_rerank",
+    scale_tier="scale",
     oracle=f"""
     WITH shortlist AS (
       SELECT query_id, neighbor_id
@@ -426,6 +436,7 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_ivf_search",
+    scale_tier="scale",
     oracle=ivf_topk_sql("embeddings", _QUERY_FILTER),
 )
 def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,7 +481,7 @@ def _range_oracle() -> str:
     )
 
 
-@register("q_ann_range_search", oracle=_range_oracle())
+@register("q_ann_range_search", scale_tier="scale", oracle=_range_oracle())
 def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE search over the persisted IVF index — FAISS
     ``range_search`` parity: every neighbor within cosine >= τ={TAU} of
@@ -501,7 +512,7 @@ def _imi_oracle() -> str:
     return imi_topk_sql("embeddings", _QUERY_FILTER)
 
 
-@register("q_ann_imi_search", oracle=_imi_oracle())
+@register("q_ann_imi_search", scale_tier="scale", oracle=_imi_oracle())
 def q_ann_imi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMI (Inverted Multi-Index, Babenko & Lempitsky CVPR'12) serving
     over a PERSISTED two-level index (operators/imi.py +
@@ -529,7 +540,7 @@ def _sq8_oracle() -> str:
     return sq8_topk_sql("embeddings", _QUERY_FILTER)
 
 
-@register("q_ann_sq8_topk", oracle=_sq8_oracle())
+@register("q_ann_sq8_topk", scale_tier="small-corpus", oracle=_sq8_oracle())
 def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized search (operators/sq.py — FAISS
     ScalarQuantizer QT_8bit semantics): per-dimension [min, max] ranges
@@ -579,7 +590,7 @@ def _imi_sq8_oracle() -> str:
     )
 
 
-@register("q_ann_imi_sq8_search", oracle=_imi_sq8_oracle())
+@register("q_ann_imi_sq8_search", scale_tier="scale", oracle=_imi_sq8_oracle())
 def q_ann_imi_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-STACK persisted serving: IMI two-level probes over SQ8
     byte-code lists (ann_store layout imi2 — ``codes/`` partitioned by
@@ -624,7 +635,7 @@ def _imi_rerank_oracle() -> str:
     """
 
 
-@register("q_ann_imi_rerank", oracle=_imi_rerank_oracle())
+@register("q_ann_imi_rerank", scale_tier="scale", oracle=_imi_rerank_oracle())
 def q_ann_imi_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-STAGE full-stack serving on the IMI layout: the SQ8 byte scan
     winnows the probed cell pairs down to a 4k-deep shortlist per query,
@@ -651,7 +662,7 @@ def _ivf_sq8_oracle() -> str:
     return ivf_sq8_topk_sql("embeddings", _QUERY_FILTER)
 
 
-@register("q_ann_ivf_sq8_topk", oracle=_ivf_sq8_oracle())
+@register("q_ann_ivf_sq8_topk", scale_tier="scale", oracle=_ivf_sq8_oracle())
 def q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``IVF..,SQ8`` composed (the FAISS index string, literally): the
     ⌊√N⌋-cell IVF quantizer restricts candidates to the probed cells,
@@ -771,7 +782,7 @@ def q_ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ann_matryoshka_rerank.__doc__ = q_ann_matryoshka_rerank.__doc__.format(
     P=_MRL_PREFIX_DIM, S=_MRL_SHORTLIST, D=64
 )
-register("q_ann_matryoshka_rerank", oracle=_MRL_ORACLE)(
+register("q_ann_matryoshka_rerank", scale_tier="small-corpus", oracle=_MRL_ORACLE)(
     q_ann_matryoshka_rerank
 )
 
@@ -834,7 +845,7 @@ _BH_ORACLE = f"""
     """
 
 
-@register("q_ann_binary_hamming", oracle=_BH_ORACLE)
+@register("q_ann_binary_hamming", scale_tier="small-corpus", oracle=_BH_ORACLE)
 def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY-quantized ANN (FAISS IndexBinaryFlat + rerank; the sign/
     LSH-bit family of Charikar STOC'02): each vector collapses to its
@@ -1120,7 +1131,7 @@ def _rot_oracle() -> str:
     """
 
 
-@register("q_ann_binary_rotated", oracle=_rot_oracle())
+@register("q_ann_binary_rotated", scale_tier="small-corpus", oracle=_rot_oracle())
 def q_ann_binary_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-Hamming ANN over ROTATED sign codes — q_ann_binary_hamming
     with the anisotropy remedy applied (VERDICT r9 ask #4): codes are
@@ -1133,8 +1144,11 @@ def q_ann_binary_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the unrotated arm plus one linear
     rotation pass at build time (constant 64× term fan-in through a
     map-side combine); serving I/O is byte-identical. Determinism:
-    rotated coordinates are psum-exact (±v_j terms, decimal-routed
-    sum), codes exact integers, rerank the shared cosine pair."""
+    rotated coordinates are ⌊2²⁰·v⌋ fixed-point bigints folded with
+    exact integer arithmetic (order-free in both engines — see
+    _rotated_coords; this replaced the 9×-slower decimal psum
+    formulation), codes exact integers, rerank the shared cosine
+    pair."""
     vecs = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1240,7 +1254,7 @@ def _ivf_binary_rotated_oracle() -> str:
     )
 
 
-@register("q_ann_ivf_binary_search", oracle=_ivf_binary_oracle())
+@register("q_ann_ivf_binary_search", scale_tier="scale", oracle=_ivf_binary_oracle())
 def q_ann_ivf_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``IVF..,BINARY`` composed — the deployment SCALE.md's binary-arm
     guidance names for >10⁸ vectors, as real code: the 16-byte sign
@@ -1262,7 +1276,7 @@ def q_ann_ivf_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _celled_binary_serve(spark, sf_dir, _binary_codes, "bin_v1")
 
 
-@register("q_ann_ivf_binary_rotated", oracle=_ivf_binary_rotated_oracle())
+@register("q_ann_ivf_binary_rotated", scale_tier="scale", oracle=_ivf_binary_rotated_oracle())
 def q_ann_ivf_binary_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``IVF..,BINARY(rotated)`` — the anisotropy remedy composed into
     the CELL LAYOUT (VERDICT r9 ask #4, second half): the HD-rotated
@@ -1274,7 +1288,8 @@ def q_ann_ivf_binary_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape / determinism: identical to q_ann_ivf_binary_search
     (the serve plan is literally shared — _celled_binary_serve) plus
-    the linear psum-exact rotation pass at build time."""
+    the linear fixed-point rotation pass at build time (exact bigint
+    folds over ⌊2²⁰·v⌋ coordinates — see _rotated_coords)."""
     return _celled_binary_serve(
         spark, sf_dir, lambda v: _rot_codes(spark, v), "binrot_v2"
     )
@@ -1387,7 +1402,7 @@ def _celled_binary_serve(
     )
 
 
-@register("q_ann_binary_search", oracle=_BH_ORACLE)
+@register("q_ann_binary_search", scale_tier="small-corpus", oracle=_BH_ORACLE)
 def q_ann_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-Hamming serving from the PERSISTED code artifact
     (ann_store.binary_write) — the build/serve split for the binary
@@ -1411,7 +1426,7 @@ def q_ann_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _binary_serve(codes, vecs)
 
 
-@register("q_ann_binary_rotated_search", oracle=_rot_oracle())
+@register("q_ann_binary_rotated_search", scale_tier="small-corpus", oracle=_rot_oracle())
 def q_ann_binary_rotated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROTATED-code serving from the PERSISTED artifact — the
     build/serve split applied to the rotation remedy, completing the
@@ -1492,7 +1507,7 @@ def _rot_recall_oracle() -> str:
     """
 
 
-@register("q_ann_binary_recall_eval", oracle=_rot_recall_oracle())
+@register("q_ann_binary_recall_eval", scale_tier="eval", oracle=_rot_recall_oracle())
 def q_ann_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 certification for the ROTATED binary arm — the
     q_ann_recall_eval protocol applied to the rotation remedy, so the
@@ -1588,6 +1603,7 @@ from ..operators.ivfpq import (  # noqa: E402
 
 @register(
     "q_ann_ivfpq_residual",
+    scale_tier="scale",
     oracle=ivfpq_residual_topk_sql("embeddings", _QUERY_FILTER),
 )
 def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1711,7 +1727,7 @@ def _index_stats_oracle() -> str:
     )
 
 
-@register("q_ann_index_stats", oracle=_index_stats_oracle())
+@register("q_ann_index_stats", scale_tier="eval", oracle=_index_stats_oracle())
 def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index health profile over the PERSISTED inverted lists: cell count
     and occupancy min/max/mean — the monitoring query a serving fleet
@@ -1766,7 +1782,7 @@ def _imi_stats_oracle() -> str:
     )
 
 
-@register("q_ann_imi_stats", oracle=_imi_stats_oracle())
+@register("q_ann_imi_stats", scale_tier="eval", oracle=_imi_stats_oracle())
 def q_ann_imi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Health profile of the PERSISTED two-level layout — the monitoring
     query for IMI's documented weakness (Babenko & Lempitsky §4: product
@@ -1791,7 +1807,7 @@ def q_ann_imi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = vecs.groupBy("c2").agg(F.count(F.lit(1)).alias("n"))
     possible = (
         cent1.agg(F.count(F.lit(1)).alias("k1"))
-        .crossJoin(cent2.agg(F.count(F.lit(1)).alias("k2")))
+        .crossJoin(F.broadcast(cent2.agg(F.count(F.lit(1)).alias("k2"))))
         .select((F.col("k1") * F.col("k2")).alias("n_pairs_possible"))
     )
     base = occ.agg(
@@ -1802,11 +1818,11 @@ def q_ann_imi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marg = (
         m1.agg(F.max("n").alias("max_marginal_c1"))
-        .crossJoin(m2.agg(F.max("n").alias("max_marginal_c2")))
+        .crossJoin(F.broadcast(m2.agg(F.max("n").alias("max_marginal_c2"))))
     )
     return (
-        base.crossJoin(possible)
-        .crossJoin(marg)
+        base.crossJoin(F.broadcast(possible))
+        .crossJoin(F.broadcast(marg))
         .select(
             "n_pairs_nonempty",
             "n_pairs_possible",
@@ -1912,7 +1928,7 @@ def _recall_oracle() -> str:
     """
 
 
-@register("q_ann_recall_eval", oracle=_recall_oracle())
+@register("q_ann_recall_eval", scale_tier="eval", oracle=_recall_oracle())
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality certification as a query: per-query recall@5 of the
     IVF search against the exact brute-force ground truth — the number a
@@ -1989,7 +2005,7 @@ def _index_add_oracle() -> str:
     )
 
 
-@register("q_ann_index_add", oracle=_index_add_oracle())
+@register("q_ann_index_add", scale_tier="scale", oracle=_index_add_oracle())
 def q_ann_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index ADD without retraining (the FAISS train/add
     split's second half): new vectors — synthesized here as a perturbed
@@ -3218,9 +3234,9 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(3.0 * F.col("n_triangles") / F.col("n_wedges"), 8),
     ).otherwise(F.lit(0.0))
     return (
-        dstats.crossJoin(estats)
-        .crossJoin(tstats)
-        .crossJoin(cstats)
+        dstats.crossJoin(F.broadcast(estats))
+        .crossJoin(F.broadcast(tstats))
+        .crossJoin(F.broadcast(cstats))
         .select(
             "n_vertices",
             "n_edges",
@@ -3775,7 +3791,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosr = dround(cosine(F.col("svec"), F.col("gvec")), 8)
     return (
         scents.join(nv, "source")
-        .crossJoin(gcent)
+        .crossJoin(F.broadcast(gcent))
         .select("source", "n_vecs", cosr.alias("cos_to_global"))
         .select(
             "source",
@@ -3819,7 +3835,7 @@ def _index_delete_oracle() -> str:
     )
 
 
-@register("q_ann_index_delete", oracle=_index_delete_oracle())
+@register("q_ann_index_delete", scale_tier="scale", oracle=_index_delete_oracle())
 def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index DELETE: exact-cosine serving over the persisted IVF lists
     with a TOMBSTONE set masked out — the missing verb of the index
@@ -4331,7 +4347,7 @@ def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Serving from the COMPACTED index -------------------------------------------
 
 
-@register("q_ann_search_compacted", oracle=_index_delete_oracle())
+@register("q_ann_search_compacted", scale_tier="scale", oracle=_index_delete_oracle())
 def q_ann_search_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving AFTER compaction: the tombstoned rows are physically
     rewritten out of the inverted lists (operators/ann_store.
@@ -4423,7 +4439,7 @@ def _abtt_oracle() -> str:
     )
 
 
-@register("q_abtt_search", oracle=_abtt_oracle())
+@register("q_abtt_search", scale_tier="ground-truth", oracle=_abtt_oracle())
 def q_abtt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search on ABTT-corrected vectors (Mu & Viswanath,
     "All-but-the-Top", ICLR'18): center, project out the dominant
@@ -4561,7 +4577,7 @@ def _abtt_indexed_oracle() -> str:
     )
 
 
-@register("q_abtt_search_indexed", oracle=_abtt_indexed_oracle())
+@register("q_abtt_search_indexed", scale_tier="scale", oracle=_abtt_indexed_oracle())
 def q_abtt_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABTT serving AT SCALE (VERDICT r8 ask #2): the corrected vectors
     are materialized ONCE at build time, indexed through the existing
@@ -5442,3 +5458,44 @@ def q_components_incremental_persisted(
     labels_old = spark.read.parquet(os.path.join(path, "labels"))
     e_new = read_mutual_edges(spark, sf_dir).where(_inc_touches_delta())
     return _fold_delta(e_new, labels_old)
+
+
+# --- Scale-tier health surface (VERDICT r10 ask #2) ----------------------------
+
+# Snapshot of every ANN-family registration's machine-readable scale
+# tier, taken at module bottom (all q_ann_*/q_abtt_* arms register in
+# this module; q_stream_ann_search is tagged in streaming_suite and
+# surfaced by the same test). A static snapshot keeps the oracle a
+# plain VALUES relation the driver can re-derive.
+_TIER_ROWS: list[tuple[str, str]] = sorted(
+    (n, spec.scale_tier)
+    for n, spec in REGISTRY.items()
+    if spec.scale_tier is not None
+    and (n.startswith("q_ann_") or n.startswith("q_abtt_"))
+)
+
+_TIER_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{n}', '{t}')" for n, t in _TIER_ROWS)
+    + ") AS v(query_name, scale_tier) ORDER BY query_name"
+)
+
+
+@register("q_ann_serve_tiers", oracle=_TIER_ORACLE, scale_tier="eval")
+def q_ann_serve_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health surface for the ANN family's SCALE POSTURE: one row
+    per ANN/ABTT arm with its machine-readable tier (VERDICT r10 ask
+    #2 — the GROUND_TRUTH bench precedent, generalized). "scale" arms
+    are the 100-TB deployment plans (bucketed/celled/probe-bounded);
+    "small-corpus" arms are flat |Q|x|N| scans whose sf0.1 wall time
+    must NOT be read as a deployment posture (q_ann_binary_rotated_
+    search measured 396x at the 100x pack — SCALE.md's honest
+    negative; its celled sibling q_ann_ivf_binary_rotated at 5.2x is
+    the scale path); "ground-truth" arms are the deliberately-exact
+    quadratic recall oracles bench keeps off the timed wall; "eval"
+    rows are measurement output, not serving paths. The relation is a
+    registry snapshot, so the driver check certifies that the shipped
+    tier labels match the oracle's expectation row-for-row."""
+    return spark.createDataFrame(
+        _TIER_ROWS, schema="query_name string, scale_tier string"
+    ).orderBy("query_name")

@@ -702,7 +702,7 @@ def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosr = dround(cosine(F.col("svec"), F.col("gvec")), 8)
     return (
         scents.join(nv, "source")
-        .crossJoin(gcent)
+        .crossJoin(F.broadcast(gcent))
         .select("source", "n_vecs", cosr.alias("cos_to_global"))
         .select(
             "source",
@@ -1013,7 +1013,7 @@ def _stream_ann_oracle() -> str:
     return ivf_topk_sql("embeddings", f"vec_id % {_SAS_MOD} = {_SAS_REM}")
 
 
-@register("q_stream_ann_search", oracle=_stream_ann_oracle())
+@register("q_stream_ann_search", scale_tier="scale", oracle=_stream_ann_oracle())
 def q_stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k served AT INGEST: each arriving vector selects its
     nprobe cells against the frozen centroids INSIDE the stream (the

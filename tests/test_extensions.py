@@ -1294,8 +1294,12 @@ def test_lexical_merged_equals_monolithic(spark):
     )
 
     pred = F.pmod(F.col("doc_id"), F.lit(3)) == 0
-    base = lexical_segment_write(spark, SMOKE_SF, "t-base", ~pred)
-    delta = lexical_segment_write(spark, SMOKE_SF, "t-delta", pred)
+    base = lexical_segment_write(
+        spark, SMOKE_SF, "t-base", ~pred, "not-mod3rem0"
+    )
+    delta = lexical_segment_write(
+        spark, SMOKE_SF, "t-delta", pred, "mod3rem0"
+    )
     merged = {
         r.doc_id: (r.n_terms, r.score)
         for r in lexical_search_merged(

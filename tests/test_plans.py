@@ -945,3 +945,25 @@ def test_rotated_celled_serving_prunes(spark):
     assert _n_ops(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "dynamicpruning" in plan.lower()
+
+
+def test_one_row_aggregate_joins_are_broadcast_hinted(spark):
+    """Every 1-row global-aggregate crossJoin must plan as a
+    BroadcastNestedLoopJoin, never a CartesianProduct (VERDICT r10
+    ask #5: Catalyst BNLs unhinted 1-row sides only while its size
+    estimate holds — round 10 watched the same shape fall to
+    sort-merge behind a rotation subtree, so every such site now
+    carries an explicit F.broadcast hint). Covers the sketch trio
+    (events_suite), the index/graph stats rows and the global drift
+    centroid (similarity_suite)."""
+    for name in (
+        "q_sketch_mergeable",
+        "q_sketch_quantiles",
+        "q_sketch_set_ops",
+        "q_ann_imi_stats",
+        "q_graph_profile",
+        "q_embedding_drift",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SMOKE_SF))
+        assert "CartesianProduct" not in plan, name
+        assert _n_ops(plan, "BroadcastNestedLoopJoin") >= 1, name
