@@ -17,10 +17,44 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def month_bucket(date_str: Column | str, fmt: str = "M/d/yyyy") -> Column:
-    """``M/d/yyyy`` string → ``yyyy-MM`` month key (typed path, Job1 analog)."""
+def month_bucket(
+    date_str: Column | str, fmt: str = "M/d/yyyy", lenient: bool = False
+) -> Column:
+    """``M/d/yyyy`` string → ``yyyy-MM`` month key (typed path, Job1 analog).
+
+    ``lenient=False`` (default): Spark's strict ``to_date`` — malformed
+    or out-of-range dates become null (the engine's documented Q2
+    divergence; SURVEY.md §2.1 pins fixtures to valid dates where the
+    behaviors coincide).
+
+    ``lenient=True``: reproduces Java's lenient ``SimpleDateFormat`` /
+    ``Calendar`` ROLLOVER (Job1.java:61 accepts ``13/45/2023``) via
+    pure date arithmetic: Calendar.set(y, m-1, d) normalizes to
+    ``make_date(y,1,1) + (m-1) months + (d-1) days`` — exact for every
+    integer m and d including zero and negatives (month 0 rolls back
+    to December of y-1, day 0 to the prior month's last day), because
+    Calendar's lenient normalization IS this affine arithmetic.
+    Non-numeric fields still null out (SimpleDateFormat would throw
+    ParseException there — no rollover to emulate).
+
+    Both paths use the try_* variants: under Spark 4's default ANSI
+    mode plain ``to_date``/``cast`` RAISE on malformed input, which is
+    neither the reference's behavior (lenient rollover) nor the
+    documented divergence (strict → null)."""
     c = F.col(date_str) if isinstance(date_str, str) else date_str
-    return F.date_format(F.to_date(c, fmt), "yyyy-MM")
+    if not lenient:
+        return F.date_format(F.try_to_date(c, fmt), "yyyy-MM")
+    if fmt != "M/d/yyyy":
+        raise ValueError("lenient mode implements the reference's M/d/yyyy")
+    parts = F.split(c, "/")
+    m = parts.getItem(0).try_cast("int")
+    d = parts.getItem(1).try_cast("int")
+    y = parts.getItem(2).try_cast("int")
+    rolled = F.date_add(
+        F.add_months(F.make_date(y, F.lit(1), F.lit(1)), m - F.lit(1)),
+        d - F.lit(1),
+    )
+    return F.date_format(rolled, "yyyy-MM")
 
 
 def month_bucket_string_path(date_str: Column | str) -> Column:

@@ -161,3 +161,57 @@ def q_city_month_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%s,%s\t%.3f,%.3f", "name", "year_month", "total_qty", "avg_price"
         ).alias("line")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quirk Q2 compat (VERDICT r10 ask #7): Job1's lenient SimpleDateFormat
+# ROLLOVER, driver-certified. The fixture dates are all valid (SURVEY.md
+# §2.1 pins it so strict and lenient coincide), so this query STRESSES the
+# rollover deliberately: it renders each l_shipdate as an out-of-range
+# "M+12/d+31/yyyy" string and buckets it with month_bucket(lenient=True).
+# The oracle derives the expected bucket through an INDEPENDENT formulation
+# (date_trunc + interval arithmetic on the original date — no string
+# parsing), so a driver green certifies the affine rollover rule itself:
+# Calendar.set(y, m-1, d) == make_date(y,1,1) + (m-1) months + (d-1) days.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_month_bucket_lenient",
+    oracle="""
+    SELECT strftime(
+             date_trunc('month', l_shipdate)
+             + to_months(12)
+             + to_days(CAST(strftime(l_shipdate, '%d') AS INT) + 30),
+             '%Y-%m'
+           ) AS year_month,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_month_bucket_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quirk Q2 compat mode, end-to-end: every shipdate re-rendered as the
+    out-of-range string "M+12/d+31/yyyy" (guaranteed double rollover —
+    13..24 months, 32..62 days) and bucketed via the lenient Calendar
+    arithmetic (functions/datetime_fns.py month_bucket(lenient=True);
+    Job1.java:61's setLenient-default SimpleDateFormat). The DuckDB oracle
+    computes the same bucket from the ORIGINAL date with interval
+    arithmetic — two independent formulations, one affine rollover rule."""
+    from ..functions.datetime_fns import month_bucket
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate").isNotNull())
+    stressed = F.concat_ws(
+        "/",
+        (F.month("l_shipdate") + F.lit(12)).cast("string"),
+        (F.dayofmonth("l_shipdate") + F.lit(31)).cast("string"),
+        F.year("l_shipdate").cast("string"),
+    )
+    return (
+        li.select(month_bucket(stressed, lenient=True).alias("year_month"))
+        .groupBy("year_month")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("year_month")
+    )

