@@ -247,3 +247,67 @@ def gemm_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def neardup_pairs_gemm(
+    vecs: DataFrame, tau: float, margin: float = 1e-6
+) -> DataFrame:
+    """All-pairs cosine THRESHOLD join (near-duplicate pairs) with the
+    GEMM pruner — same two-stage shape as :func:`gemm_topk`: numpy
+    matmul per Arrow batch finds candidate pairs with approximate
+    cosine >= tau - margin, and ONLY those survivors are rescored with
+    the JVM array fold and filtered at the exact threshold — so emitted
+    (pair, cosine) rows are bit-identical to the naive crossJoin plan
+    and the DuckDB oracle. The pruner is sound because GEMM-vs-fold
+    rounding differs by ~1e-13 per pair: a qualifying pair can only be
+    missed if GEMM undershoots the fold by more than ``margin`` (1e-6,
+    seven orders of magnitude of slack); extra candidates are removed
+    by the exact filter, never emitted.
+
+    Scale posture: SMALL-CORPUS exact arm (the corpus matrix ships in
+    the closure — fine to ~10^5 vectors; the measured win at sf0.1 is
+    interpreted 64-element folds over |N|^2/2 pairs vs one BLAS matmul
+    per batch). At 100 TB the documented swap is the LSH bucket join
+    (q_ann_lsh_topk's shape) — same scoring expression, bounded
+    candidate pairs."""
+    import numpy as np
+    import pandas as pd
+
+    rows = vecs.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cut = tau - margin
+
+    def prune(batches):
+        # nested closure: executors can't import the repo
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_nrm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            scores = c_nrm @ nrm.T  # (batch, N)
+            mask = (scores >= cut) & (c_ids[:, None] < ids[None, :])
+            aa, bb = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": c_ids[aa], "vec_b": ids[bb]}
+            )
+
+    cand = vecs.select("vec_id", "embedding").mapInPandas(
+        prune, schema="vec_a long, vec_b long"
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), as_double("embedding").alias("vb")
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        F.broadcast(cand)
+        .join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(tau))
+    )

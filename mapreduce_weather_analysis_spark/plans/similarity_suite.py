@@ -118,19 +118,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (τ=0.45, calibrated: the
     fixture corpus has exactly one planted pair above 0.5, background
-    p99.9 ≈ 0.38). All-pairs here (corpus ≤ 2k vectors at bench SFs);
-    at 100 TB swap the self-join for the LSH bucket join of q_ann_lsh_topk
-    — same scoring expression, bounded candidates."""
+    p99.9 ≈ 0.38). Round 11: the naive crossJoin (interpreted
+    64-element folds over |N|²/2 pairs — measured 55.7 s at sf0.1 when
+    VERDICT r10 ask #8 put it under the gate) is replaced by the
+    GEMM-prune + exact-fold-rescore two-stage
+    (operators/similarity.neardup_pairs_gemm, the q_ann_gemm_topk
+    pattern applied to a threshold self-join): emitted pairs and
+    cosines are bit-identical, the BLAS matmul does the pair sweep.
+    Small-corpus exact arm; at 100 TB swap for the LSH bucket join of
+    q_ann_lsh_topk — same scoring expression, bounded candidates."""
+    from ..operators.similarity import neardup_pairs_gemm
+
     e = t(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", as_double("embedding").alias("v"))
-    a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .where(F.col("cosine") >= 0.45)
-    )
+    return neardup_pairs_gemm(e, tau=0.45)
 
 
 @register(
@@ -1296,13 +1296,22 @@ def q_ann_ivf_binary_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _celled_binary_serve(
-    spark: SparkSession, sf_dir: str, codes_fn, variant: str
+    spark: SparkSession,
+    sf_dir: str,
+    codes_fn,
+    variant: str,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Probe-bounded Hamming serving over cell-partitioned codes — the
     shared body of the raw and rotated celled arms: build the codes
     with ``codes_fn`` into the ``variant`` artifact if absent, select
     probes against the persisted float centroids, scan only probed
-    cells' codes, rerank the shortlist with exact cosine."""
+    cells' codes, rerank the shortlist with exact cosine.
+
+    ``nprobe`` defaults to the registered arms' IVF_NPROBE; the
+    recall-vs-IO frontier sweep (scripts/ann_nprobe_frontier.py,
+    VERDICT r10 ask #4) passes 2/4/8 to map how much recall each
+    doubling of scanned cells buys on both code variants."""
     import os
 
     from pyspark.sql import Window as W
@@ -1315,6 +1324,8 @@ def _celled_binary_serve(
     )
     from ..operators.ivf import IVF_NPROBE, _sq_l2
 
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     path = ivfpq_write(spark, sf_dir)
     vecs = spark.read.parquet(os.path.join(path, "vecs"))
     bpath = binary_cells_index_path(sf_dir, variant)
@@ -1337,7 +1348,7 @@ def _celled_binary_serve(
             F.slice(
                 F.array_sort(F.collect_list(F.struct("dist", "cluster"))),
                 1,
-                IVF_NPROBE,
+                nprobe,
             ).alias("near")
         )
         .select("query_id", F.explode("near").alias("p"))
