@@ -252,6 +252,12 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_embed_neardup",
     "q_decontaminate",
+    # round-11 second wave: the only other >=3 s non-headline queries the
+    # triage sweep found — three stateful/multi-batch stream drains, now
+    # drain-gated like the rest of the stream family
+    "q_stream_minhash_ledger",
+    "q_stream_decontaminate",
+    "q_stream_stream_join",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -545,6 +551,11 @@ BASELINE_SEC = {
     "q_ngram_jaccard": 2.0,
     "q_embed_neardup": 0.9,
     "q_decontaminate": 1.0,
+    # round-11 second wave: walls of the three heavy stateful stream
+    # drains (gate reads STREAM_DRAIN_SEC; wall recorded for the total)
+    "q_stream_minhash_ledger": 12.6,
+    "q_stream_decontaminate": 8.3,
+    "q_stream_stream_join": 8.5,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT
@@ -561,6 +572,12 @@ STREAM_DRAIN_SEC = {
     "q_stream_ann_search": 0.68,
     "q_stream_ks_drift": 0.23,
     "q_stream_bm25_search": 1.24,
+    # round-11 second wave: unlike the scaffolding-dominated rows above,
+    # these three ARE their drains (stateful applyInPandasWithState
+    # ledgers / watermarked interval-join state across micro-batches)
+    "q_stream_minhash_ledger": 12.2,
+    "q_stream_decontaminate": 6.7,
+    "q_stream_stream_join": 8.2,
 }
 
 
