@@ -258,6 +258,10 @@ HEADLINE = [
     "q_stream_minhash_ledger",
     "q_stream_decontaminate",
     "q_stream_stream_join",
+    # round-11 third wave: RAG chunking family + held-out Stupid Backoff
+    "q_doc_chunks",
+    "q_chunk_dedup",
+    "q_stupid_backoff_lm",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -556,6 +560,11 @@ BASELINE_SEC = {
     "q_stream_minhash_ledger": 12.6,
     "q_stream_decontaminate": 8.3,
     "q_stream_stream_join": 8.5,
+    # round-11 third wave (first-green at sf0.1): shuffle-free chunker,
+    # chunk-key dedup (two chunk-key shuffles), 5-way gram-join SB scorer
+    "q_doc_chunks": 0.4,
+    "q_chunk_dedup": 1.2,
+    "q_stupid_backoff_lm": 2.0,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

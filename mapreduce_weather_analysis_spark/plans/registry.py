@@ -191,6 +191,9 @@ _R8_GREEN_B: tuple[str, ...] = (
 _R11_QUEUE: tuple[str, ...] = (
     "q_ann_serve_tiers",
     "q_month_bucket_lenient",
+    "q_doc_chunks",
+    "q_chunk_dedup",
+    "q_stupid_backoff_lm",
 )
 
 # Re-certified in round 10 (CORRECTNESS_r10 rows 1-7): the round-10

@@ -2972,3 +2972,348 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_zipf_fit.__doc__ = q_zipf_fit.__doc__.format(H=_ZIPF_HEAD)
+
+
+# --- RAG chunking: overlapping token windows ---------------------------------
+
+_CHUNK_SIZE = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # window stride (8-token overlap between neighbours)
+
+
+def _chunk_sql() -> str:
+    """Shared oracle CTE chain producing the chunk relation."""
+    return f"""
+    toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS s
+      FROM toks WHERE len(toks) > 0
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS start_pos,
+             CAST(least({_CHUNK_SIZE}, len(toks) - s) AS BIGINT) AS n_tokens,
+             array_to_string(
+               toks[s + 1 : least(s + {_CHUNK_SIZE}, len(toks))], ' '
+             ) AS chunk_text
+      FROM st
+    )
+    """
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunk relation (Spark side of _chunk_sql)."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    return base.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("chunk_idx", "s"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_pos"),
+        F.least(F.lit(_CHUNK_SIZE), F.size("toks") - F.col("s"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_SIZE)), " "
+        ).alias("chunk_text"),
+    )
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH {_chunk_sql()}
+    SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_text FROM ch
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: split every document into overlapping
+    {SIZE}-token windows at stride {STRIDE} (8-token overlap so no
+    answer span is cut at a boundary) — the retrieval-unit relation an
+    embedding/indexing stage consumes. The tail window keeps its
+    remainder (standard RAG practice; a short tail still carries
+    answerable content).
+
+    Plan shape: one scan -> tokenize -> per-row `sequence` of window
+    starts -> posexplode -> `slice` + `array_join`, all inside
+    whole-stage codegen. ZERO joins and ZERO shuffles: chunking is
+    embarrassingly row-parallel, so at 100 TB the operator runs at scan
+    bandwidth and the output partitioning inherits the input's (chunk
+    rows stay co-located with their document — exactly what a
+    downstream per-chunk embedding stage wants)."""
+    return _chunks(spark, sf_dir)
+
+
+q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
+    SIZE=_CHUNK_SIZE, STRIDE=_CHUNK_STRIDE
+)
+
+
+@register(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH {_chunk_sql()},
+    cd AS (
+      SELECT chunk_text, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1
+    )
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           {dround_sql(
+               "CAST(SUM(CASE WHEN cd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / COUNT(*)", 6)} AS shared_frac
+    FROM ch JOIN cd USING (chunk_text)
+    GROUP BY 1
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup signal: for each document, the fraction of
+    its retrieval chunks whose exact text also appears in at least one
+    OTHER document. Doc-level MinHash misses this (a unique doc can
+    still contribute 90%-duplicated chunks to the index); RAG pipelines
+    dedup at the chunk level before embedding, and this relation is the
+    keep/drop evidence.
+
+    Plan shape: the shuffle-free chunk relation -> one hash-agg on
+    chunk_text (distinct-doc count) -> re-join on chunk_text -> per-doc
+    agg. Two shuffles, both on the chunk key whose cardinality the
+    stride bounds at ~N_tokens/{STRIDE}. At 100 TB the chunk-text key
+    hashes to 64 bits first (the q_segment_dedup_hashed trick,
+    verbatim) so both wide stages move 8-byte keys, not 200-char
+    strings; the agg side is a partial+final count-distinct, never a
+    corpus-wide collect."""
+    ch = _chunks(spark, sf_dir)
+    cd = ch.groupBy("chunk_text").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        ch.join(cd, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.cast("bigint").alias("n_shared_chunks"),
+            dround(
+                shared.cast("double") / F.count(F.lit(1)), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+q_chunk_dedup.__doc__ = q_chunk_dedup.__doc__.format(STRIDE=_CHUNK_STRIDE)
+
+
+# --- Held-out Stupid Backoff trigram scoring ---------------------------------
+
+_SB_MOD = 5  # doc_id hash % 5 == 0 -> held-out (scored); else -> train
+_SB_ALPHA = "0.4"  # Brants et al.'s fixed backoff penalty
+
+
+def _sb_oracle() -> str:
+    from ..functions.compat import dround_sql, portable_hash32_sql, psum_sql
+
+    a = _SB_ALPHA
+    score = (
+        "CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 * 1.0 / bctx.b2 "
+        f"WHEN bb.b2 IS NOT NULL THEN {a} * bb.b2 / uw2.u "
+        f"ELSE {a} * {a} * (COALESCE(uw3.u, 0) + 1.0) / (nv.n + nv.v) END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    mark AS (
+      SELECT doc_id, toks,
+             {portable_hash32_sql("CAST(doc_id AS VARCHAR)")} % {_SB_MOD} AS h
+      FROM toks
+    ),
+    tr AS (SELECT toks FROM mark WHERE h <> 0),
+    tg3 AS (
+      SELECT unnest(toks[1:len(toks)-2]) AS w1,
+             unnest(toks[2:len(toks)-1]) AS w2,
+             unnest(toks[3:len(toks)]) AS w3
+      FROM tr WHERE len(toks) >= 3
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg3 GROUP BY 1, 2, 3),
+    tg2 AS (
+      SELECT unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM tr WHERE len(toks) >= 2
+    ),
+    b2 AS (SELECT w1, w2, COUNT(*) AS b2 FROM tg2 GROUP BY 1, 2),
+    tg1 AS (SELECT unnest(toks) AS w FROM tr),
+    u1 AS (SELECT w, COUNT(*) AS u FROM tg1 GROUP BY 1),
+    nv AS (SELECT COUNT(*) * 1.0 AS n, COUNT(DISTINCT w) * 1.0 AS v FROM tg1),
+    ht AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-2]) AS w1,
+             unnest(toks[2:len(toks)-1]) AS w2,
+             unnest(toks[3:len(toks)]) AS w3
+      FROM mark WHERE h = 0 AND len(toks) >= 3
+    ),
+    sc AS (
+      SELECT ht.doc_id,
+             CASE WHEN c3.c3 IS NOT NULL THEN 1
+                  WHEN bb.b2 IS NOT NULL THEN 2 ELSE 3 END AS tier,
+             {dround_sql(f"ln({score})", 8)} AS ls
+      FROM ht
+      LEFT JOIN c3 ON c3.w1 = ht.w1 AND c3.w2 = ht.w2 AND c3.w3 = ht.w3
+      LEFT JOIN b2 bctx ON bctx.w1 = ht.w1 AND bctx.w2 = ht.w2
+      LEFT JOIN b2 bb ON bb.w1 = ht.w2 AND bb.w2 = ht.w3
+      LEFT JOIN u1 uw2 ON uw2.w = ht.w2
+      LEFT JOIN u1 uw3 ON uw3.w = ht.w3
+      CROSS JOIN nv
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier1,
+           CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier2,
+           CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier3,
+           {dround_sql(f"{psum_sql('ls', 6)} / COUNT(*)", 6)} AS avg_logscore
+    FROM sc
+    GROUP BY 1
+    """
+
+
+@register("q_stupid_backoff_lm", oracle=_sb_oracle())
+def q_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Stupid Backoff trigram scoring (Brants et al., EMNLP'07
+    §4 — "Large Language Models in Machine Translation"): train trigram/
+    bigram/unigram counts on a deterministic {TRAIN}/{MOD} hash split of
+    the corpus, score the held-out {HELD}/{MOD} docs with
+    S(w3|w1,w2) = c(w1w2w3)/c(w1w2), backing off to 0.4*c(w2w3)/c(w2),
+    then to 0.4^2*(c(w3)+1)/(N+V) (add-1 floor so OOV words score
+    finitely — pure SB leaves OOV undefined). Complements q_lm_quality:
+    that one SELF-trains a bigram model (every bigram is seen, backoff
+    never fires); the held-out split is the honest CCNet posture where
+    the scored text genuinely contains unseen grams, and the per-tier
+    hit counts (n_tier1/2/3) expose the OOV profile a mix designer
+    thresholds alongside the score.
+
+    Plan shape: one trained-gram build (three gram-keyed hash-aggs over
+    the 4/{MOD} train split) + a 5-way left join of held-out trigram
+    positions against the count tables, each join keyed on a gram. At
+    sf the count sides are broadcast-sized; at 100 TB they are
+    gram-table-sized (~distinct trigrams), so the joins become
+    shuffled-hash on 64-bit hashed gram keys (q_segment_dedup_hashed
+    trick) — never a corpus-sized broadcast. nv is a 1-row global agg,
+    broadcast by construction. Determinism: per-trigram ln() rounded to
+    8 decimals (the q_lm_quality precedent), per-doc mean via psum."""
+    from ..functions.compat import dround, portable_hash32, psum
+
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    m = d.select(
+        "doc_id",
+        "toks",
+        (portable_hash32(F.col("doc_id").cast("string")) % _SB_MOD).alias("h"),
+    )
+
+    def _trigrams(df: DataFrame) -> DataFrame:
+        ex = df.select(
+            "doc_id", F.posexplode("toks").alias("pos", "w1")
+        )
+        w = W.partitionBy("doc_id").orderBy("pos")
+        return (
+            ex.withColumn("w2", F.lead("w1", 1).over(w))
+            .withColumn("w3", F.lead("w1", 2).over(w))
+            .where(F.col("w3").isNotNull())
+            .select("doc_id", "w1", "w2", "w3")
+        )
+
+    tr = m.where(F.col("h") != 0).select("doc_id", "toks")
+    tg3 = _trigrams(tr)
+    c3 = tg3.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ex1 = tr.select("doc_id", F.posexplode("toks").alias("pos", "w"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    tg2 = (
+        ex1.withColumn("wn", F.lead("w", 1).over(w))
+        .where(F.col("wn").isNotNull())
+        .select(F.col("w").alias("bw1"), F.col("wn").alias("bw2"))
+    )
+    b2 = tg2.groupBy("bw1", "bw2").agg(F.count(F.lit(1)).alias("b2"))
+    u1 = ex1.groupBy("w").agg(F.count(F.lit(1)).alias("u"))
+    nv = ex1.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        (F.countDistinct("w") * 1.0).alias("v"),
+    )
+
+    ht = _trigrams(m.where(F.col("h") == 0).select("doc_id", "toks"))
+    bctx = b2.select(
+        F.col("bw1").alias("cx1"), F.col("bw2").alias("cx2"),
+        F.col("b2").alias("cb2"),
+    )
+    bb = b2.select(
+        F.col("bw1").alias("bb1"), F.col("bw2").alias("bb2"),
+        F.col("b2").alias("nb2"),
+    )
+    uw2 = u1.select(F.col("w").alias("u2w"), F.col("u").alias("u2"))
+    uw3 = u1.select(F.col("w").alias("u3w"), F.col("u").alias("u3"))
+    a = float(_SB_ALPHA)
+    joined = (
+        ht.join(c3, ["w1", "w2", "w3"], "left")
+        .join(bctx, (F.col("w1") == F.col("cx1")) & (F.col("w2") == F.col("cx2")), "left")
+        .join(bb, (F.col("w2") == F.col("bb1")) & (F.col("w3") == F.col("bb2")), "left")
+        .join(uw2, F.col("w2") == F.col("u2w"), "left")
+        .join(uw3, F.col("w3") == F.col("u3w"), "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3") * F.lit(1.0) / F.col("cb2"),
+        )
+        .when(
+            F.col("nb2").isNotNull(),
+            F.lit(a) * F.col("nb2") / F.col("u2"),
+        )
+        .otherwise(
+            F.lit(a)
+            * F.lit(a)
+            * (F.coalesce(F.col("u3"), F.lit(0)) + F.lit(1.0))
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    tier = (
+        F.when(F.col("c3").isNotNull(), 1)
+        .when(F.col("nb2").isNotNull(), 2)
+        .otherwise(3)
+    )
+    sc = joined.select(
+        "doc_id",
+        tier.alias("tier"),
+        dround(F.log(score), 8).alias("ls"),
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(F.when(F.col("tier") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tier1"),
+        F.sum(F.when(F.col("tier") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tier2"),
+        F.sum(F.when(F.col("tier") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tier3"),
+        dround(psum(F.col("ls"), 6) / F.count(F.lit(1)), 6).alias(
+            "avg_logscore"
+        ),
+    )
+
+
+q_stupid_backoff_lm.__doc__ = q_stupid_backoff_lm.__doc__.format(
+    MOD=_SB_MOD, TRAIN=_SB_MOD - 1, HELD=1
+)

@@ -1318,3 +1318,127 @@ def test_lexical_merged_equals_monolithic(spark):
         ).collect()
     }
     assert merged == mono and len(merged) > 0
+
+
+# --- round 11: RAG chunking family + held-out Stupid Backoff ----------------
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    """Chunk relation invariants on the smoke corpus: stride-aligned
+    starts, correct tail lengths, and LOSSLESS coverage — the first
+    _CHUNK_STRIDE tokens of every non-final chunk plus ALL of the final
+    chunk reassemble the exact token sequence."""
+    import re
+
+    from mapreduce_weather_analysis_spark.functions.text import WS_CLASS
+    from mapreduce_weather_analysis_spark.plans.text_suite import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        q_doc_chunks,
+    )
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    chunks = q_doc_chunks(spark, SMOKE_SF).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SMOKE_SF, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "empty chunk relation"
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        toks = [
+            t
+            for t in re.split(WS_CLASS + "+", texts[doc_id].strip().lower())
+            if t
+        ]
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            assert r.start_pos == i * _CHUNK_STRIDE
+            got = r.chunk_text.split(" ")
+            assert r.n_tokens == len(got) == min(
+                _CHUNK_SIZE, len(toks) - r.start_pos
+            )
+            rebuilt.extend(got if i == len(rows) - 1 else got[:_CHUNK_STRIDE])
+        assert rebuilt == toks, f"doc {doc_id} not covered losslessly"
+
+
+def test_chunk_dedup_flags_shared_chunk(spark, tmp_path):
+    """A 32-token block shared verbatim at chunk-aligned offset 0 by two
+    docs is a shared chunk for BOTH; a fully unique doc shares none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_weather_analysis_spark.plans.text_suite import (
+        _CHUNK_SIZE,
+        q_chunk_dedup,
+    )
+
+    block = " ".join(f"shared{i}" for i in range(_CHUNK_SIZE))
+    rows = [
+        {"doc_id": 0, "text": f"{block} tail0 tail1 tail2"},
+        {"doc_id": 1, "text": f"{block} other3 other4 other5"},
+        {"doc_id": 2, "text": " ".join(f"solo{i}" for i in range(40))},
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "s0", "n_chars": len(r["text"])})
+    d = tmp_path / "chunk_sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+
+    got = {r.doc_id: r for r in q_chunk_dedup(spark, str(d)).collect()}
+    assert got[0].n_shared_chunks >= 1
+    assert got[1].n_shared_chunks >= 1
+    assert got[2].n_shared_chunks == 0
+    assert got[2].shared_frac == 0.0
+    for r in got.values():
+        assert 0 <= r.n_shared_chunks <= r.n_chunks
+
+
+def test_stupid_backoff_tier_attribution(spark, tmp_path):
+    """Engineered corpus hits all three backoff tiers with known scores:
+    train doc "a b c d"; held-out doc "a b c q c d" has trigrams
+    (a,b,c) tier1 S=1, (b,c,q)/(c,q,c) tier3 (q is OOV), (q,c,d) tier2
+    S=0.4*c(c d)/c(c)=0.4."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_weather_analysis_spark.functions.compat import (
+        portable_hash32_py,
+    )
+    from mapreduce_weather_analysis_spark.plans.text_suite import (
+        _SB_MOD,
+        q_stupid_backoff_lm,
+    )
+
+    held = next(i for i in range(100) if portable_hash32_py(str(i)) % _SB_MOD == 0)
+    train = next(
+        i for i in range(100) if portable_hash32_py(str(i)) % _SB_MOD != 0
+    )
+    rows = [
+        {"doc_id": train, "text": "a b c d"},
+        {"doc_id": held, "text": "a b c q c d"},
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "s0", "n_chars": len(r["text"])})
+    d = tmp_path / "sb_sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+
+    out = q_stupid_backoff_lm(spark, str(d)).collect()
+    assert len(out) == 1 and out[0].doc_id == held
+    r = out[0]
+    assert (r.n_trigrams, r.n_tier1, r.n_tier2, r.n_tier3) == (4, 1, 1, 2)
+    # train stats: N=4 tokens, V=4 distinct -> tier3 scores 0.16*(u+1)/8
+    expect = (
+        math.log(1.0)  # (a,b,c): c3=1 / c(a b)=1
+        + math.log(0.4 * 1 / 1)  # (q,c,d): bigram (c,d), u(c)=1
+        + math.log(0.16 * (0 + 1) / 8.0)  # (b,c,q): q unseen
+        + math.log(0.16 * (1 + 1) / 8.0)  # (c,q,c): w3=c seen once
+    ) / 4.0
+    assert abs(r.avg_logscore - expect) < 1e-5
+    assert r.n_tier1 + r.n_tier2 + r.n_tier3 == r.n_trigrams
