@@ -262,6 +262,9 @@ HEADLINE = [
     "q_doc_chunks",
     "q_chunk_dedup",
     "q_stupid_backoff_lm",
+    # round-11 fourth wave: chunk-level retrieval over the persisted
+    # chunk-vector index (build amortized; warm serve is the number)
+    "q_chunk_search",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -565,6 +568,9 @@ BASELINE_SEC = {
     "q_doc_chunks": 0.4,
     "q_chunk_dedup": 1.2,
     "q_stupid_backoff_lm": 2.0,
+    # round-11 fourth wave: warm probe-bounded serve over the persisted
+    # chunk-vector index (first draw pays the one-time build)
+    "q_chunk_search": 2.2,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

@@ -469,6 +469,41 @@ def docvec_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
     return _write_exact_ivf(docvec_index_path(sf_dir), vecs)
 
 
+# Packs (doc_id, chunk_idx) into one BIGINT vec_id for the chunk-vector
+# index: vec_id = doc_id * RADIX + chunk_idx. Fixture docs are <=553
+# tokens (<24 chunks); the radix bounds chunk_idx at 1e5, i.e. ~2.4M
+# tokens/doc at stride 24 — beyond that a deployment widens the radix or
+# keys on a struct, which the fingerprint below would force (rebuild on
+# radix change).
+CHUNK_KEY_RADIX = 100_000
+
+
+def chunkvec_index_path(sf_dir: str) -> str:
+    """Index path for the CHUNK-vector index (hashed-count featurizer
+    over the overlapping token-window chunk relation): fingerprinted on
+    the documents file + featurizer + build constants + the chunking
+    recipe (window size/stride and the key-packing radix), so a chunk-
+    parameter change rebuilds instead of serving stale windows. Distinct
+    prefix from docvec — same source file, different retrieval unit."""
+    from ..plans.text_suite import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.md5(
+        f"chunkvec:{st.st_size}:{st.st_mtime_ns}:{_build_signature()}:"
+        f"{_featurizer_signature()}:cs={_CHUNK_SIZE}:stride={_CHUNK_STRIDE}:"
+        f"radix={CHUNK_KEY_RADIX}".encode()
+    ).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(INDEX_ROOT, f"{base}-chunk-{fp}-{_LAYOUT_VERSION}")
+
+
+def chunkvec_write(spark: SparkSession, sf_dir: str, vecs: DataFrame) -> str:
+    """Persisted exact-cosine IVF index over the CHUNK vectors — the RAG
+    deployment artifact (retrieval serves chunks, not whole documents).
+    Same deterministic build/layout as docvec_write."""
+    return _write_exact_ivf(chunkvec_index_path(sf_dir), vecs)
+
+
 def _abtt_signature() -> str:
     """Constants the ABTT correction depends on: the power-iteration round
     count (the eigenvector the correction subtracts) plus a correction-

@@ -1442,3 +1442,28 @@ def test_stupid_backoff_tier_attribution(spark, tmp_path):
     ) / 4.0
     assert abs(r.avg_logscore - expect) < 1e-5
     assert r.n_tier1 + r.n_tier2 + r.n_tier3 == r.n_trigrams
+
+
+def test_chunk_search_invariants(spark):
+    """Chunk retrieval sanity on the smoke corpus: only query-doc chunks
+    (doc_id % _CHUNK_QUERY_DOC_MOD == 0) issue queries, no self-pairs,
+    contiguous ranks from 1, cosine non-increasing within a query."""
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _CHUNK_QUERY_DOC_CAP,
+        _CHUNK_QUERY_DOC_MOD,
+        q_chunk_search,
+    )
+
+    rows = q_chunk_search(spark, SMOKE_SF).collect()
+    assert rows, "empty chunk-search result"
+    by_q: dict[tuple, list] = {}
+    for r in rows:
+        assert r.query_doc % _CHUNK_QUERY_DOC_MOD == 0
+        assert r.query_doc < _CHUNK_QUERY_DOC_CAP
+        assert (r.query_doc, r.query_chunk) != (r.neighbor_doc, r.neighbor_chunk)
+        by_q.setdefault((r.query_doc, r.query_chunk), []).append(r)
+    for key, grp in by_q.items():
+        grp.sort(key=lambda r: r.rank)
+        assert [r.rank for r in grp] == list(range(1, len(grp) + 1))
+        cosines = [r.cosine for r in grp]
+        assert cosines == sorted(cosines, reverse=True), key
