@@ -1275,3 +1275,33 @@ def q_stream_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _SBS_TOPK)
         .select("query_id", "doc_id", "rank", "n_terms", "score")
     )
+
+
+# --- Streaming chunk ingest --------------------------------------------------
+
+
+def _stream_chunk_oracle() -> str:
+    from .text_suite import _chunk_sql
+
+    return f"""
+    WITH {_chunk_sql()}
+    SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_text FROM ch
+    """
+
+
+@register("q_stream_chunk_ingest", oracle=_stream_chunk_oracle())
+def q_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG chunker applied AT INGEST, as a stream: chunking is a
+    stateless per-row generator (tokenize -> window starts -> slice), so
+    the exact batch operator (text_suite.chunk_relation) lifts onto the
+    document feed unchanged — the deployment where retrieval units are
+    cut and shipped to the embedder as documents arrive, not as a later
+    batch pass over the lake. Append-mode drain, zero state; the oracle
+    is q_doc_chunks' chunk SQL verbatim, so the driver hash proves
+    batch/stream equivalence row-for-row (the q_stream_quality_gate
+    protocol applied to a generator instead of a projection)."""
+    from .text_suite import chunk_relation
+
+    docs = read_documents_stream(spark, sf_dir)
+    chunks = chunk_relation(docs)
+    return run_available_now(chunks, spark, mode="append")

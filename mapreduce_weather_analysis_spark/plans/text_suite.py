@@ -3003,10 +3003,11 @@ def _chunk_sql() -> str:
     """
 
 
-def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunk relation (Spark side of _chunk_sql)."""
-    d = t(spark, sf_dir, "documents")
-    base = d.select("doc_id", tokens("text").alias("toks")).where(
+def chunk_relation(docs: DataFrame) -> DataFrame:
+    """Overlapping token-window chunk relation over ANY (doc_id, text)
+    relation — stateless per-row generation, so it runs unchanged on a
+    batch table or a streaming document feed (q_stream_chunk_ingest)."""
+    base = docs.select("doc_id", tokens("text").alias("toks")).where(
         F.size("toks") > 0
     )
     return base.select(
@@ -3026,6 +3027,11 @@ def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_SIZE)), " "
         ).alias("chunk_text"),
     )
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk relation over the fixture documents table."""
+    return chunk_relation(t(spark, sf_dir, "documents"))
 
 
 @register(
