@@ -35,12 +35,20 @@ def month_bucket(
     to December of y-1, day 0 to the prior month's last day), because
     Calendar's lenient normalization IS this affine arithmetic.
     Non-numeric fields still null out (SimpleDateFormat would throw
-    ParseException there — no rollover to emulate).
+    ParseException there — no rollover to emulate), and numeric fields
+    outside a wide affine domain (year 1-9999, |month| ≤ 12M, |day| ≤
+    300M — ±1M years of rollover) null out too: past those bounds the
+    date arithmetic itself overflows DateType's day counter, and under
+    Spark 4's default ANSI mode plain ``make_date``/``add_months``/
+    ``date_add`` RAISE on overflow — a "lenient" mode that crashes on
+    extreme input would be neither lenient nor the strict-null
+    divergence (review finding, round 11). The CASE guard short-circuits
+    so the raising ops never see out-of-domain rows.
 
-    Both paths use the try_* variants: under Spark 4's default ANSI
-    mode plain ``to_date``/``cast`` RAISE on malformed input, which is
-    neither the reference's behavior (lenient rollover) nor the
-    documented divergence (strict → null)."""
+    Both paths otherwise use the try_* variants: under ANSI plain
+    ``to_date``/``cast`` RAISE on malformed input, which is neither the
+    reference's behavior (lenient rollover) nor the documented
+    divergence (strict → null)."""
     c = F.col(date_str) if isinstance(date_str, str) else date_str
     if not lenient:
         return F.date_format(F.try_to_date(c, fmt), "yyyy-MM")
@@ -50,9 +58,20 @@ def month_bucket(
     m = parts.getItem(0).try_cast("int")
     d = parts.getItem(1).try_cast("int")
     y = parts.getItem(2).try_cast("int")
-    rolled = F.date_add(
-        F.add_months(F.make_date(y, F.lit(1), F.lit(1)), m - F.lit(1)),
-        d - F.lit(1),
+    # bounds keep every intermediate inside DateType's int32 day range:
+    # base ≤ 2.93M days (year 9999), |m| months ≤ 1M years ≈ 3.7e8 days,
+    # |d| ≤ 3e8 — worst-case sum ~6.8e8 < 2^31
+    in_domain = (
+        y.between(1, 9999)
+        & m.between(-12_000_000, 12_000_000)
+        & d.between(-300_000_000, 300_000_000)
+    )
+    rolled = F.when(
+        in_domain,
+        F.date_add(
+            F.add_months(F.make_date(y, F.lit(1), F.lit(1)), m - F.lit(1)),
+            d - F.lit(1),
+        ),
     )
     return F.date_format(rolled, "yyyy-MM")
 

@@ -258,7 +258,10 @@ def neardup_pairs_gemm(
     cosine >= tau - margin, and ONLY those survivors are rescored with
     the JVM array fold and filtered at the exact threshold — so emitted
     (pair, cosine) rows are bit-identical to the naive crossJoin plan
-    and the DuckDB oracle. The pruner is sound because GEMM-vs-fold
+    and the DuckDB oracle (zero-norm vectors emit no pairs in either:
+    the oracle's 0/0 division nulls out and NULL >= tau is false; here
+    they are masked out of the candidate set before the exact rescore
+    could divide by zero). The pruner is sound because GEMM-vs-fold
     rounding differs by ~1e-13 per pair: a qualifying pair can only be
     missed if GEMM undershoots the fold by more than ``margin`` (1e-6,
     seven orders of magnitude of slack); extra candidates are removed
@@ -275,8 +278,18 @@ def neardup_pairs_gemm(
 
     rows = vecs.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = len(rows[0]["embedding"]) if rows else 0
+    mat = np.array(
+        [r["embedding"] for r in rows], dtype=np.float64
+    ).reshape(len(rows), dim)
+    # zero-norm vectors never emit pairs BY DEFINITION (cosine is 0/0 —
+    # the DuckDB oracle nulls the division and NULL >= tau is false, so
+    # both engines exclude them); dividing by a substituted 1 instead of
+    # 0 makes their pruner scores exact zeros rather than NaNs, keeping
+    # the exclusion deterministic and the exact JVM rescore (which would
+    # raise DIVIDE_BY_ZERO under ANSI) away from those rows entirely.
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm = mat / np.where(norms == 0.0, 1.0, norms)
     cut = tau - margin
 
     def prune(batches):
@@ -285,9 +298,14 @@ def neardup_pairs_gemm(
             if len(pdf) == 0:
                 continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            c_nrm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_mat = np.array(
+                list(pdf["embedding"]), dtype=np.float64
+            ).reshape(len(pdf), dim)
+            c_norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_nrm = c_mat / np.where(c_norms == 0.0, 1.0, c_norms)
             scores = c_nrm @ nrm.T  # (batch, N)
+            scores[(c_norms == 0.0).ravel(), :] = -np.inf
+            scores[:, (norms == 0.0).ravel()] = -np.inf
             mask = (scores >= cut) & (c_ids[:, None] < ids[None, :])
             aa, bb = np.nonzero(mask)
             yield pd.DataFrame(

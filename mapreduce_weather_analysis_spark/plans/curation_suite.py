@@ -551,34 +551,47 @@ q_winnowing_pairs.__doc__ = q_winnowing_pairs.__doc__.format(
 _FEAT_DIM = 64
 
 
-def hashed_vec_ctes() -> list[str]:
-    """Featurizer CTE chain ending at ``vec (doc_id, n_tokens, v)`` —
-    shared by the featurizer oracle and the semantic-doc-search oracle
-    (which feeds ``v`` into the unrolled IVF chain)."""
+def hashed_vec_ctes(
+    term_cte: str | None = None,
+    key: str = "doc_id",
+    prefix: str = "hv_",
+    out: str = "vec",
+) -> list[str]:
+    """Featurizer CTE chain ending at ``{out} ({key}, n_tokens, v)`` —
+    shared by the featurizer oracle, the semantic-doc-search oracle
+    (which feeds ``v`` into the unrolled IVF chain), and the
+    chunk-search oracle (``term_cte`` retargets the (key, term) source
+    at the chunk relation; one definition so a featurizer change can't
+    silently diverge the chunk oracle from the doc oracle)."""
+    if term_cte is None:
+        term_cte = (
+            f"SELECT doc_id, unnest({tokens_sql('text')}) AS term"
+            " FROM documents"
+        )
     return [
-        f"""hv_toks AS (
-          SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+        f"""{prefix}toks AS (
+          {term_cte}
         )""",
-        f"""hv_counts AS (
-          SELECT doc_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
+        f"""{prefix}counts AS (
+          SELECT {key}, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
                  COUNT(*) AS n
-          FROM hv_toks GROUP BY 1, 2
+          FROM {prefix}toks GROUP BY 1, 2
         )""",
-        f"""hv_grid AS (
-          SELECT doc_id, d
-          FROM (SELECT DISTINCT doc_id FROM hv_counts),
+        f"""{prefix}grid AS (
+          SELECT {key}, d
+          FROM (SELECT DISTINCT {key} FROM {prefix}counts),
                range(0, {_FEAT_DIM}) t(d)
         )""",
-        """hv_dense AS (
-          SELECT g.doc_id, g.d, COALESCE(c.n, 0) AS n
-          FROM hv_grid g
-          LEFT JOIN hv_counts c ON c.doc_id = g.doc_id AND c.b = g.d
+        f"""{prefix}dense AS (
+          SELECT g.{key}, g.d, COALESCE(c.n, 0) AS n
+          FROM {prefix}grid g
+          LEFT JOIN {prefix}counts c ON c.{key} = g.{key} AND c.b = g.d
         )""",
-        """vec AS (
-          SELECT doc_id,
+        f"""{out} AS (
+          SELECT {key},
                  CAST(SUM(n) AS BIGINT) AS n_tokens,
                  list(n ORDER BY d) AS v
-          FROM hv_dense GROUP BY 1
+          FROM {prefix}dense GROUP BY 1
         )""",
     ]
 
@@ -1435,38 +1448,22 @@ def _chunk_search_oracle() -> str:
 
     R = CHUNK_KEY_RADIX
     ctes = [_chunk_sql().strip()]
-    ctes.append(
-        f"""cvt AS (
-          SELECT doc_id * {R} + chunk_idx AS vec_id,
-                 unnest(string_split(chunk_text, ' ')) AS term
-          FROM ch
-        )"""
-    )
-    ctes.append(
-        f"""cvc AS (
-          SELECT vec_id, {portable_hash32_sql('term')} % {_FEAT_DIM} AS b,
-                 COUNT(*) AS n
-          FROM cvt GROUP BY 1, 2
-        )"""
-    )
-    ctes.append(
-        f"""cvg AS (
-          SELECT vec_id, d
-          FROM (SELECT DISTINCT vec_id FROM cvc),
-               range(0, {_FEAT_DIM}) t(d)
-        )"""
-    )
-    ctes.append(
-        """cvd AS (
-          SELECT g.vec_id, g.d, COALESCE(c.n, 0) AS n
-          FROM cvg g
-          LEFT JOIN cvc c ON c.vec_id = g.vec_id AND c.b = g.d
-        )"""
+    # the SHARED featurizer chain retargeted at the chunk relation (one
+    # definition with the doc featurizer — review finding, round 11)
+    ctes += hashed_vec_ctes(
+        term_cte=(
+            f"SELECT doc_id * {R} + chunk_idx AS vec_id,\n"
+            "       unnest(string_split(chunk_text, ' ')) AS term\n"
+            "FROM ch"
+        ),
+        key="vec_id",
+        prefix="cv_",
+        out="cv_vec",
     )
     ctes.append(
         """cvec AS (
-          SELECT vec_id, list(n * 1.0 ORDER BY d) AS embedding
-          FROM cvd GROUP BY 1
+          SELECT vec_id, list_transform(v, x -> x * 1.0) AS embedding
+          FROM cv_vec
         )"""
     )
     ctes += ivf_chain(

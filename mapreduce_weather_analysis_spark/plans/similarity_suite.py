@@ -296,7 +296,12 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_gemm_topk",
-    scale_tier="ground-truth",
+    # small-corpus, NOT ground-truth: it IS a flat |Q|xN exact scan, but
+    # it stays on the benched headline wall (the GEMM winnow is a real
+    # small-corpus serve) — the ground-truth tier's contract says "bench
+    # keeps these off the wall", which contradicted where this query
+    # actually lives (review finding, round 11)
+    scale_tier="small-corpus",
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

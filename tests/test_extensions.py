@@ -1467,3 +1467,35 @@ def test_chunk_search_invariants(spark):
         assert [r.rank for r in grp] == list(range(1, len(grp) + 1))
         cosines = [r.cosine for r in grp]
         assert cosines == sorted(cosines, reverse=True), key
+
+
+def test_neardup_gemm_zero_norm_and_empty(spark):
+    """Degenerate inputs for the GEMM near-dup kernel: a zero vector
+    emits no pairs (cosine undefined — the oracle's 0/0 nulls out) and
+    never reaches the exact rescore (which would raise under ANSI); an
+    empty corpus yields an empty result instead of a numpy axis error."""
+    from pyspark.sql import types as T
+
+    from mapreduce_weather_analysis_spark.operators.similarity import (
+        neardup_pairs_gemm,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),   # exact dup of 0 -> the one expected pair
+            (2, [0.0, 0.0]),   # zero norm: must pair with nothing
+        ],
+        schema,
+    )
+    got = {(r.vec_a, r.vec_b) for r in neardup_pairs_gemm(vecs, tau=0.9).collect()}
+    assert got == {(0, 1)}
+
+    empty = spark.createDataFrame([], schema)
+    assert neardup_pairs_gemm(empty, tau=0.9).collect() == []
