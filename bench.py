@@ -265,6 +265,8 @@ HEADLINE = [
     # round-11 fourth wave: chunk-level retrieval over the persisted
     # chunk-vector index (build amortized; warm serve is the number)
     "q_chunk_search",
+    # round-11 fifth wave: fuzzy dedup against the persisted band index
+    "q_dedup_lsh_persisted",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -571,6 +573,8 @@ BASELINE_SEC = {
     # round-11 fourth wave: warm probe-bounded serve over the persisted
     # chunk-vector index (first draw pays the one-time build)
     "q_chunk_search": 2.2,
+    # round-11 fifth wave: warm band-bucket probe + candidates-only verify
+    "q_dedup_lsh_persisted": 1.2,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

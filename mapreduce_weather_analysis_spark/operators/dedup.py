@@ -277,8 +277,12 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str, threshold: float = 0.5) -> str:
-    """DuckDB twin of :func:`minhash_lsh_pairs` (same constants)."""
+def minhash_chain_sql(table: str, text_col: str, id_col: str) -> str:
+    """Shared DuckDB CTE chain ending at ``sig`` (doc_id, shingles, sig)
+    and ``bands`` (doc_id, band_idx, band_key) — one definition for the
+    self-join oracle (:func:`minhash_lsh_pairs_sql`) and the persisted-
+    index serve oracle (:func:`minhash_lsh_serve_sql`), so a signature-
+    constant change can't diverge them."""
     toks = tokens_sql(text_col)
     sh = shingles_sql("toks", SHINGLE_N)
     hv = hashed_list_sql("shingles")
@@ -290,8 +294,7 @@ def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str, threshold: flo
         f"array_to_string(sig[{j * LSH_ROWS + 1}:{(j + 1) * LSH_ROWS}], ',')"
         for j in range(LSH_BANDS)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
     ),
     sh AS (
@@ -307,7 +310,13 @@ def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str, threshold: flo
       SELECT doc_id, j AS band_idx, keys[j + 1] AS band_key
       FROM (SELECT doc_id, [{band_keys}] AS keys FROM sig),
            (SELECT unnest(range(0, {LSH_BANDS})) AS j)
-    ),
+    )"""
+
+
+def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str, threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs` (same constants)."""
+    return f"""
+    WITH {minhash_chain_sql(table, text_col, id_col)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
@@ -330,6 +339,41 @@ def minhash_lsh_pairs_sql(table: str, text_col: str, id_col: str, threshold: flo
                - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}
     """
 
+
+def minhash_lsh_serve_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    query_pred: str,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`operators.lsh_store.lsh_search` probing the
+    full-corpus band index with the ``query_pred`` doc slice: DIRECTIONAL
+    (query_id, match_id) pairs instead of the self-join's a<b."""
+    return f"""
+    WITH {minhash_chain_sql(table, text_col, id_col)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS match_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id <> b.doc_id
+      WHERE {query_pred.replace('doc_id', 'a.doc_id')}
+    )
+    SELECT c.query_id, c.match_id,
+           list_sum(list_transform(range(1, {MINHASH_K} + 1),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+             / {float(MINHASH_K)} AS est_jaccard,
+           len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.query_id
+    JOIN sig sb ON sb.doc_id = c.match_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}
+    """
 
 
 def containment_pairs(

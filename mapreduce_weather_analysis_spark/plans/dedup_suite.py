@@ -881,3 +881,61 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_containment_pairs.__doc__ = q_containment_pairs.__doc__.format(
     T=_CONT_T, CAP=_CONT_DF_CAP, MIN=_CONT_MIN_SHARED
 )
+
+
+# --- Persisted-LSH serving: dedup a batch against the standing corpus -------
+
+# Bounded query batch, the q_chunk_search convention: |Q| <= 50 docs at
+# every SF so the measured scale ratio is the per-batch serve path, not
+# a corpus-proportional join (q_dedup_minhash_lsh owns that shape).
+_LSHS_MOD = 10
+_LSHS_CAP = 500
+_LSHS_PRED = f"doc_id % {_LSHS_MOD} = 0 AND doc_id < {_LSHS_CAP}"
+
+
+def _lsh_serve_oracle() -> str:
+    from ..operators.dedup import minhash_lsh_serve_sql
+
+    return minhash_lsh_serve_sql(
+        "documents", "text", "doc_id", _LSHS_PRED, threshold=0.5
+    )
+
+
+@register("q_dedup_lsh_persisted", oracle=_lsh_serve_oracle())
+def q_dedup_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup against a STANDING corpus — the build/serve split
+    applied to MinHash-LSH (the ann_store discipline for the dedup
+    family): the corpus is signed ONCE into a persisted band index
+    (operators/lsh_store.lsh_write — band buckets partitioned by
+    band_idx + a signature/shingle verification payload, fingerprinted
+    on the documents file and every signature constant), and each
+    incoming batch is signed (|Q| docs only), its band keys broadcast
+    into the standing buckets, and bucket collisions exact-Jaccard
+    verified against the persisted shingle sets. This is the
+    production ingest posture (RefinedWeb/Gopher-style dedup stages):
+    q_dedup_minhash_lsh re-signs everything per run,
+    q_dedup_incremental checks exact digests only, and
+    q_stream_minhash_ledger keeps signature state in a stream — this
+    arm completes the matrix with warm fuzzy matching.
+
+    Scale shape: build one-time (marker-amortized); serve signs |Q|
+    docs, broadcasts |Q|x{B} band keys, and touches only colliding
+    posting rows plus the candidate rows of sigs/ — the LSH
+    1-(1-j^r)^b candidate bound, never |Q|*N. Determinism: integer
+    signature agreement / {K}.0, exact integer Jaccard, one IEEE
+    division each."""
+    from ..operators.lsh_store import lsh_search, lsh_write
+
+    d = t(spark, sf_dir, "documents")
+    path = lsh_write(spark, sf_dir, d)
+    qdocs = d.where(
+        (F.col("doc_id") % _LSHS_MOD == 0) & (F.col("doc_id") < _LSHS_CAP)
+    ).select("doc_id", "text")
+    return lsh_search(spark, path, qdocs, threshold=0.5)
+
+
+from ..operators.dedup import LSH_BANDS as _B, MINHASH_K as _K
+
+q_dedup_lsh_persisted.__doc__ = q_dedup_lsh_persisted.__doc__.format(
+    B=_B, K=_K
+)

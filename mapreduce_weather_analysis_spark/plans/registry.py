@@ -196,6 +196,7 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_stupid_backoff_lm",
     "q_chunk_search",
     "q_stream_chunk_ingest",
+    "q_dedup_lsh_persisted",
 )
 
 # Re-certified in round 10 (CORRECTNESS_r10 rows 1-7): the round-10

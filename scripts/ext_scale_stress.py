@@ -78,6 +78,12 @@ QUERIES = [
     "q_zipf_fit",
     "q_pr_curve",
     "q_components_incremental_persisted",
+    # round-11: chunking family, held-out SB, persisted serves
+    "q_doc_chunks",
+    "q_chunk_dedup",
+    "q_stupid_backoff_lm",
+    "q_chunk_search",
+    "q_dedup_lsh_persisted",
 ]
 
 

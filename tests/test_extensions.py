@@ -1499,3 +1499,48 @@ def test_neardup_gemm_zero_norm_and_empty(spark):
 
     empty = spark.createDataFrame([], schema)
     assert neardup_pairs_gemm(empty, tau=0.9).collect() == []
+
+
+def test_lsh_persisted_serve_warm_and_correct(spark, tmp_path):
+    """Persisted-LSH serve: a planted near-dup of a query-slice doc is
+    found; the second call serves from the marker-amortized artifact and
+    returns identical rows; unrelated docs never pair."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_weather_analysis_spark.operators.lsh_store import (
+        lsh_index_path,
+    )
+    from mapreduce_weather_analysis_spark.plans.dedup_suite import (
+        _LSHS_MOD,
+        q_dedup_lsh_persisted,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 0, "text": base},                     # query slice
+        {"doc_id": 1, "text": base + " extra"},          # near-dup of 0
+        {"doc_id": 2, "text": "uno dos tres cuatro cinco seis siete ocho"},
+    ]
+    assert 0 % _LSHS_MOD == 0
+    for r in rows:
+        r.update({"lang": "en", "source": "s0", "n_chars": len(r["text"])})
+    d = tmp_path / "lsh_sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+
+    first = {
+        (r.query_id, r.match_id): round(r.jaccard, 6)
+        for r in q_dedup_lsh_persisted(spark, str(d)).collect()
+    }
+    assert (0, 1) in first and first[(0, 1)] >= 0.5
+    assert all(q == 0 for q, _ in first)  # only the query slice probes
+    marker = os.path.join(lsh_index_path(str(d)), "_INDEX_COMPLETE")
+    assert os.path.exists(marker)
+    second = {
+        (r.query_id, r.match_id): round(r.jaccard, 6)
+        for r in q_dedup_lsh_persisted(spark, str(d)).collect()
+    }
+    assert second == first
