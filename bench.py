@@ -662,23 +662,26 @@ def _breaches(tm: dict[str, float]) -> dict[str, tuple[float, float]]:
     would let a lost broadcast in that batch tail regress invisibly —
     3x sits above the 1.5-2x scaffolding jitter the drain split was
     built to ignore but well below a broadcast->sort-merge blowup."""
-    out: dict[str, tuple[float, float]] = {}
+    out: dict[str, tuple[float, float, float, str]] = {}
     for n, t in tm.items():
         if n in STREAM_DRAIN_SEC and n in STREAM_SPLIT:
             t_eff, base = STREAM_SPLIT[n]["drain_s"], STREAM_DRAIN_SEC[n]
-            if t_eff > max(2 * base, base + 0.75):
-                out[n] = (t_eff, base)
-            elif n in BASELINE_SEC and t > max(
-                3 * BASELINE_SEC[n], BASELINE_SEC[n] + 0.75
-            ):
-                out[n] = (t, BASELINE_SEC[n])
+            bound = max(2 * base, base + 0.75)
+            if t_eff > bound:
+                out[n] = (t_eff, base, bound, "drain")
+            elif n in BASELINE_SEC:
+                wbase = BASELINE_SEC[n]
+                wbound = max(3 * wbase, wbase + 0.75)
+                if t > wbound:
+                    out[n] = (t, wbase, wbound, "wall")
             continue
         elif n in BASELINE_SEC:
             t_eff, base = t, BASELINE_SEC[n]
         else:
             continue
-        if t_eff > max(2 * base, base + 0.75):
-            out[n] = (t_eff, base)
+        bound = max(2 * base, base + 0.75)
+        if t_eff > bound:
+            out[n] = (t_eff, base, bound, "wall")
     return out
 
 
@@ -808,63 +811,61 @@ def main() -> None:
     }
 
     # Per-query regression gate (bounds are calibrated at sf0.1 only).
-    # Retime policy (VERDICT r7 ask #6; narrowed round 11 per ADVICE
-    # r10): a breaching query is retimed once (best-of-2) before the
-    # gate decides, but the UNCONDITIONAL retime applies only to the
-    # flake class round 10 actually observed — sub-second baselines,
-    # where a single GC/JIT hiccup is 2-3x of the bound (observed:
-    # 2.9x draw, quiet controls, isolated rerun fine). For ≥1 s
-    # baselines the retime still requires control drift >2x (box-load
-    # attribution, the original r7 policy): letting every big-query
-    # breach take a best-of-4 minimum would let a real high-variance
-    # regression near the 2x bound intermittently draw one fast run
-    # and slip through.
-    over: dict[str, tuple[float, float]] = {}
+    # Retime policy, third iteration (r7 ask #6 -> r10 unconditional ->
+    # ADVICE r10 narrowing -> round-11 median decision): EVERY breaching
+    # query is retimed with two more best-of-2 calls, and the gate
+    # decides on the MEDIAN of (original, retime1, retime2) for the
+    # gated quantity — ADVICE r10's own suggested remedy. Evidence for
+    # retiming multi-second baselines too: two same-day full runs at the
+    # round-11 HEAD each failed a DIFFERENT >=1 s-baseline query
+    # (q_stream_stream_join drain 19.9 s vs 8.2 baseline, then
+    # q_bpe_train_merges 3.7 s vs 1.7) with QUIET controls, and each
+    # passed isolated — in-suite GC/scheduler noise hits heavy queries
+    # without moving the cheap control scans. The median (not min) is
+    # what answers the narrowing's objection: a transient hiccup loses
+    # the vote 2:1, while a real plan regression reproduces in both
+    # retime calls and still fails.
+    over: dict[str, tuple[float, float, float, str]] = {}
     if sf == 0.1:
-        over = _breaches(timings)
+        first_over = _breaches(timings)
         control_drift = _control_drift(controls_first, controls_last)
-        # eligibility keys off the baseline the GATE actually read: for
-        # drain-gated stream queries that is the (sub-second) drain
-        # baseline, not the scaffolding-padded wall baseline — checking
-        # the wall there excluded exactly the flake class the
-        # unconditional retime exists for (review finding, round 11)
-        def _gate_base(n: str) -> float:
-            if n in STREAM_DRAIN_SEC and n in STREAM_SPLIT:
-                return STREAM_DRAIN_SEC[n]
-            return BASELINE_SEC.get(n, 0.0)
-
-        retime = {
-            n for n in over if _gate_base(n) < 1.0 or control_drift > 2.0
-        }
-        if retime:
+        if first_over:
             print(
-                f"RETIMING {len(retime)}/{len(over)} breaching queries "
-                f"(control drift {control_drift:.1f}x; sub-second "
-                f"baselines always; larger only under control drift)",
+                f"RETIMING {len(first_over)} breaching queries "
+                f"(median-of-3 decision; control drift "
+                f"{control_drift:.1f}x)",
                 file=sys.stderr,
             )
-            for n in sorted(retime):
-                old_wall = timings[n]
-                old_split = STREAM_SPLIT.get(n)
-                new_wall = _time_best_of_2(spark, REGISTRY[n].fn, n)
-                new_split = STREAM_SPLIT.get(n)
-                if old_split and new_split:
-                    # gate reads drain_s: keep the draw with the faster
-                    # drain, and take wall AND split from that SAME draw
-                    # so the recorded stream_split still decomposes the
-                    # recorded wall (mixing min-wall with min-drain broke
-                    # that invariant — review finding, round 11)
-                    if new_split["drain_s"] <= old_split["drain_s"]:
-                        timings[n] = new_wall
-                    else:
-                        timings[n] = old_wall
-                        STREAM_SPLIT[n] = old_split
-                else:
-                    timings[n] = min(old_wall, new_wall)
+        for n in sorted(first_over):
+            orig_eff, base, bound, kind = first_over[n]
+            drain_gated = kind == "drain"
+            best_eff = orig_eff
+            best_split = STREAM_SPLIT.get(n)
+            effs = [orig_eff]
+            for _ in range(2):
+                w = _time_best_of_2(spark, REGISTRY[n].fn, n)
+                sp = STREAM_SPLIT.get(n)
+                eff = sp["drain_s"] if (drain_gated and sp) else w
+                effs.append(eff)
+                if eff <= best_eff:
+                    # record wall AND split from this same call so the
+                    # reported stream_split decomposes the reported wall
+                    best_eff, best_split = eff, sp
+                    timings[n] = w
+                elif sp is not None and best_split is not None:
+                    STREAM_SPLIT[n] = best_split
+            med = sorted(effs)[1]
+            print(
+                f"  {n}: draws {[round(e, 3) for e in effs]} "
+                f"median {med:.3f}s vs bound {bound:.3f}s",
+                file=sys.stderr,
+            )
+            if med > bound:
+                over[n] = (med, base, bound, kind)
+        if first_over:
             total = round(sum(timings.values()), 3)
             full_record["value"] = total
-            full_record["retimed"] = sorted(retime)
-            over = _breaches(timings)
+            full_record["retimed"] = sorted(first_over)
 
     # Full record first (complete per-query map for humans/scripts)...
     print(json.dumps(full_record))
@@ -906,9 +907,10 @@ def main() -> None:
         sys.exit(1)
 
     if over:
-        for n, (t, base) in over.items():
+        for n, (t, base, bound, kind) in over.items():
             print(
-                f"BOUND EXCEEDED {n}: {t:.3f}s > 2x baseline {base:.1f}s",
+                f"BOUND EXCEEDED {n}: median {t:.3f}s > {kind} bound "
+                f"{bound:.3f}s (baseline {base:.1f}s)",
                 file=sys.stderr,
             )
         sys.exit(1)
