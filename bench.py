@@ -649,7 +649,7 @@ def _tee_stderr():
     return buf, drain
 
 
-def _breaches(tm: dict[str, float]) -> dict[str, tuple[float, float]]:
+def _breaches(tm: dict[str, float]) -> dict[str, tuple[float, float, float, str]]:
     """Queries exceeding 2x their sf0.1 baseline (plus a 0.75 s absolute
     floor so sub-second queries don't flake on scheduler noise).
 
@@ -852,8 +852,13 @@ def main() -> None:
                     # reported stream_split decomposes the reported wall
                     best_eff, best_split = eff, sp
                     timings[n] = w
-                elif sp is not None and best_split is not None:
-                    STREAM_SPLIT[n] = best_split
+                elif sp is not None:
+                    # rejected draw overwrote the split: restore the best
+                    # draw's (or drop the entry if the best draw had none)
+                    if best_split is not None:
+                        STREAM_SPLIT[n] = best_split
+                    else:
+                        STREAM_SPLIT.pop(n, None)
             med = sorted(effs)[1]
             print(
                 f"  {n}: draws {[round(e, 3) for e in effs]} "
@@ -866,6 +871,17 @@ def main() -> None:
             total = round(sum(timings.values()), 3)
             full_record["value"] = total
             full_record["retimed"] = sorted(first_over)
+        # the median loop adjudicates only the breach kind _breaches
+        # originally recorded (drain wins its if/elif), so a query whose
+        # transient drain breach was dismissed could hide a REAL wall-
+        # backstop breach (review finding, round 11). Re-check the final
+        # best-draw timings: a kind that still breaches after the
+        # retimes' best draws was never adjudicated and fails outright.
+        for n, rec in _breaches(timings).items():
+            if n not in over and (
+                n not in first_over or first_over[n][3] != rec[3]
+            ):
+                over[n] = rec
 
     # Full record first (complete per-query map for humans/scripts)...
     print(json.dumps(full_record))

@@ -349,7 +349,13 @@ def minhash_lsh_serve_sql(
 ) -> str:
     """DuckDB twin of :func:`operators.lsh_store.lsh_search` probing the
     full-corpus band index with the ``query_pred`` doc slice: DIRECTIONAL
-    (query_id, match_id) pairs instead of the self-join's a<b."""
+    (query_id, match_id) pairs instead of the self-join's a<b.
+
+    ``query_pred`` references the query-side doc id via the ``{d}``
+    placeholder (e.g. ``"{d} % 10 = 0"``) — an explicit placeholder
+    instead of a textual doc_id rewrite, which silently corrupted any
+    predicate containing doc_id inside another identifier or an inner
+    subquery (review finding, round 11)."""
     return f"""
     WITH {minhash_chain_sql(table, text_col, id_col)},
     cand AS (
@@ -358,7 +364,7 @@ def minhash_lsh_serve_sql(
       JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id <> b.doc_id
-      WHERE {query_pred.replace('doc_id', 'a.doc_id')}
+      WHERE {query_pred.format(d='a.doc_id')}
     )
     SELECT c.query_id, c.match_id,
            list_sum(list_transform(range(1, {MINHASH_K} + 1),

@@ -18,8 +18,10 @@ module is the steady-state half, mirroring ``ann_store``'s discipline:
 The index key embeds a fingerprint of the documents file plus every
 signature constant (k, bands, shingle n, hash prime), so a fixture or
 constant change rebuilds instead of serving stale buckets (the
-lexical_segment_path lesson from ADVICE r10). Artifacts are
-deterministic: a rebuilt index is bit-identical.
+lexical_segment_path lesson from ADVICE r10). Artifact CONTENTS are
+deterministic (shingle arrays sorted, signatures exact integers); row
+and file order are scheduling-dependent and not part of the contract —
+every read is order-insensitive.
 """
 
 from __future__ import annotations
@@ -67,7 +69,12 @@ def lsh_write(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
         return path
     exd = shingle_rows(docs, "text", "doc_id").localCheckpoint()
     sig = minhash_signatures_relational(exd)
-    sh_sets = exd.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
+    # sort_array: collect_set order is task-scheduling-dependent; sorting
+    # makes the persisted ARRAY CONTENTS deterministic (row/file order is
+    # not part of the artifact contract — reads are order-insensitive)
+    sh_sets = exd.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("s")).alias("shingles")
+    )
     (
         sig.join(sh_sets, "doc_id")
         .write.mode("overwrite")
@@ -101,8 +108,12 @@ def lsh_search(
     the persisted buckets, verify candidates with exact Jaccard over the
     persisted shingle sets. Pair work is bounded by bucket collisions —
     the 1-(1-j^r)^b LSH guarantee — never |Q|·N."""
-    q_exd = shingle_rows(qdocs, "text", "doc_id")
-    q_sig = minhash_signatures_relational(q_exd)
+    # localCheckpoint: q_exd fans out to the signature and shingle-set
+    # branches (and q_sig to the band keys) — unmaterialized, the shingle
+    # window + 16-perm signing recomputes per consumer (the
+    # minhash_lsh_pairs lesson); |Q| is bounded so the checkpoint is tiny
+    q_exd = shingle_rows(qdocs, "text", "doc_id").localCheckpoint()
+    q_sig = minhash_signatures_relational(q_exd).localCheckpoint()
     q_sh = q_exd.groupBy("doc_id").agg(F.collect_set("s").alias("sh_q"))
     q = (
         q_sig.join(q_sh, "doc_id")

@@ -16,10 +16,13 @@ from pyspark.sql import Window as W
 from ..functions.text import hashed_list_sql, shingles_sql, tokens_sql
 from ..operators.dedup import (
     containment_pairs,
+    LSH_BANDS,
+    MINHASH_K,
     SIMHASH_BANDS,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
+    minhash_lsh_serve_sql,
     ngram_jaccard_pairs,
     simhash32_sql,
     simhash_bands,
@@ -890,12 +893,10 @@ q_containment_pairs.__doc__ = q_containment_pairs.__doc__.format(
 # a corpus-proportional join (q_dedup_minhash_lsh owns that shape).
 _LSHS_MOD = 10
 _LSHS_CAP = 500
-_LSHS_PRED = f"doc_id % {_LSHS_MOD} = 0 AND doc_id < {_LSHS_CAP}"
+_LSHS_PRED = f"{{d}} % {_LSHS_MOD} = 0 AND {{d}} < {_LSHS_CAP}"
 
 
 def _lsh_serve_oracle() -> str:
-    from ..operators.dedup import minhash_lsh_serve_sql
-
     return minhash_lsh_serve_sql(
         "documents", "text", "doc_id", _LSHS_PRED, threshold=0.5
     )
@@ -934,8 +935,6 @@ def q_dedup_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_search(spark, path, qdocs, threshold=0.5)
 
 
-from ..operators.dedup import LSH_BANDS as _B, MINHASH_K as _K
-
 q_dedup_lsh_persisted.__doc__ = q_dedup_lsh_persisted.__doc__.format(
-    B=_B, K=_K
+    B=LSH_BANDS, K=MINHASH_K
 )
