@@ -267,6 +267,8 @@ HEADLINE = [
     "q_chunk_search",
     # round-11 fifth wave: fuzzy dedup against the persisted band index
     "q_dedup_lsh_persisted",
+    # round-11 sixth wave: frozen-quantizer chunk-index add
+    "q_chunk_index_add",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -575,6 +577,8 @@ BASELINE_SEC = {
     "q_chunk_search": 2.2,
     # round-11 fifth wave: warm band-bucket probe + candidates-only verify
     "q_dedup_lsh_persisted": 1.2,
+    # round-11 sixth wave: batch chunk+featurize + broadcast-centroid argmin
+    "q_chunk_index_add": 2.7,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

@@ -1440,6 +1440,25 @@ _CHUNK_QUERY_DOC_MOD = 50  # chunks of docs with doc_id % 50 == 0 are queries
 _CHUNK_QUERY_DOC_CAP = 2_500
 
 
+def _chunk_vecs(ch: DataFrame) -> DataFrame:
+    """(vec_id, embedding) hashed chunk vectors from a chunk relation —
+    vec_id packs (doc_id, chunk_idx) at CHUNK_KEY_RADIX. One definition
+    shared by the index build, the query batch, and the incremental-add
+    batch."""
+    from ..operators.ann_store import CHUNK_KEY_RADIX
+
+    terms = ch.select(
+        (F.col("doc_id") * CHUNK_KEY_RADIX + F.col("chunk_idx")).alias(
+            "doc_id"
+        ),
+        F.explode(F.split("chunk_text", " ")).alias("term"),
+    )
+    return hashed_count_vectors(terms).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+
+
 def _chunk_search_oracle() -> str:
     from ..functions.vectors import cosine_sql
     from ..operators.ann_store import CHUNK_KEY_RADIX
@@ -1540,15 +1559,7 @@ def q_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     R = CHUNK_KEY_RADIX
     ch = _chunks(spark, sf_dir)
-    term_rows = ch.select(
-        (F.col("doc_id") * R + F.col("chunk_idx")).alias("doc_id"),
-        F.explode(F.split("chunk_text", " ")).alias("term"),
-    )
-    vecs = hashed_count_vectors(term_rows).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("embedding"),
-    )
-    path = chunkvec_write(spark, sf_dir, vecs)
+    path = chunkvec_write(spark, sf_dir, _chunk_vecs(ch))
     # Query-side featurization runs over the query DOCS only: filtering
     # `vecs` after the fact would strand the predicate above the
     # posexplode (a full-corpus featurization per serve); filtering
@@ -1559,13 +1570,8 @@ def q_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _CHUNK_QUERY_DOC_MOD == 0)
         & (F.col("doc_id") < _CHUNK_QUERY_DOC_CAP)
     )
-    qterms = qch.select(
-        (F.col("doc_id") * R + F.col("chunk_idx")).alias("doc_id"),
-        F.explode(F.split("chunk_text", " ")).alias("term"),
-    )
-    qv = hashed_count_vectors(qterms).select(
-        F.col("doc_id").alias("query_id"),
-        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("qv"),
+    qv = _chunk_vecs(qch).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     out = search_vectors(spark, path, qv)
     return out.select(
@@ -1575,6 +1581,126 @@ def q_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("neighbor_id") % R).cast("bigint").alias("neighbor_chunk"),
         "rank",
         "cosine",
+    )
+
+
+# --- Chunk-index incremental add: frozen-quantizer ingest -------------------
+
+_CADD_MOD = 7  # docs with doc_id % 7 == 3 stand in for today's ingest batch
+_CADD_REM = 3
+_CADD_OFFSET = 1_000_000  # fresh doc ids for the synthesized batch
+
+
+def _chunk_add_oracle() -> str:
+    from ..operators.ann_store import CHUNK_KEY_RADIX
+    from ..operators.ivf import IVF_ITERS, _sq_l2_sql, ivf_chain
+    from .text_suite import _chunk_sql
+
+    R = CHUNK_KEY_RADIX
+    term_tpl = (
+        "SELECT doc_id * {R} + chunk_idx AS vec_id,\n"
+        "       unnest(string_split(chunk_text, ' ')) AS term\n"
+        "FROM {src}"
+    )
+    ctes = [_chunk_sql().strip()]
+    ctes += hashed_vec_ctes(
+        term_cte=term_tpl.format(R=R, src="ch"),
+        key="vec_id",
+        prefix="cv_",
+        out="cv_vec",
+    )
+    ctes.append(
+        """cvec AS (
+          SELECT vec_id, list_transform(v, x -> x * 1.0) AS embedding
+          FROM cv_vec
+        )"""
+    )
+    ctes += ivf_chain("cvec", "FALSE", materialize=True)
+    cN = f"c{IVF_ITERS}"
+    newsrc = (
+        f"(SELECT doc_id + {_CADD_OFFSET} AS doc_id,"
+        f" 'newdoc ' || text AS text FROM documents"
+        f" WHERE doc_id % {_CADD_MOD} = {_CADD_REM})"
+    )
+    ctes.append(_chunk_sql(source=newsrc, prefix="n").strip())
+    ctes += hashed_vec_ctes(
+        term_cte=term_tpl.format(R=R, src="nch"),
+        key="vec_id",
+        prefix="nv_",
+        out="nv_vec",
+    )
+    ctes.append(
+        """nvec AS (
+          SELECT vec_id, list_transform(v, x -> x * 1.0) AS v
+          FROM nv_vec
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT CAST(vec_id // {R} AS BIGINT) AS new_doc,
+           CAST(vec_id % {R} AS BIGINT) AS new_chunk,
+           CAST(cluster AS INTEGER) AS cluster
+    FROM (
+      SELECT nvec.vec_id, {cN}.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY nvec.vec_id
+               ORDER BY {_sq_l2_sql('nvec.v', f'{cN}.c')}, {cN}.cluster
+             ) AS rn
+      FROM nvec, {cN}
+    ) WHERE rn = 1
+    """
+    )
+
+
+@register("q_chunk_index_add", oracle=_chunk_add_oracle())
+def q_chunk_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ADD to the persisted CHUNK index without retraining —
+    the FAISS train/add split closing the chunk-ingest loop: new
+    documents (synthesized as a prefixed slice with fresh ids, standing
+    in for today's crawl batch) are CHUNKED, featurized, and assigned to
+    their nearest FROZEN persisted centroid — the cell whose inverted
+    list each new chunk appends to. With q_stream_chunk_ingest (chunks
+    cut at ingest) and q_chunk_search (serving), the chunk family now
+    has the same build/add/serve lifecycle the embedding index family
+    has (ivfpq_write / q_ann_index_add / q_ann_ivfpq_search).
+
+    Scale shape: the batch is chunked and featurized shuffle-free up to
+    one (chunk-key, bucket) agg; assignment is |new chunks| x k
+    distance evaluations against a broadcast centroid relation — zero
+    corpus reads, no Lloyd rounds. The oracle recomputes the identical
+    frozen centroids via the chunk-vector Lloyd chain and assigns the
+    same synthesized batch."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.ann_store import CHUNK_KEY_RADIX, chunkvec_write
+    from ..operators.ivf import _sq_l2
+    from .text_suite import _chunks, chunk_relation
+
+    R = CHUNK_KEY_RADIX
+    path = chunkvec_write(spark, sf_dir, _chunk_vecs(_chunks(spark, sf_dir)))
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    d = t(spark, sf_dir, "documents")
+    newdocs = d.where(F.col("doc_id") % _CADD_MOD == _CADD_REM).select(
+        (F.col("doc_id") + _CADD_OFFSET).alias("doc_id"),
+        F.concat(F.lit("newdoc "), F.col("text")).alias("text"),
+    )
+    nvecs = _chunk_vecs(chunk_relation(newdocs))
+    qc = nvecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cluster", _sq_l2("embedding", "c").alias("dist")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    return (
+        qc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.expr(f"vec_id div {R}").cast("bigint").alias("new_doc"),
+            (F.col("vec_id") % R).cast("bigint").alias("new_chunk"),
+            F.col("cluster").cast("int").alias("cluster"),
+        )
     )
 
 

@@ -197,6 +197,7 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_chunk_search",
     "q_stream_chunk_ingest",
     "q_dedup_lsh_persisted",
+    "q_chunk_index_add",
 )
 
 # Re-certified in round 10 (CORRECTNESS_r10 rows 1-7): the round-10

@@ -2980,17 +2980,21 @@ _CHUNK_SIZE = 32  # tokens per chunk
 _CHUNK_STRIDE = 24  # window stride (8-token overlap between neighbours)
 
 
-def _chunk_sql() -> str:
-    """Shared oracle CTE chain producing the chunk relation."""
+def _chunk_sql(source: str = "documents", prefix: str = "") -> str:
+    """Shared oracle CTE chain producing the chunk relation
+    ``{prefix}ch``. ``source`` retargets the (doc_id, text) input (e.g.
+    a synthesized new-doc batch); ``prefix`` namespaces the CTEs so two
+    chunk chains can coexist in one oracle (q_chunk_index_add)."""
+    P = prefix
     return f"""
-    toks AS (
-      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    {P}toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM {source}
     ),
-    st AS (
+    {P}st AS (
       SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS s
-      FROM toks WHERE len(toks) > 0
+      FROM {P}toks WHERE len(toks) > 0
     ),
-    ch AS (
+    {P}ch AS (
       SELECT doc_id,
              CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
              CAST(s AS BIGINT) AS start_pos,
@@ -2998,7 +3002,7 @@ def _chunk_sql() -> str:
              array_to_string(
                toks[s + 1 : least(s + {_CHUNK_SIZE}, len(toks))], ' '
              ) AS chunk_text
-      FROM st
+      FROM {P}st
     )
     """
 

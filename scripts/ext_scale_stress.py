@@ -84,6 +84,7 @@ QUERIES = [
     "q_stupid_backoff_lm",
     "q_chunk_search",
     "q_dedup_lsh_persisted",
+    "q_chunk_index_add",
 ]
 
 

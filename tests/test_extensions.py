@@ -1544,3 +1544,31 @@ def test_lsh_persisted_serve_warm_and_correct(spark, tmp_path):
         for r in q_dedup_lsh_persisted(spark, str(d)).collect()
     }
     assert second == first
+
+
+def test_chunk_index_add_assignments(spark):
+    """Frozen-quantizer chunk add: every synthesized new chunk gets
+    exactly one cluster, ids carry the batch offset, and every assigned
+    cluster exists in the persisted centroid relation."""
+    import os
+
+    from mapreduce_weather_analysis_spark.operators.ann_store import (
+        chunkvec_index_path,
+    )
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _CADD_OFFSET,
+        q_chunk_index_add,
+    )
+
+    rows = q_chunk_index_add(spark, SMOKE_SF).collect()
+    assert rows, "empty add batch"
+    keys = [(r.new_doc, r.new_chunk) for r in rows]
+    assert len(keys) == len(set(keys)), "a chunk assigned twice"
+    assert all(r.new_doc >= _CADD_OFFSET for r in rows)
+    cents = {
+        r.cluster
+        for r in spark.read.parquet(
+            os.path.join(chunkvec_index_path(SMOKE_SF), "centroids")
+        ).collect()
+    }
+    assert all(r.cluster in cents for r in rows)
