@@ -831,17 +831,12 @@ def main() -> None:
     # retime calls and still fails.
     over: dict[str, tuple[float, float, float, str]] = {}
     if sf == 0.1:
-        first_over = _breaches(timings)
-        control_drift = _control_drift(controls_first, controls_last)
-        if first_over:
-            print(
-                f"RETIMING {len(first_over)} breaching queries "
-                f"(median-of-3 decision; control drift "
-                f"{control_drift:.1f}x)",
-                file=sys.stderr,
-            )
-        for n in sorted(first_over):
-            orig_eff, base, bound, kind = first_over[n]
+
+        def _vote(n: str, rec: tuple[float, float, float, str]) -> None:
+            """Median-of-3 adjudication for one breaching (query, kind):
+            two more best-of-2 draws, best draw's wall (and stream split)
+            kept in the reported record, gate decides on the median."""
+            orig_eff, base, bound, kind = rec
             drain_gated = kind == "drain"
             best_eff = orig_eff
             best_split = STREAM_SPLIT.get(n)
@@ -863,29 +858,59 @@ def main() -> None:
                         STREAM_SPLIT[n] = best_split
                     else:
                         STREAM_SPLIT.pop(n, None)
+            adjudicated.add((n, kind))
             med = sorted(effs)[1]
             print(
-                f"  {n}: draws {[round(e, 3) for e in effs]} "
+                f"  {n}: [{kind}] draws {[round(e, 3) for e in effs]} "
                 f"median {med:.3f}s vs bound {bound:.3f}s",
                 file=sys.stderr,
             )
             if med > bound:
                 over[n] = (med, base, bound, kind)
+
+        first_over = _breaches(timings)
+        control_drift = _control_drift(controls_first, controls_last)
         if first_over:
-            total = round(sum(timings.values()), 3)
-            full_record["value"] = total
-            full_record["retimed"] = sorted(first_over)
-        # the median loop adjudicates only the breach kind _breaches
+            print(
+                f"RETIMING {len(first_over)} breaching queries "
+                f"(median-of-3 decision; control drift "
+                f"{control_drift:.1f}x)",
+                file=sys.stderr,
+            )
+        adjudicated: set[tuple[str, str]] = set()
+        retimed: set[str] = set(first_over)
+        for n in sorted(first_over):
+            _vote(n, first_over[n])
+        # The median loop adjudicates only the breach kind _breaches
         # originally recorded (drain wins its if/elif), so a query whose
         # transient drain breach was dismissed could hide a REAL wall-
         # backstop breach (review finding, round 11). Re-check the final
-        # best-draw timings: a kind that still breaches after the
-        # retimes' best draws was never adjudicated and fails outright.
-        for n, rec in _breaches(timings).items():
-            if n not in over and (
-                n not in first_over or first_over[n][3] != rec[3]
-            ):
-                over[n] = rec
+        # best-draw timings — and give any newly exposed (query, kind)
+        # the SAME median-of-3 vote instead of failing on its single
+        # draw (ADVICE r11: a kept best-drain draw can carry a
+        # transiently slow wall — that's the flake class the median was
+        # built to absorb). Each (query, kind) votes at most once, so
+        # the loop terminates in <=2 extra passes per query.
+        while True:
+            fresh = {
+                n: rec
+                for n, rec in _breaches(timings).items()
+                if n not in over and (n, rec[3]) not in adjudicated
+            }
+            if not fresh:
+                break
+            print(
+                f"RETIMING {len(fresh)} cross-kind breach(es) "
+                f"exposed by kept draws",
+                file=sys.stderr,
+            )
+            retimed |= set(fresh)
+            for n in sorted(fresh):
+                _vote(n, fresh[n])
+        if retimed:
+            total = round(sum(timings.values()), 3)
+            full_record["value"] = total
+            full_record["retimed"] = sorted(retimed)
 
     # Full record first (complete per-query map for humans/scripts)...
     print(json.dumps(full_record))

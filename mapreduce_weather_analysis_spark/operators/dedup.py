@@ -355,7 +355,20 @@ def minhash_lsh_serve_sql(
     placeholder (e.g. ``"{d} % 10 = 0"``) — an explicit placeholder
     instead of a textual doc_id rewrite, which silently corrupted any
     predicate containing doc_id inside another identifier or an inner
-    subquery (review finding, round 11)."""
+    subquery (review finding, round 11). Substitution is literal
+    ``str.replace`` — NOT ``str.format``, which raised KeyError on any
+    legitimate brace and could silently reshape the spliced SQL (ADVICE
+    r11). Contract: ``{d}`` is the ONLY brace allowed; any brace left
+    after substitution (typo'd placeholder like ``{id}`` or `` { d } ``,
+    or a struct-literal predicate this serve twin doesn't support) is
+    rejected loudly rather than spliced into the query text."""
+    pred = query_pred.replace("{d}", "a.doc_id")
+    if "{" in pred or "}" in pred:
+        raise ValueError(
+            "minhash_lsh_serve_sql: query_pred may contain braces only "
+            "as the literal '{d}' query-doc-id placeholder; got "
+            f"{query_pred!r}"
+        )
     return f"""
     WITH {minhash_chain_sql(table, text_col, id_col)},
     cand AS (
@@ -364,7 +377,7 @@ def minhash_lsh_serve_sql(
       JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id <> b.doc_id
-      WHERE {query_pred.format(d='a.doc_id')}
+      WHERE {pred}
     )
     SELECT c.query_id, c.match_id,
            list_sum(list_transform(range(1, {MINHASH_K} + 1),

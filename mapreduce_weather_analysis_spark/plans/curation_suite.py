@@ -1444,13 +1444,36 @@ def _chunk_vecs(ch: DataFrame) -> DataFrame:
     """(vec_id, embedding) hashed chunk vectors from a chunk relation —
     vec_id packs (doc_id, chunk_idx) at CHUNK_KEY_RADIX. One definition
     shared by the index build, the query batch, and the incremental-add
-    batch."""
+    batch.
+
+    The packing is an injective affine map ONLY while
+    chunk_idx < CHUNK_KEY_RADIX; a document long enough to exceed it
+    (~radix x chunk-stride tokens) would silently alias another doc's
+    coordinates. Out-of-domain rows therefore raise at execution time
+    (ADVICE r11) — the guard lives inside the vec_id expression itself,
+    so column pruning can never drop it while the key survives."""
     from ..operators.ann_store import CHUNK_KEY_RADIX
 
+    packed = F.when(
+        F.col("chunk_idx") < F.lit(CHUNK_KEY_RADIX),
+        F.col("doc_id") * CHUNK_KEY_RADIX + F.col("chunk_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "chunk_idx >= CHUNK_KEY_RADIX "
+                    f"({CHUNK_KEY_RADIX}): packed chunk key would "
+                    "alias another document (doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(", chunk_idx="),
+                F.col("chunk_idx").cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     terms = ch.select(
-        (F.col("doc_id") * CHUNK_KEY_RADIX + F.col("chunk_idx")).alias(
-            "doc_id"
-        ),
+        packed.alias("doc_id"),
         F.explode(F.split("chunk_text", " ")).alias("term"),
     )
     return hashed_count_vectors(terms).select(

@@ -1572,3 +1572,45 @@ def test_chunk_index_add_assignments(spark):
         ).collect()
     }
     assert all(r.cluster in cents for r in rows)
+
+
+def test_chunk_key_packing_guard_raises_out_of_domain(spark):
+    """ADVICE r11: vec_id = doc_id*RADIX + chunk_idx is injective only
+    while chunk_idx < CHUNK_KEY_RADIX; out-of-domain rows must fail
+    loudly instead of silently aliasing another document's coordinates."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from mapreduce_weather_analysis_spark.operators.ann_store import (
+        CHUNK_KEY_RADIX,
+    )
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _chunk_vecs,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, 0, "a b c"), (2, CHUNK_KEY_RADIX - 1, "d e")],
+        "doc_id long, chunk_idx long, chunk_text string",
+    )
+    assert _chunk_vecs(ok).count() == 2
+
+    bad = spark.createDataFrame(
+        [(1, 0, "a b"), (7, CHUNK_KEY_RADIX, "x y")],
+        "doc_id long, chunk_idx long, chunk_text string",
+    )
+    with pytest.raises(Exception, match="alias another document"):
+        _chunk_vecs(bad).count()
+
+
+def test_lsh_serve_pred_brace_contract():
+    """ADVICE r11: the serve oracle splices query_pred into SQL text —
+    '{d}' is the only brace allowed; str.format's KeyError/ValueError on
+    legitimate braces is replaced by literal substitution + loud reject."""
+    from mapreduce_weather_analysis_spark.operators.dedup import (
+        minhash_lsh_serve_sql,
+    )
+
+    sql = minhash_lsh_serve_sql("documents", "text", "doc_id", "{d} % 10 = 0")
+    assert "a.doc_id % 10 = 0" in sql
+    for bad in ("{id} % 10 = 0", "{ d } = 1", "doc_id IN {1,2}", "x = '}'"):
+        with pytest.raises(ValueError, match="placeholder"):
+            minhash_lsh_serve_sql("documents", "text", "doc_id", bad)
