@@ -269,6 +269,9 @@ HEADLINE = [
     "q_dedup_lsh_persisted",
     # round-11 sixth wave: frozen-quantizer chunk-index add
     "q_chunk_index_add",
+    # round-12: chunk-index health + serve-contract surface (the cap
+    # that guards the uncapped O(N^1.5) batch class, machine-readable)
+    "q_chunk_index_stats",
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -579,6 +582,8 @@ BASELINE_SEC = {
     "q_dedup_lsh_persisted": 1.2,
     # round-11 sixth wave: batch chunk+featurize + broadcast-centroid argmin
     "q_chunk_index_add": 2.7,
+    # round-12: one pruned-column agg over the persisted chunk lists
+    "q_chunk_index_stats": 1.4,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

@@ -371,7 +371,7 @@ def _winnow_oracle() -> str:
     """
 
 
-@register("q_winnowing", oracle=_winnow_oracle())
+@register("q_winnowing", scale_tier="scale", oracle=_winnow_oracle())
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
@@ -506,7 +506,7 @@ def _winnow_pairs_oracle() -> str:
     """
 
 
-@register("q_winnowing_pairs", oracle=_winnow_pairs_oracle())
+@register("q_winnowing_pairs", scale_tier="scale", oracle=_winnow_pairs_oracle())
 def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing candidate-pair detection — the second half of MOSS
     (Schleimer et al. §4): invert the selected fingerprints into posting
@@ -732,7 +732,7 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("q_bm25_topk", oracle=_bm25_oracle())
+@register("q_bm25_topk", scale_tier="scale", oracle=_bm25_oracle())
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
     Relevance Framework: BM25 and Beyond", F&T IR 2009): top-{K} documents
@@ -1086,7 +1086,7 @@ def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
     )
 
 
-@register("q_hybrid_search_rrf", oracle=_hybrid_oracle())
+@register("q_hybrid_search_rrf", scale_tier="small-corpus", oracle=_hybrid_oracle())
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
     Büttcher, SIGIR'09 — RRF(d) = Σ 1/(k + rank_list(d)), k={RK}) of the
@@ -1169,7 +1169,7 @@ def _hybrid_persisted_oracle() -> str:
     )
 
 
-@register("q_hybrid_search_persisted", oracle=_hybrid_persisted_oracle())
+@register("q_hybrid_search_persisted", scale_tier="scale", oracle=_hybrid_persisted_oracle())
 def q_hybrid_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with the dense arm on the PERSISTED index — the
     promise in q_hybrid_search_rrf's docstring ("at 100 TB the dense list
@@ -1392,7 +1392,7 @@ def _semantic_search_oracle() -> str:
     )
 
 
-@register("q_semantic_doc_search", oracle=_semantic_search_oracle())
+@register("q_semantic_doc_search", scale_tier="scale", oracle=_semantic_search_oracle())
 def q_semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END semantic document search from raw text, no model, no
     pre-computed embeddings: featurize every document with the hashing
@@ -1542,7 +1542,7 @@ def _chunk_search_oracle() -> str:
     )
 
 
-@register("q_chunk_search", oracle=_chunk_search_oracle())
+@register("q_chunk_search", scale_tier="scale", oracle=_chunk_search_oracle())
 def q_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level semantic retrieval — the actual RAG serving unit.
     q_semantic_doc_search retrieves whole documents; production RAG
@@ -1677,7 +1677,7 @@ def _chunk_add_oracle() -> str:
     )
 
 
-@register("q_chunk_index_add", oracle=_chunk_add_oracle())
+@register("q_chunk_index_add", scale_tier="scale", oracle=_chunk_add_oracle())
 def q_chunk_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ADD to the persisted CHUNK index without retraining —
     the FAISS train/add split closing the chunk-ingest loop: new
@@ -1724,6 +1724,91 @@ def q_chunk_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") % R).cast("bigint").alias("new_chunk"),
             F.col("cluster").cast("int").alias("cluster"),
         )
+    )
+
+
+def _chunk_stats_oracle() -> str:
+    from ..operators.ann_store import CHUNK_KEY_RADIX
+    from ..operators.ivf import ivf_chain
+    from .text_suite import _chunk_sql
+
+    R = CHUNK_KEY_RADIX
+    ctes = [_chunk_sql().strip()]
+    ctes += hashed_vec_ctes(
+        term_cte=(
+            f"SELECT doc_id * {R} + chunk_idx AS vec_id,\n"
+            "       unnest(string_split(chunk_text, ' ')) AS term\n"
+            "FROM ch"
+        ),
+        key="vec_id",
+        prefix="cv_",
+        out="cv_vec",
+    )
+    ctes.append(
+        """cvec AS (
+          SELECT vec_id, list_transform(v, x -> x * 1.0) AS embedding
+          FROM cv_vec
+        )"""
+    )
+    ctes += ivf_chain("cvec", "FALSE", materialize=True)
+    from .registry import REGISTRY as _REG
+
+    tier = _REG["q_chunk_search"].scale_tier
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    occ AS (SELECT cluster, COUNT(*) AS n FROM fa GROUP BY 1)
+    SELECT COUNT(*) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           MIN(n) AS min_occupancy,
+           MAX(n) AS max_occupancy,
+           CAST(SUM(n) AS BIGINT) * 1.0 / COUNT(*) AS avg_occupancy,
+           CAST({_CHUNK_QUERY_DOC_CAP} AS BIGINT) AS query_doc_cap,
+           CAST({R} AS BIGINT) AS key_radix,
+           '{tier}' AS serve_tier
+    FROM occ
+    """
+    )
+
+
+@register("q_chunk_index_stats", scale_tier="eval", oracle=_chunk_stats_oracle())
+def q_chunk_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health + SERVE-CONTRACT surface for the persisted chunk-vector
+    index (VERDICT r11 ask #4): the occupancy profile q_ann_index_stats
+    gives the embedding index, extended with the machine-readable
+    bounded-batch contract q_chunk_search serves under — the query-doc
+    cap that guards the O(N^1.5) uncapped batch-join class (SCALE.md's
+    measured 48x first draw), the chunk-key packing radix, and the
+    serve arm's registry scale tier. A deployment tool reading this ONE
+    row knows the index layout (cells x occupancy), the largest query
+    batch the serve path is certified for, and the posture label —
+    previously the cap was a silent module constant. Occupancy reads
+    the persisted cluster-partitioned lists (one narrow agg, no corpus
+    shuffle); the oracle recomputes the assignment from scratch via the
+    chunk featurizer + Lloyd chain, so a green row also certifies the
+    standing artifact matches the deterministic build."""
+    import os
+
+    from ..operators.ann_store import CHUNK_KEY_RADIX, chunkvec_write
+    from .registry import REGISTRY as _REG
+    from .text_suite import _chunks
+
+    path = chunkvec_write(spark, sf_dir, _chunk_vecs(_chunks(spark, sf_dir)))
+    vecs = spark.read.parquet(os.path.join(path, "vecs"))
+    occ = vecs.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    tier = _REG["q_chunk_search"].scale_tier
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_occupancy"),
+        F.max("n").alias("max_occupancy"),
+        (F.sum("n") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_occupancy"),
+    ).select(
+        "*",
+        F.lit(_CHUNK_QUERY_DOC_CAP).cast("long").alias("query_doc_cap"),
+        F.lit(CHUNK_KEY_RADIX).cast("long").alias("key_radix"),
+        F.lit(tier).alias("serve_tier"),
     )
 
 
@@ -2403,7 +2488,7 @@ def _mmr_oracle() -> str:
     return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + union
 
 
-@register("q_mmr_rerank", oracle=_mmr_oracle())
+@register("q_mmr_rerank", scale_tier="small-corpus", oracle=_mmr_oracle())
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diversified rerank (Carbonell &
     Goldstein, SIGIR'98): from the dense top-{P} relevance shortlist,
@@ -2580,7 +2665,7 @@ def _rm3_oracle() -> str:
     return "\n    WITH " + ",\n    ".join(_lex_ctes() + rm3_ctes) + "\n    " + final
 
 
-@register("q_bm25_rm3", oracle=_rm3_oracle())
+@register("q_bm25_rm3", scale_tier="scale", oracle=_rm3_oracle())
 def q_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft, "Relevance-Based
     Language Models", SIGIR'01; the RM3 interpolation per Abdul-Jaleel
@@ -2821,7 +2906,7 @@ q_token_shards.__doc__ = q_token_shards.__doc__.format(T=_SHARD_TOKENS)
 # --- Persisted-inverted-index BM25 serving ------------------------------------
 
 
-@register("q_bm25_search", oracle=_bm25_oracle())
+@register("q_bm25_search", scale_tier="scale", oracle=_bm25_oracle())
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 serving over the PERSISTED inverted index — the lexical twin
     of q_ann_ivfpq_search, completing the build/serve split for BOTH
@@ -3028,7 +3113,7 @@ def _lexical_add_oracle() -> str:
     """
 
 
-@register("q_bm25_index_add", oracle=_lexical_add_oracle())
+@register("q_bm25_index_add", scale_tier="scale", oracle=_lexical_add_oracle())
 def q_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical index ADD: the posting-list delta an arriving document
     batch appends to the persisted inverted index — per term bucket, the
@@ -3071,7 +3156,7 @@ def q_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bm25_search_merged", oracle=_bm25_oracle())
+@register("q_bm25_search_merged", scale_tier="scale", oracle=_bm25_oracle())
 def q_bm25_search_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 serving over SEGMENT-MERGED postings — the LSM read path
     that completes the lexical lifecycle (VERDICT r9 ask #5):
@@ -3823,7 +3908,7 @@ def _li_grams(col: Column) -> Column:
     ).otherwise(F.array(col))
 
 
-@register("q_late_interaction", oracle=_li_oracle())
+@register("q_late_interaction", scale_tier="scale", oracle=_li_oracle())
 def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATE-INTERACTION rerank of the BM25 shortlist — the ColBERT
     scoring SHAPE (Khattab & Zaharia SIGIR'20 §3.3: keep token-level

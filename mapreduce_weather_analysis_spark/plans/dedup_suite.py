@@ -34,6 +34,7 @@ from .registry import register, t
 
 @register(
     "q_dedup_exact",
+    scale_tier="scale",
     oracle="""
     SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
     FROM documents
@@ -49,6 +50,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_minhash_lsh",
+    scale_tier="scale",
     oracle=minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.5),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,6 +67,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_simhash",
+    scale_tier="scale",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
@@ -86,6 +89,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_simhash_pairs",
+    scale_tier="scale",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
@@ -149,6 +153,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ngram_jaccard",
+    scale_tier="ground-truth",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {tokens_sql('text')} AS toks
@@ -187,6 +192,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_apply",
+    scale_tier="scale",
     oracle=f"""
     SELECT d.doc_id, d.lang, d.source, d.n_chars
     FROM documents d
@@ -213,6 +219,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_clusters",
+    scale_tier="scale",
     oracle=f"""
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM (
@@ -255,6 +262,7 @@ _DECON_EVAL = 23  # doc_id % _DECON_EVAL == 0 -> held-out "benchmark" doc
 
 @register(
     "q_decontaminate",
+    scale_tier="scale",
     oracle=f"""
     WITH sh AS (
       SELECT doc_id,
@@ -317,6 +325,7 @@ def _bloom_pos_sql(expr: str, j: int) -> str:
 
 @register(
     "q_decontaminate_bloom",
+    scale_tier="scale",
     oracle=f"""
     WITH sh AS (
       SELECT doc_id,
@@ -442,6 +451,7 @@ q_decontaminate_bloom.__doc__ = q_decontaminate_bloom.__doc__.replace(
 
 @register(
     "q_dedup_canonical",
+    scale_tier="scale",
     oracle=f"""
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM (
@@ -517,6 +527,7 @@ _INCR_MOD = 5  # doc_id % 5 == 4 -> the "incoming batch" (~20% of corpus)
 
 @register(
     "q_dedup_incremental",
+    scale_tier="scale",
     oracle=f"""
     WITH inc AS (
       SELECT doc_id, text FROM documents WHERE doc_id % {_INCR_MOD} = {_INCR_MOD - 1}
@@ -696,7 +707,7 @@ def _cross_source_sql() -> str:
     """
 
 
-@register("q_cross_source_pairs", oracle=_cross_source_sql())
+@register("q_cross_source_pairs", scale_tier="scale", oracle=_cross_source_sql())
 def q_cross_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-SOURCE near-duplicate pairs — verified MinHash-LSH pairs
     whose two documents come from DIFFERENT ingest sources. Within-
@@ -751,6 +762,7 @@ def _cross_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_source_overlap_matrix",
+    scale_tier="scale",
     oracle=f"""
     WITH xp AS ({_cross_source_sql()})
     SELECT LEAST(source_a, source_b) AS source_lo,
@@ -849,7 +861,7 @@ def _containment_sql() -> str:
     """
 
 
-@register("q_containment_pairs", oracle=_containment_sql())
+@register("q_containment_pairs", scale_tier="scale", oracle=_containment_sql())
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric CONTAINMENT near-dup pairs (Broder, "On the
     resemblance and containment of documents", SEQUENCES'97):
@@ -902,7 +914,7 @@ def _lsh_serve_oracle() -> str:
     )
 
 
-@register("q_dedup_lsh_persisted", oracle=_lsh_serve_oracle())
+@register("q_dedup_lsh_persisted", scale_tier="scale", oracle=_lsh_serve_oracle())
 def q_dedup_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup against a STANDING corpus — the build/serve split
     applied to MinHash-LSH (the ann_store discipline for the dedup

@@ -195,7 +195,7 @@ def _phash_oracle() -> str:
     """
 
 
-@register("q_phash_dedup", oracle=_phash_oracle())
+@register("q_phash_dedup", scale_tier="scale", oracle=_phash_oracle())
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCEPTUAL-HASH dedup over decoded multimodal features — the
     aHash recipe (signature bit j = "bin j is over-represented", here

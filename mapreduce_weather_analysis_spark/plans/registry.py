@@ -33,18 +33,28 @@ class QuerySpec:
     # the undecorated source fn — _resync_docs reads its (possibly
     # post-decoration .format()-ed) __doc__ after all modules imported
     src: QueryFn | None = None
-    # Scale-posture tier (VERDICT r10 ask #2) — machine-readable so a
-    # fast sf0.1 number can't be mistaken for a 100-TB deployment
-    # posture. Mandatory (test-enforced) for the ANN serving family:
-    #   "scale"        bucketed / celled / probe-bounded — work per
-    #                  query is sublinear in corpus size; the plan you
-    #                  would run at 100 TB.
-    #   "small-corpus" flat |Q|x|N| scan — correct and in-gate at
-    #                  sf0.1, but pair work grows with the corpus;
-    #                  fine as a small-corpus serve only.
+    # Scale-posture tier (VERDICT r10 ask #2, widened repo-wide by
+    # VERDICT r11 ask #2) — machine-readable so a fast sf0.1 number
+    # can't be mistaken for a 100-TB deployment posture. Mandatory
+    # (test-enforced) for the ANN serving family AND every serve/pair-
+    # class query in the dedup/similarity/lexical/chunk families:
+    #   "scale"        bucketed / celled / probe-bounded / df-capped —
+    #                  per-query work sublinear in corpus size (or, for
+    #                  batch pair jobs, pair work bounded by banding /
+    #                  blocking, never all-pairs); the plan you would
+    #                  run at 100 TB.
+    #   "small-corpus" carries a documented growth term a 100-TB run
+    #                  must swap for the tagged sibling: a flat |Q|x|N|
+    #                  pair scan, a corpus-sized closure/driver
+    #                  artifact, in-query quantizer training a
+    #                  deployment would amortize, or a string-keyed
+    #                  wide shuffle with a hashed twin. Correct and
+    #                  in-gate at sf0.1; fine as a small-corpus plan
+    #                  only.
     #   "ground-truth" deliberately-exact quadratic baseline kept as
-    #                  the recall oracle for indexed siblings; never a
-    #                  serving plan (bench keeps these off the wall).
+    #                  the recall/parity oracle for indexed siblings;
+    #                  never a serving plan (bench keeps these off the
+    #                  wall).
     #   "eval"         index health / recall-measurement output, not a
     #                  serving path at all.
     scale_tier: str | None = None
@@ -182,12 +192,17 @@ _R8_GREEN_B: tuple[str, ...] = (
     "q_quality_calibration",
 )
 
-# NEVER driver-certified: the round-11 additions. They LEAD the
-# round-11 window for their first official rows; the rest of the
-# window goes to the re-certification rotation (VERDICT r10 ask #1):
-# the three weather flagships first (last driver-checked r5 — the
-# reference's raison d'être leads the re-cert), then the 24 remaining
-# r4-dated greens, then the stalest r5 heads fill the window.
+# NEVER driver-certified: the round-12 additions. They LEAD the
+# round-12 window for their first official rows; the rest of the
+# window finishes the re-certification rotation (VERDICT r11 ask #1):
+# the 33 remaining r5-dated greens — the oldest driver checks left —
+# then the stalest r7 heads fill the window exactly.
+_R12_QUEUE: tuple[str, ...] = (
+    "q_chunk_index_stats",
+)
+
+# Certified round 11 (first official rows): the round-11 additions,
+# all green in CORRECTNESS_r11 — parked with the fresh tail.
 _R11_QUEUE: tuple[str, ...] = (
     "q_ann_serve_tiers",
     "q_month_bucket_lenient",
@@ -356,19 +371,17 @@ _R4_GREEN: tuple[str, ...] = (
     "q_window_topk_per_group",
 )
 
-# The weather flagships — the reference's entire raison d'être, last
-# driver-checked in round 5. VERDICT r10 ask #1: they lead the
-# round-11 re-certification, right after the never-certified names.
+# The weather flagships — the reference's entire raison d'être,
+# re-certified in round 11 (VERDICT r10 ask #1). Parked fresh.
 _R5_FLAGSHIPS: tuple[str, ...] = (
     "q_max_month",
     "q_city_month",
     "q_city_month_formatted",
 )
 
-# Greens last certified in round 5 (the rest of the round-5 window);
-# the head of this section fills the round-11 window's remaining
-# slots, the tail carries into round 12.
-_R5_GREEN: tuple[str, ...] = (
+# Re-certified in round 11 (the round-11 window's tail slots): the 14
+# then-stalest round-5 greens. Parked with the fresh tail.
+_R5_RECERT_R11: tuple[str, ...] = (
     "q_scan_filter_project",
     "q_join_inner",
     "q_date_funcs",
@@ -383,6 +396,13 @@ _R5_GREEN: tuple[str, ...] = (
     "q_approx_percentiles",
     "q_segment_dedup_hashed",
     "q_dup_span_fraction_hashed",
+)
+
+# Greens still dated round 5 — the 33 oldest driver checks in the
+# registry (VERDICT r11 ask #1 derived this exact list from the
+# CORRECTNESS_r*.json union). They follow the never-certified round-12
+# queue so CORRECTNESS_r12 retires the whole backlog in one window.
+_R5_STALE: tuple[str, ...] = (
     "q_semdedup_persisted",
     "q_dsir_weights",
     "q_lm_quality",
@@ -420,7 +440,9 @@ _R5_GREEN: tuple[str, ...] = (
 
 # Greens certified in round 7 (the re-certified round-6 window: the five
 # round-5 additions, the r1/r2-stale re-certifications, the two
-# protobuf-gated TWS marker rows, q_dup_span_maximal) — freshest.
+# protobuf-gated TWS marker rows, q_dup_span_maximal) — after the r5
+# backlog retires, these become the stalest checks; their head fills
+# the round-12 window's remaining slots.
 _R7_GREEN: tuple[str, ...] = (
     "q_sample_temperature",
     "q_zorder_key",
@@ -475,11 +497,13 @@ _R7_GREEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    _R11_QUEUE
-    + _R5_FLAGSHIPS
-    + _R4_GREEN
-    + _R5_GREEN
+    _R12_QUEUE
+    + _R5_STALE
     + _R7_GREEN
+    + _R11_QUEUE
+    + _R5_FLAGSHIPS
+    + _R5_RECERT_R11
+    + _R4_GREEN
     + _R8_GREEN_A
     + _R8_GREEN_B
     + _R9_GREEN

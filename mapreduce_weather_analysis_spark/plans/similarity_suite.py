@@ -105,6 +105,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_embed_neardup",
+    scale_tier="small-corpus",
     oracle=f"""
     WITH n AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1589,7 +1590,7 @@ def _hard_neg_oracle() -> str:
     )
 
 
-@register("q_hard_negatives", oracle=_hard_neg_oracle())
+@register("q_hard_negatives", scale_tier="scale", oracle=_hard_neg_oracle())
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining over the PERSISTED index: for each query, the
     top-5 most-similar vectors with a DIFFERENT label — the negatives a
@@ -1669,7 +1670,7 @@ def _semdedup_oracle() -> str:
     )
 
 
-@register("q_semdedup", oracle=_semdedup_oracle())
+@register("q_semdedup", scale_tier="scale", oracle=_semdedup_oracle())
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus — k-means-cluster the embeddings
@@ -1856,7 +1857,7 @@ def q_ann_imi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_semdedup_persisted", oracle=_semdedup_oracle())
+@register("q_semdedup_persisted", scale_tier="scale", oracle=_semdedup_oracle())
 def q_semdedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the PERSISTED cell assignment (operators/ann_store.py
     ``vecs/``): identical semantics to q_semdedup, but the ⌊√N⌋-cell
@@ -2079,7 +2080,7 @@ def _knn_join_oracle() -> str:
     )
 
 
-@register("q_knn_join", oracle=_knn_join_oracle())
+@register("q_knn_join", scale_tier="small-corpus", oracle=_knn_join_oracle())
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN self-JOIN: the top-3 neighbours of EVERY corpus
     vector in one relation — the batch similarity join behind kNN-graph
@@ -2152,7 +2153,7 @@ def _knn_from_lists(
     )
 
 
-@register("q_knn_join_persisted", oracle=_knn_join_oracle())
+@register("q_knn_join_persisted", scale_tier="small-corpus", oracle=_knn_join_oracle())
 def q_knn_join_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN self-join served from the PERSISTED index — the
     build/serve split applied to the join family: q_knn_join's Lloyd
@@ -2373,7 +2374,7 @@ def q_components_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_knn_graph_clusters", oracle=_knn_graph_oracle())
+@register("q_knn_graph_clusters", scale_tier="small-corpus", oracle=_knn_graph_oracle())
 def q_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space clustering by MUTUAL-kNN connected components —
     the composition the kNN join exists for: keep edge (a, b) only when
@@ -2422,7 +2423,7 @@ def _knn_join_imi_oracle() -> str:
     )
 
 
-@register("q_knn_join_imi", oracle=_knn_join_imi_oracle())
+@register("q_knn_join_imi", scale_tier="scale", oracle=_knn_join_imi_oracle())
 def q_knn_join_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN self-join over the persisted TWO-LEVEL index — the scale
     endgame of the join family. Flat-IVF probe selection costs N·k
@@ -2557,7 +2558,7 @@ def _knn_refine_oracle(rounds: int = 1) -> str:
     )
 
 
-@register("q_knn_refine", oracle=_knn_refine_oracle())
+@register("q_knn_refine", scale_tier="small-corpus", oracle=_knn_refine_oracle())
 def q_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One NN-DESCENT refinement round over the kNN-join edges (Dong,
     Moses & Li, WWW'11): a neighbor of my neighbor is likely my
@@ -2639,7 +2640,7 @@ def nn_descent_round(
     )
 
 
-@register("q_knn_refine2", oracle=_knn_refine_oracle(rounds=2))
+@register("q_knn_refine2", scale_tier="small-corpus", oracle=_knn_refine_oracle(rounds=2))
 def q_knn_refine2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO NN-descent rounds — the iterative shape registered as a
     driver-checkable query (VERDICT r7 ask #8): round 2 re-applies
@@ -2815,7 +2816,7 @@ def _knn_triangles_oracle() -> str:
     )
 
 
-@register("q_knn_triangles", oracle=_knn_triangles_oracle())
+@register("q_knn_triangles", scale_tier="small-corpus", oracle=_knn_triangles_oracle())
 def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex TRIANGLE COUNT and local clustering coefficient over
     the mutual-kNN graph — the graph-quality diagnostic for the
@@ -4852,7 +4853,7 @@ def _sim_histogram_oracle() -> str:
     """
 
 
-@register("q_sim_histogram", oracle=_sim_histogram_oracle())
+@register("q_sim_histogram", scale_tier="eval", oracle=_sim_histogram_oracle())
 def q_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity HISTOGRAM of the corpus kNN edges ({B} bins over
     [−1, 1]) — the evidence behind every similarity threshold in the
@@ -4935,7 +4936,7 @@ def _recall_curve_oracle() -> str:
     )
 
 
-@register("q_recall_curve", oracle=_recall_curve_oracle())
+@register("q_recall_curve", scale_tier="eval", oracle=_recall_curve_oracle())
 def q_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall-vs-nprobe FRONTIER as one oracle-certified relation:
     mean recall@5 of the persisted IVF serving path at nprobe ∈ {NP},

@@ -229,6 +229,7 @@ else:
 
 @register(
     "q_stream_dedup",
+    scale_tier="scale",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events
     """,
@@ -437,7 +438,7 @@ def _minhash_sig_sql() -> str:
     """
 
 
-@register("q_stream_minhash_ledger", oracle=_minhash_sig_sql())
+@register("q_stream_minhash_ledger", scale_tier="scale", oracle=_minhash_sig_sql())
 def q_stream_minhash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-signature dedup ledger AS A STREAM: the MinHash signature
     (the same 16-perm single-expression form the batch dedup suite uses)
@@ -548,7 +549,7 @@ def _stream_bloom_oracle() -> str:
     """
 
 
-@register("q_stream_decontaminate", oracle=_stream_bloom_oracle())
+@register("q_stream_decontaminate", scale_tier="scale", oracle=_stream_bloom_oracle())
 def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom decontamination AT INGEST — the contamination firewall as a
     STATELESS stream. The eval split's Bloom filter is built batch-side
@@ -828,7 +829,7 @@ def _stream_index_add_oracle() -> str:
     )
 
 
-@register("q_stream_index_add", oracle=_stream_index_add_oracle())
+@register("q_stream_index_add", scale_tier="scale", oracle=_stream_index_add_oracle())
 def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index ADD at ingest: arriving vectors are assigned to the
     PERSISTED index's frozen centroids INSIDE the stream — the online
@@ -916,7 +917,7 @@ def _percolate_oracle() -> str:
     )
 
 
-@register("q_stream_percolate", oracle=_percolate_oracle())
+@register("q_stream_percolate", scale_tier="scale", oracle=_percolate_oracle())
 def q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCOLATION: the saved query matched against every ARRIVING
     document — Elasticsearch's percolator turned relational: instead of
@@ -1197,7 +1198,7 @@ def _stream_bm25_oracle() -> str:
     """
 
 
-@register("q_stream_bm25_search", oracle=_stream_bm25_oracle())
+@register("q_stream_bm25_search", scale_tier="scale", oracle=_stream_bm25_oracle())
 def q_stream_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-TEXT search served AT INGEST: arriving query documents are
     tokenized, dedup'd (array_distinct — a projection, so no streaming
@@ -1289,7 +1290,7 @@ def _stream_chunk_oracle() -> str:
     """
 
 
-@register("q_stream_chunk_ingest", oracle=_stream_chunk_oracle())
+@register("q_stream_chunk_ingest", scale_tier="scale", oracle=_stream_chunk_oracle())
 def q_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAG chunker applied AT INGEST, as a stream: chunking is a
     stateless per-row generator (tokenize -> window starts -> slice), so

@@ -844,6 +844,7 @@ _FUZZY_PROBE_MOD = 25  # every Nth doc becomes a (corrupted) probe
 
 @register(
     "q_fuzzy_match",
+    scale_tier="scale",
     oracle=f"""
     WITH titles AS (
       SELECT doc_id,
@@ -1448,6 +1449,7 @@ _SEG_BOILER_DF = 3  # segment appearing in >= this many docs = boilerplate
 
 @register(
     "q_segment_dedup",
+    scale_tier="small-corpus",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
@@ -1543,6 +1545,7 @@ def _segment_dedup_plan(d: DataFrame, key_fn) -> DataFrame:
 
 @register(
     "q_segment_dedup_hashed",
+    scale_tier="scale",
     oracle=f"""
     -- Same oracle as q_segment_dedup: the output aggregates never expose
     -- the shuffle key, so the 64-bit-hashed plan must produce IDENTICAL
@@ -1707,6 +1710,7 @@ _DUP_N = 13  # token-gram length (the ExactSubstr literature's span unit)
 
 @register(
     "q_dup_span_fraction",
+    scale_tier="small-corpus",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
@@ -1786,6 +1790,7 @@ def _dup_span_plan(spark: SparkSession, sf_dir: str, key_fn) -> DataFrame:
 
 @register(
     "q_dup_span_fraction_hashed",
+    scale_tier="scale",
     oracle=f"""
     -- Same oracle as q_dup_span_fraction: per-doc fractions never expose
     -- the gram key, so the 64-bit-hashed plan must match the exact-string
@@ -1956,7 +1961,7 @@ def q_dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dup_span_maximal.__doc__ = q_dup_span_maximal.__doc__.replace(
     "{N}", str(_DUP_N)
 )
-register("q_dup_span_maximal", oracle=_DUP_SPAN_MAXIMAL_ORACLE)(
+register("q_dup_span_maximal", scale_tier="scale", oracle=_DUP_SPAN_MAXIMAL_ORACLE)(
     q_dup_span_maximal
 )
 
@@ -2128,7 +2133,7 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dup_span_removal.__doc__ = q_dup_span_removal.__doc__.replace(
     "{N}", str(_DUP_N)
 )
-register("q_dup_span_removal", oracle=_DUP_REMOVAL_ORACLE)(
+register("q_dup_span_removal", scale_tier="small-corpus", oracle=_DUP_REMOVAL_ORACLE)(
     q_dup_span_removal
 )
 
@@ -3070,6 +3075,7 @@ q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
 
 @register(
     "q_chunk_dedup",
+    scale_tier="scale",
     oracle=f"""
     WITH {_chunk_sql()},
     cd AS (
