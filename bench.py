@@ -272,6 +272,12 @@ HEADLINE = [
     # round-12: chunk-index health + serve-contract surface (the cap
     # that guards the uncapped O(N^1.5) batch class, machine-readable)
     "q_chunk_index_stats",
+    # round-12: the celled near-dup pair sweep (q_embed_neardup's
+    # shipped 100-TB swap, served from the persisted cell assignment)
+    "q_embed_neardup_celled",
+    # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
+    # a driver-side registry snapshot; timing it measures createDataFrame
+    # overhead, not the engine)
 ]
 
 # GROUND_TRUTH tier (VERDICT r9 ask #2): deliberately-quadratic exact
@@ -584,6 +590,8 @@ BASELINE_SEC = {
     "q_chunk_index_add": 2.7,
     # round-12: one pruned-column agg over the persisted chunk lists
     "q_chunk_index_stats": 1.4,
+    # round-12: within-cell pair join over the persisted assignment
+    "q_embed_neardup_celled": 0.7,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

@@ -199,6 +199,8 @@ _R8_GREEN_B: tuple[str, ...] = (
 # then the stalest r7 heads fill the window exactly.
 _R12_QUEUE: tuple[str, ...] = (
     "q_chunk_index_stats",
+    "q_serve_tiers_all",
+    "q_embed_neardup_celled",
 )
 
 # Certified round 11 (first official rows): the round-11 additions,
@@ -567,4 +569,10 @@ def _import_plans() -> None:
             # tolerate only *our own* not-yet-written plan modules
             if f"plans.{mod}" not in str(e):
                 raise
+    # post-import registrations that need the WHOLE registry in view
+    # (a module-bottom snapshot can run early: scale_suite is imported
+    # mid-streaming_suite by an oracle builder)
+    from .scale_suite import _register_tier_map
+
+    _register_tier_map()
     _resync_docs()

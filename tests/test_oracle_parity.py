@@ -236,6 +236,7 @@ _SERVE_PAIR_PREFIXES = (
     "q_segment_dedup",
     "q_dup_span_",
     "q_chunk_",
+    "q_embed_neardup",
     "q_stream_dedup",
     "q_stream_minhash_ledger",
     "q_stream_decontaminate",
@@ -245,7 +246,6 @@ _SERVE_PAIR_PREFIXES = (
     "q_stream_chunk_ingest",
 )
 _SERVE_PAIR_EXACT = (
-    "q_embed_neardup",
     "q_ngram_jaccard",
     "q_simhash_pairs",
     "q_containment_pairs",
@@ -306,3 +306,15 @@ def test_serve_pair_families_carry_scale_tier():
     assert REGISTRY["q_segment_dedup_hashed"].scale_tier == "scale"
     assert REGISTRY["q_dup_span_fraction"].scale_tier == "small-corpus"
     assert REGISTRY["q_dup_span_fraction_hashed"].scale_tier == "scale"
+    # the engine-wide map surfaces exactly the tagged registrations
+    # that existed when scale_suite (the last plan module) loaded —
+    # i.e. everything except itself
+    from mapreduce_weather_analysis_spark.plans.scale_suite import (
+        _ALL_TIER_ROWS,
+    )
+
+    assert dict(_ALL_TIER_ROWS) == {
+        n: s.scale_tier
+        for n, s in REGISTRY.items()
+        if s.scale_tier is not None and n != "q_serve_tiers_all"
+    }
