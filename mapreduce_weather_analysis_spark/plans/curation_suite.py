@@ -1455,14 +1455,15 @@ def _chunk_vecs(ch: DataFrame) -> DataFrame:
     from ..operators.ann_store import CHUNK_KEY_RADIX
 
     packed = F.when(
-        F.col("chunk_idx") < F.lit(CHUNK_KEY_RADIX),
+        (F.col("chunk_idx") >= 0)
+        & (F.col("chunk_idx") < F.lit(CHUNK_KEY_RADIX)),
         F.col("doc_id") * CHUNK_KEY_RADIX + F.col("chunk_idx"),
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
-                    "chunk_idx >= CHUNK_KEY_RADIX "
-                    f"({CHUNK_KEY_RADIX}): packed chunk key would "
+                    "chunk_idx outside [0, CHUNK_KEY_RADIX"
+                    f"={CHUNK_KEY_RADIX}): packed chunk key would "
                     "alias another document (doc_id="
                 ),
                 F.col("doc_id").cast("string"),
@@ -1482,16 +1483,21 @@ def _chunk_vecs(ch: DataFrame) -> DataFrame:
     )
 
 
-def _chunk_search_oracle() -> str:
-    from ..functions.vectors import cosine_sql
+def _chunk_ivf_ctes(query_pred: str) -> list[str]:
+    """Shared oracle CTE prefix for every chunk-index twin (search /
+    add / stats): chunk relation -> packed-key hashed featurizer (the
+    SHARED featurizer chain retargeted at the chunk relation — one
+    definition with the doc featurizer, review finding round 11) ->
+    cvec -> the unrolled Lloyd chain ending at ``fa``/``probes``. One
+    definition so a featurizer or chunking change cannot desynchronize
+    one oracle from the persisted artifact (review finding, round 12:
+    the block had been copy-pasted into three builders)."""
     from ..operators.ann_store import CHUNK_KEY_RADIX
     from ..operators.ivf import ivf_chain
     from .text_suite import _chunk_sql
 
     R = CHUNK_KEY_RADIX
     ctes = [_chunk_sql().strip()]
-    # the SHARED featurizer chain retargeted at the chunk relation (one
-    # definition with the doc featurizer — review finding, round 11)
     ctes += hashed_vec_ctes(
         term_cte=(
             f"SELECT doc_id * {R} + chunk_idx AS vec_id,\n"
@@ -1508,11 +1514,18 @@ def _chunk_search_oracle() -> str:
           FROM cv_vec
         )"""
     )
-    ctes += ivf_chain(
-        "cvec",
+    ctes += ivf_chain("cvec", query_pred, materialize=True)
+    return ctes
+
+
+def _chunk_search_oracle() -> str:
+    from ..functions.vectors import cosine_sql
+    from ..operators.ann_store import CHUNK_KEY_RADIX
+
+    R = CHUNK_KEY_RADIX
+    ctes = _chunk_ivf_ctes(
         f"(vec_id // {R}) % {_CHUNK_QUERY_DOC_MOD} = 0"
-        f" AND (vec_id // {R}) < {_CHUNK_QUERY_DOC_CAP}",
-        materialize=True,
+        f" AND (vec_id // {R}) < {_CHUNK_QUERY_DOC_CAP}"
     )
     cos = cosine_sql("probes.qv", "fa.v")
     ctes.append(
@@ -1616,29 +1629,11 @@ _CADD_OFFSET = 1_000_000  # fresh doc ids for the synthesized batch
 
 def _chunk_add_oracle() -> str:
     from ..operators.ann_store import CHUNK_KEY_RADIX
-    from ..operators.ivf import IVF_ITERS, _sq_l2_sql, ivf_chain
+    from ..operators.ivf import IVF_ITERS, _sq_l2_sql
     from .text_suite import _chunk_sql
 
     R = CHUNK_KEY_RADIX
-    term_tpl = (
-        "SELECT doc_id * {R} + chunk_idx AS vec_id,\n"
-        "       unnest(string_split(chunk_text, ' ')) AS term\n"
-        "FROM {src}"
-    )
-    ctes = [_chunk_sql().strip()]
-    ctes += hashed_vec_ctes(
-        term_cte=term_tpl.format(R=R, src="ch"),
-        key="vec_id",
-        prefix="cv_",
-        out="cv_vec",
-    )
-    ctes.append(
-        """cvec AS (
-          SELECT vec_id, list_transform(v, x -> x * 1.0) AS embedding
-          FROM cv_vec
-        )"""
-    )
-    ctes += ivf_chain("cvec", "FALSE", materialize=True)
+    ctes = _chunk_ivf_ctes("FALSE")
     cN = f"c{IVF_ITERS}"
     newsrc = (
         f"(SELECT doc_id + {_CADD_OFFSET} AS doc_id,"
@@ -1647,7 +1642,11 @@ def _chunk_add_oracle() -> str:
     )
     ctes.append(_chunk_sql(source=newsrc, prefix="n").strip())
     ctes += hashed_vec_ctes(
-        term_cte=term_tpl.format(R=R, src="nch"),
+        term_cte=(
+            f"SELECT doc_id * {R} + chunk_idx AS vec_id,\n"
+            "       unnest(string_split(chunk_text, ' ')) AS term\n"
+            "FROM nch"
+        ),
         key="vec_id",
         prefix="nv_",
         out="nv_vec",
@@ -1729,28 +1728,9 @@ def q_chunk_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _chunk_stats_oracle() -> str:
     from ..operators.ann_store import CHUNK_KEY_RADIX
-    from ..operators.ivf import ivf_chain
-    from .text_suite import _chunk_sql
 
     R = CHUNK_KEY_RADIX
-    ctes = [_chunk_sql().strip()]
-    ctes += hashed_vec_ctes(
-        term_cte=(
-            f"SELECT doc_id * {R} + chunk_idx AS vec_id,\n"
-            "       unnest(string_split(chunk_text, ' ')) AS term\n"
-            "FROM ch"
-        ),
-        key="vec_id",
-        prefix="cv_",
-        out="cv_vec",
-    )
-    ctes.append(
-        """cvec AS (
-          SELECT vec_id, list_transform(v, x -> x * 1.0) AS embedding
-          FROM cv_vec
-        )"""
-    )
-    ctes += ivf_chain("cvec", "FALSE", materialize=True)
+    ctes = _chunk_ivf_ctes("FALSE")
     from .registry import REGISTRY as _REG
 
     tier = _REG["q_chunk_search"].scale_tier

@@ -153,7 +153,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ngram_jaccard",
-    scale_tier="ground-truth",
+    # "small-corpus", not "ground-truth": the ground-truth tier contract
+    # says bench keeps those arms OFF the timed wall (q_ann_cosine_topk /
+    # q_abtt_search — deliberately-quadratic |Q|xN brute scans), but this
+    # query is a GATED headline arm (first-green 2.0 s, VERDICT r10 ask
+    # #8) and an exact posting-join algorithm, not a brute scan. Its
+    # growth term is the df-UNCAPPED inverted join (hot shingles are
+    # quadratic pair fuel — q_winnowing_pairs documents the cap that
+    # fixes this), which is exactly the small-corpus contract. Its
+    # MinHash-parity role is unchanged (test_minhash_agrees_with_exact_
+    # jaccard cross-validates the LSH arm against it).
+    scale_tier="small-corpus",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {tokens_sql('text')} AS toks

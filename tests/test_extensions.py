@@ -1576,10 +1576,10 @@ def test_chunk_index_add_assignments(spark):
 
 def test_chunk_key_packing_guard_raises_out_of_domain(spark):
     """ADVICE r11: vec_id = doc_id*RADIX + chunk_idx is injective only
-    while chunk_idx < CHUNK_KEY_RADIX; out-of-domain rows must fail
-    loudly instead of silently aliasing another document's coordinates."""
-    from pyspark.sql.utils import AnalysisException  # noqa: F401
-
+    while 0 <= chunk_idx < CHUNK_KEY_RADIX; out-of-domain rows on
+    EITHER side must fail loudly instead of silently aliasing another
+    document's coordinates (chunk_idx=-1 with doc_id=5 packs to doc 4's
+    last slot — the lower bound matters as much as the upper)."""
     from mapreduce_weather_analysis_spark.operators.ann_store import (
         CHUNK_KEY_RADIX,
     )
@@ -1593,12 +1593,13 @@ def test_chunk_key_packing_guard_raises_out_of_domain(spark):
     )
     assert _chunk_vecs(ok).count() == 2
 
-    bad = spark.createDataFrame(
-        [(1, 0, "a b"), (7, CHUNK_KEY_RADIX, "x y")],
-        "doc_id long, chunk_idx long, chunk_text string",
-    )
-    with pytest.raises(Exception, match="alias another document"):
-        _chunk_vecs(bad).count()
+    for bad_idx in (CHUNK_KEY_RADIX, -1):
+        bad = spark.createDataFrame(
+            [(1, 0, "a b"), (7, bad_idx, "x y")],
+            "doc_id long, chunk_idx long, chunk_text string",
+        )
+        with pytest.raises(Exception, match="alias another document"):
+            _chunk_vecs(bad).count()
 
 
 def test_lsh_serve_pred_brace_contract():

@@ -204,6 +204,15 @@ def test_ann_family_carries_scale_tier():
 
     for n in bench.GROUND_TRUTH:
         assert REGISTRY[n].scale_tier == "ground-truth", n
+    # ...and the inverse: the ground-truth contract says bench keeps
+    # those arms off the timed wall, so no HEADLINE query may carry the
+    # tier (review finding, round 12: q_ngram_jaccard shipped with both)
+    on_wall_gt = [
+        n
+        for n in bench.HEADLINE
+        if n in REGISTRY and REGISTRY[n].scale_tier == "ground-truth"
+    ]
+    assert not on_wall_gt, f"ground-truth tier on the timed wall: {on_wall_gt}"
     # the health surface lists exactly the tagged ann/abtt rows
     from mapreduce_weather_analysis_spark.plans.similarity_suite import (
         _TIER_ROWS,
@@ -292,11 +301,13 @@ def test_serve_pair_families_carry_scale_tier():
     assert not bad, f"unknown tiers: {bad}"
     # judge-named arms: the flat pair scan, the O(nprobe·N^1.5) batch
     # join (its IMI sibling is the scale endgame), the exact-Jaccard
-    # recall baseline, and the probe-bounded serves
+    # parity arm (small-corpus, NOT ground-truth: it is gated on the
+    # timed wall, and the ground-truth contract reserves that tier for
+    # off-wall brute scans), and the probe-bounded serves
     assert REGISTRY["q_embed_neardup"].scale_tier == "small-corpus"
     assert REGISTRY["q_knn_join"].scale_tier == "small-corpus"
     assert REGISTRY["q_knn_join_imi"].scale_tier == "scale"
-    assert REGISTRY["q_ngram_jaccard"].scale_tier == "ground-truth"
+    assert REGISTRY["q_ngram_jaccard"].scale_tier == "small-corpus"
     assert REGISTRY["q_semdedup"].scale_tier == "scale"
     assert REGISTRY["q_chunk_search"].scale_tier == "scale"
     assert REGISTRY["q_dedup_lsh_persisted"].scale_tier == "scale"
