@@ -275,6 +275,9 @@ HEADLINE = [
     # round-12: the celled near-dup pair sweep (q_embed_neardup's
     # shipped 100-TB swap, served from the persisted cell assignment)
     "q_embed_neardup_celled",
+    # round-12: semantic decontamination (tombstone-filtered serve over
+    # the standing docvec index; eval split is the bounded query batch)
+    "q_decontaminate_semantic",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -592,6 +595,8 @@ BASELINE_SEC = {
     "q_chunk_index_stats": 1.4,
     # round-12: within-cell pair join over the persisted assignment
     "q_embed_neardup_celled": 0.7,
+    # round-12: eval-batch tombstone-filtered serve over the docvec index
+    "q_decontaminate_semantic": 1.7,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

@@ -1429,6 +1429,129 @@ def q_semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_vectors(spark, path, qv)
 
 
+# --- Semantic decontamination over the standing doc-vector index ------------
+
+# Flag threshold, fixture-calibrated: the planted cross-split near-dup
+# scores 0.993 in hashed-count-vector cosine at sf0.01 while the
+# background nearest-train-neighbor distribution tops out at 0.937
+# (p50 0.894) — 0.97 sits in the gap. Production pipelines calibrate
+# the same way: against the observed background NN-cosine distribution.
+_SEMDECON_TAU = 0.97
+# Eval batch bound — the q_chunk_search cap convention applied here: a
+# real benchmark suite is FIXED-size (MBs at any corpus scale), but the
+# fixture's modular eval split grows with the corpus, which would turn
+# the measured scale ratio into corpus-proportional batch-join growth
+# instead of the per-eval-doc serve cost. Every doc id at the driver's
+# correctness SFs (sf0.001: 50, sf0.01: 500) sits under the cap, so the
+# oracle-checked results are unchanged; at sf0.1+ the batch is bounded
+# at ~109 eval docs (the fixed-benchmark posture the bench number and
+# the 10x/100x ratios should reflect).
+_SEMDECON_EVAL_CAP = 2_500
+
+
+def _semantic_decon_oracle() -> str:
+    from ..functions.vectors import cosine_sql
+    from ..operators.ivf import ivf_chain
+    from .dedup_suite import _DECON_EVAL
+
+    ctes = hashed_vec_ctes()
+    ctes.append(
+        """dv AS (
+          SELECT doc_id AS vec_id,
+                 list_transform(v, x -> x * 1.0) AS embedding
+          FROM vec
+        )"""
+    )
+    ctes += ivf_chain(
+        "dv",
+        f"vec_id % {_DECON_EVAL} = 0 AND vec_id < {_SEMDECON_EVAL_CAP}",
+        materialize=True,
+    )
+    cos = cosine_sql("probes.qv", "fa.v")
+    ctes.append(
+        f"""scored AS (
+          SELECT DISTINCT probes.query_id, fa.vec_id AS neighbor_id,
+                 {cos} AS cosine
+          FROM probes JOIN fa ON probes.cluster = fa.cluster
+          WHERE fa.vec_id % {_DECON_EVAL} <> 0
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT query_id AS eval_doc, neighbor_id AS train_doc, cosine,
+           cosine >= {_SEMDECON_TAU} AS contaminated
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 1
+    """
+    )
+
+
+@register(
+    "q_decontaminate_semantic",
+    scale_tier="scale",
+    oracle=_semantic_decon_oracle(),
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the paraphrase-robust complement to
+    n-gram decontamination (q_decontaminate / q_decontaminate_bloom
+    catch verbatim shingle overlap; a reworded benchmark item shares no
+    13-gram but sits next to its source in embedding space, which is
+    why current pretraining hygiene adds an embedding-similarity pass
+    over the n-gram one). For every held-out eval doc (the same
+    doc_id % 23 == 0 split the n-gram arms use): its nearest TRAIN
+    document by hashed-doc-vector cosine and a `contaminated` flag at
+    the calibrated threshold. One row per eval doc — the report a
+    benchmark owner reads, not just the flagged subset.
+
+    Scale shape: the serve side of the STANDING docvec index
+    (docvec_write — the artifact q_semantic_doc_search already
+    maintains; build marker-amortized). The eval split is the bounded
+    query batch — benchmarks are MB-sized at any corpus scale, and
+    because the FIXTURE's modular split grows with the corpus, the
+    batch is explicitly capped (_SEMDECON_EVAL_CAP, the q_chunk_search
+    convention; inactive at the driver's correctness SFs). The eval
+    ids are masked from candidates PRE-ranking via the index's
+    tombstone path (search_vectors' delete mask — a broadcast
+    anti-join; the mask is deliberately UNcapped so capped-out eval
+    docs can't leak back as "train" matches), so the top-1 backfills
+    from train docs instead of coming back short: decontamination is
+    literally a filtered serve over the same artifact, no second
+    corpus pass. The oracle recomputes featurizer + Lloyd chain and
+    applies the identical pre-ranking exclusion in SQL."""
+    from ..operators.ann_store import docvec_write, search_vectors
+    from .dedup_suite import _DECON_EVAL
+
+    term_rows = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    vecs = hashed_count_vectors(term_rows).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    path = docvec_write(spark, sf_dir, vecs)
+    is_eval = F.col("vec_id") % _DECON_EVAL == 0
+    # the query batch is capped (fixed-benchmark posture); the tombstone
+    # mask is NOT — every eval doc must be excluded from candidates, or
+    # capped-out eval docs would leak back in as "nearest train docs"
+    qv = vecs.where(is_eval & (F.col("vec_id") < _SEMDECON_EVAL_CAP)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    tomb = vecs.where(is_eval).select("vec_id")
+    out = search_vectors(spark, path, qv, k_neighbors=1, tombstones=tomb)
+    return out.select(
+        F.col("query_id").alias("eval_doc"),
+        F.col("neighbor_id").alias("train_doc"),
+        "cosine",
+        (F.col("cosine") >= _SEMDECON_TAU).alias("contaminated"),
+    )
+
+
 # --- Chunk-level semantic retrieval over a persisted chunk-vector index -----
 
 _CHUNK_QUERY_DOC_MOD = 50  # chunks of docs with doc_id % 50 == 0 are queries

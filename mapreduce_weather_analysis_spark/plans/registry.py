@@ -201,6 +201,7 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_chunk_index_stats",
     "q_serve_tiers_all",
     "q_embed_neardup_celled",
+    "q_decontaminate_semantic",
 )
 
 # Certified round 11 (first official rows): the round-11 additions,

@@ -85,6 +85,10 @@ QUERIES = [
     "q_chunk_search",
     "q_dedup_lsh_persisted",
     "q_chunk_index_add",
+    # round-12: chunk-index health surface, celled near-dup pair sweep
+    "q_chunk_index_stats",
+    "q_embed_neardup_celled",
+    "q_decontaminate_semantic",
 ]
 
 

@@ -1638,3 +1638,31 @@ def test_neardup_celled_subset_and_planted_recall(spark):
     planted = max(exact, key=exact.get)
     assert exact[planted] > 0.5, "fixture lost its planted pair"
     assert planted in celled, "celled arm missed the planted pair"
+
+
+def test_semantic_decon_flags_planted_crosssplit_pair(spark):
+    """Semantic decontamination (round 12): one report row per eval doc
+    (never just the flagged subset), the flag is exactly cosine >= tau,
+    and at the driver SF the planted cross-split near-dup is flagged
+    while the background nearest-neighbor mass (p90 ~0.93) is not —
+    the calibration the threshold docstring claims."""
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _SEMDECON_TAU,
+    )
+    from mapreduce_weather_analysis_spark.plans.dedup_suite import _DECON_EVAL
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    rows = _run(spark, "q_decontaminate_semantic", sf=ORACLE_SF).collect()
+    n_eval = (
+        load_table(spark, ORACLE_SF, "documents")
+        .where(f"doc_id % {_DECON_EVAL} = 0")
+        .count()
+    )
+    assert len(rows) == n_eval, "report must cover every eval doc"
+    assert len({r.eval_doc for r in rows}) == n_eval
+    for r in rows:
+        assert r.contaminated == (r.cosine >= _SEMDECON_TAU)
+        assert r.train_doc % _DECON_EVAL != 0, "eval doc served as candidate"
+    flagged = [r for r in rows if r.contaminated]
+    assert len(flagged) >= 1, "planted cross-split pair not flagged"
+    assert max(r.cosine for r in rows) == max(r.cosine for r in flagged)
