@@ -278,6 +278,9 @@ HEADLINE = [
     # round-12: semantic decontamination (tombstone-filtered serve over
     # the standing docvec index; eval split is the bounded query batch)
     "q_decontaminate_semantic",
+    # round-12: the ingest-side semantic gate (stream-static broadcast
+    # join against the capped eval benchmark vectors, per-row featurizer)
+    "q_stream_decontaminate_semantic",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -597,6 +600,8 @@ BASELINE_SEC = {
     "q_embed_neardup_celled": 0.7,
     # round-12: eval-batch tombstone-filtered serve over the docvec index
     "q_decontaminate_semantic": 1.7,
+    # round-12: ingest-side semantic gate (stream wall; drain gated below)
+    "q_stream_decontaminate_semantic": 10.1,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT
@@ -619,6 +624,9 @@ STREAM_DRAIN_SEC = {
     "q_stream_minhash_ledger": 12.2,
     "q_stream_decontaminate": 6.7,
     "q_stream_stream_join": 8.2,
+    # round-12: per-row featurize (1 md5/token) + |eval|-way broadcast
+    # fanout — the same stream+hash class as q_stream_decontaminate
+    "q_stream_decontaminate_semantic": 7.8,
 }
 
 

@@ -41,3 +41,31 @@ def norm_sql(a: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"{dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)})"
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` for a KNOWN fixed dimension, unrolled into a flat
+    left-associated sum: ``0.0 + a[1]*b[1] + ... + a[dim]*b[dim]``.
+
+    Bit-identical to :func:`dot` (the ``aggregate`` fold evaluates the
+    same IEEE additions in the same index order from the same 0.0
+    seed) — but ``aggregate``/``zip_with`` are INTERPRETED higher-order
+    expressions evaluated per element, while this is a plain arithmetic
+    expression whole-stage codegen compiles: on a 545k-pair
+    stream-static join at dim 64 the fold cost ~9 s of drain, the
+    unrolled form pennies (the q_embed_neardup round-11 lesson — the
+    interpreted fold is the slow path — without leaving JVM
+    expressions). Use when dim is a compile-time constant and the pair
+    count is large; keep :func:`dot` for dynamic dims."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
+def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """:func:`cosine` built from :func:`dot_unrolled` — bit-identical
+    scores, codegen-compiled."""
+    return dot_unrolled(a, b, dim) / (
+        F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
+    )

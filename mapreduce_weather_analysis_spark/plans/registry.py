@@ -202,6 +202,7 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_serve_tiers_all",
     "q_embed_neardup_celled",
     "q_decontaminate_semantic",
+    "q_stream_decontaminate_semantic",
 )
 
 # Certified round 11 (first official rows): the round-11 additions,

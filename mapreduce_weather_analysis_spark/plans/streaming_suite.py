@@ -1306,3 +1306,156 @@ def q_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_documents_stream(spark, sf_dir)
     chunks = chunk_relation(docs)
     return run_available_now(chunks, spark, mode="append")
+
+
+# --- Semantic decontamination at ingest (round 12) ---------------------------
+
+
+def _stream_semdecon_oracle() -> str:
+    from ..functions.compat import dround_sql
+    from ..functions.vectors import cosine_sql
+    from .curation_suite import _SEMDECON_EVAL_CAP, _SEMDECON_TAU, hashed_vec_ctes
+    from .dedup_suite import _DECON_EVAL
+
+    cos = cosine_sql(
+        "list_transform(tr.v, x -> x * 1.0)",
+        "list_transform(ev.v, x -> x * 1.0)",
+    )
+    return (
+        "WITH "
+        + ",\n".join(hashed_vec_ctes())
+        + f""",
+    tr AS (SELECT doc_id, v FROM vec WHERE doc_id % {_DECON_EVAL} <> 0),
+    ev AS (SELECT doc_id, v FROM vec
+           WHERE doc_id % {_DECON_EVAL} = 0
+             AND doc_id < {_SEMDECON_EVAL_CAP}),
+    scored AS (
+      SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+             {cos} AS cosine
+      FROM tr, ev
+    )
+    SELECT train_doc, eval_doc, {dround_sql('cosine', 9)} AS cosine,
+           {dround_sql('cosine', 9)} >= {_SEMDECON_TAU} AS contaminated
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY train_doc ORDER BY cosine DESC, eval_doc ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 1
+    """
+    )
+
+
+@register(
+    "q_stream_decontaminate_semantic",
+    scale_tier="scale",
+    oracle=_stream_semdecon_oracle(),
+)
+def q_stream_decontaminate_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination AT INGEST — the paraphrase-robust twin
+    of q_stream_decontaminate's shingle firewall, and the streaming
+    direction of q_decontaminate_semantic's batch report: every
+    ARRIVING train document is featurized per row (hashing-trick bucket
+    counts as a pure JVM array expression — no agg, so zero streaming
+    state) and scored against the BROADCAST eval benchmark vectors
+    (built batch-side from the same capped eval split, the
+    once-per-benchmark-release artifact); its nearest eval doc and a
+    calibrated `contaminated` flag emit before the row ever lands.
+    Stream-static broadcast join, append drain; the per-train top-1
+    rank runs batch-side on the drained candidates (ranking needs all
+    of a doc's |eval| scores — exactly what the drain provides).
+
+    Scale shape: per arriving doc the work is |eval| cosines against a
+    broadcast relation that is benchmark-sized (capped — MBs at any
+    corpus scale), so the gate's cost tracks the INGEST rate, never the
+    corpus. Determinism: per-row bucket counts are exact integers equal
+    to the batch featurizer's hash-agg counts (same portable hash, same
+    bucket arithmetic), and the cosine is the sequential-fold pair both
+    engines share, dround(9)-pinned at the emit boundary so the flag
+    comparison reads a stable value. The oracle computes the identical
+    relation batch-side: provable batch/stream equivalence."""
+    from pyspark.sql import Window as W
+
+    from ..functions.compat import dround, portable_hash32
+    from ..functions.text import tokens
+    from ..functions.vectors import cosine_unrolled
+    from .curation_suite import (
+        _FEAT_DIM,
+        _SEMDECON_EVAL_CAP,
+        _SEMDECON_TAU,
+        hashed_count_vectors,
+    )
+    from .dedup_suite import _DECON_EVAL
+    from .registry import t
+
+    # batch-side benchmark artifact: capped eval split -> hashed vectors
+    ev_terms = (
+        t(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") % _DECON_EVAL == 0)
+            & (F.col("doc_id") < _SEMDECON_EVAL_CAP)
+        )
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+    )
+    evals = hashed_count_vectors(ev_terms).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("ev_v"),
+    )
+
+    # per-row featurizer: identical integer bucket counts to the batch
+    # hash-agg, as stateless array expressions in TWO projections with
+    # exchange barriers. The barriers matter more than the expression
+    # form here: whole-stage codegen inlines unmaterialized projections
+    # into their consumer and re-evaluates them per consumer ROW — the
+    # one-projection draft recomputed every md5 64x per row (slot-by-
+    # slot filter/count: 22 s drain at sf0.1), a single-barrier fold
+    # still paid a 64-wide array rewrite per token (9.8 s). Split form:
+    # hash each token exactly ONCE (md5 is the only expensive kernel),
+    # materialize the small int bucket array through an exchange, then
+    # slot-count over it (64 cheap integer passes) and materialize the
+    # vector before the join so the |eval|-way fanout reads it instead
+    # of recomputing it.
+    toks = tokens("text")
+    buckets = F.transform(toks, lambda s: portable_hash32(s) % _FEAT_DIM)
+    v_of_b = F.transform(
+        F.sequence(F.lit(0), F.lit(_FEAT_DIM - 1)),
+        lambda i: F.size(
+            F.filter(F.col("b"), lambda b: b == i.cast("bigint"))
+        )
+        * F.lit(1.0),
+    )
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % _DECON_EVAL != 0)
+        .where(F.size(toks) > 0)  # batch featurizer drops token-less docs
+        .select(F.col("doc_id").alias("train_doc"), buckets.alias("b"))
+        .repartition(F.col("train_doc"))  # materialize the hashed buckets
+        .select("train_doc", v_of_b.alias("tr_v"))
+        .repartition(F.col("train_doc"))  # materialize the count vector
+    )
+    cand = stream.join(F.broadcast(evals), F.lit(True), "inner").select(
+        "train_doc",
+        "eval_doc",
+        # unrolled: bit-identical to the aggregate fold, but codegen-
+        # compiled — the interpreted fold cost ~9 s of drain on the
+        # 545k-pair fanout at sf0.1 (the q_embed_neardup class)
+        dround(
+            cosine_unrolled(F.col("tr_v"), F.col("ev_v"), _FEAT_DIM), 9
+        ).alias("cosine"),
+    )
+    drained = run_available_now(cand, spark, mode="append")
+    w = W.partitionBy("train_doc").orderBy(
+        F.desc("cosine"), F.asc("eval_doc")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .select(
+            "train_doc",
+            "eval_doc",
+            "cosine",
+            (F.col("cosine") >= _SEMDECON_TAU).alias("contaminated"),
+        )
+    )

@@ -1666,3 +1666,63 @@ def test_semantic_decon_flags_planted_crosssplit_pair(spark):
     flagged = [r for r in rows if r.contaminated]
     assert len(flagged) >= 1, "planted cross-split pair not flagged"
     assert max(r.cosine for r in rows) == max(r.cosine for r in flagged)
+
+
+def test_stream_semdecon_agrees_with_batch_direction(spark):
+    """The ingest gate (train->nearest-eval) must flag every train doc
+    the batch report (eval->nearest-train) implicates: if the batch
+    flags (e, t) then cos(t, nearest-eval(t)) >= cos(t, e) >= tau, so t
+    must carry the stream flag too. Also: one report row per
+    token-bearing non-eval doc, flag == threshold."""
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _SEMDECON_TAU,
+    )
+
+    batch = _run(spark, "q_decontaminate_semantic", sf=ORACLE_SF).collect()
+    stream = _run(
+        spark, "q_stream_decontaminate_semantic", sf=ORACLE_SF
+    ).collect()
+    batch_train_flagged = {r.train_doc for r in batch if r.contaminated}
+    stream_train_flagged = {r.train_doc for r in stream if r.contaminated}
+    assert batch_train_flagged, "fixture lost its planted pair"
+    assert batch_train_flagged <= stream_train_flagged
+    assert len({r.train_doc for r in stream}) == len(stream)
+    for r in stream:
+        assert r.contaminated == (r.cosine >= _SEMDECON_TAU)
+        assert r.train_doc % 23 != 0 and r.eval_doc % 23 == 0
+
+
+def test_cosine_unrolled_bit_identical_to_fold(spark):
+    """functions/vectors.dot_unrolled's contract: the flat left-
+    associated sum evaluates the SAME IEEE additions in the SAME index
+    order as the aggregate fold, so cosine scores are bit-identical —
+    the property that lets the stream gate swap the interpreted fold
+    for the codegen expression without touching its oracle."""
+    from pyspark.sql import functions as F2
+
+    from mapreduce_weather_analysis_spark.functions.vectors import (
+        cosine,
+        cosine_unrolled,
+    )
+
+    e = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    pairs = (
+        e.select(F2.col("vec_id").alias("a_id"), F2.col("embedding").cast("array<double>").alias("a"))
+        .crossJoin(
+            F2.broadcast(
+                e.select(
+                    F2.col("vec_id").alias("b_id"),
+                    F2.col("embedding").cast("array<double>").alias("b"),
+                ).limit(5)
+            )
+        )
+        .select(
+            cosine(F2.col("a"), F2.col("b")).alias("fold"),
+            cosine_unrolled(F2.col("a"), F2.col("b"), 64).alias("flat"),
+        )
+    )
+    bad = pairs.where(
+        ~(F2.col("fold") == F2.col("flat"))
+        & ~(F2.isnan("fold") & F2.isnan("flat"))
+    ).count()
+    assert bad == 0
