@@ -1355,8 +1355,14 @@ q_cm_sketch_freq.__doc__ = q_cm_sketch_freq.__doc__.format(
 _SEM_QUERY_FILTER = "vec_id % 100 = 0"
 
 
-def _semantic_search_oracle() -> str:
-    from ..functions.vectors import cosine_sql
+def _docvec_ivf_ctes(query_pred: str) -> list[str]:
+    """Shared oracle CTE prefix for every DOC-vector-index twin
+    (semantic search / semantic decontamination): featurizer -> dv ->
+    the unrolled Lloyd chain ending at ``fa``/``probes`` — the
+    _chunk_ivf_ctes pattern for the docvec artifact, one definition so
+    a featurizer or chain change cannot desynchronize one oracle from
+    the persisted index both queries serve from (review finding,
+    round 12)."""
     from ..operators.ivf import ivf_chain
 
     ctes = hashed_vec_ctes()
@@ -1367,7 +1373,30 @@ def _semantic_search_oracle() -> str:
           FROM vec
         )"""
     )
-    ctes += ivf_chain("dv", _SEM_QUERY_FILTER, materialize=True)
+    ctes += ivf_chain("dv", query_pred, materialize=True)
+    return ctes
+
+
+def _docvec_build(spark: SparkSession, sf_dir: str):
+    """Engine-side twin of :func:`_docvec_ivf_ctes`'s featurizer half:
+    the (persisted index path, full docvec relation) every doc-vector
+    query starts from. One definition with the oracle helper's inputs."""
+    from ..operators.ann_store import docvec_write
+
+    term_rows = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    vecs = hashed_count_vectors(term_rows).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    return docvec_write(spark, sf_dir, vecs), vecs
+
+
+def _semantic_search_oracle() -> str:
+    from ..functions.vectors import cosine_sql
+
+    ctes = _docvec_ivf_ctes(_SEM_QUERY_FILTER)
     cos = cosine_sql("probes.qv", "fa.v")
     ctes.append(
         f"""scored AS (
@@ -1412,16 +1441,9 @@ def q_semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recomputes the identical index + search — bit-exact through
     integer count vectors, decimal-exact centroid means, and
     order-identical cosine folds."""
-    from ..operators.ann_store import docvec_write, search_vectors
+    from ..operators.ann_store import search_vectors
 
-    term_rows = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    )
-    vecs = hashed_count_vectors(term_rows).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("embedding"),
-    )
-    path = docvec_write(spark, sf_dir, vecs)
+    path, vecs = _docvec_build(spark, sf_dir)
     qv = vecs.where(F.expr(_SEM_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -1451,21 +1473,10 @@ _SEMDECON_EVAL_CAP = 2_500
 
 def _semantic_decon_oracle() -> str:
     from ..functions.vectors import cosine_sql
-    from ..operators.ivf import ivf_chain
     from .dedup_suite import _DECON_EVAL
 
-    ctes = hashed_vec_ctes()
-    ctes.append(
-        """dv AS (
-          SELECT doc_id AS vec_id,
-                 list_transform(v, x -> x * 1.0) AS embedding
-          FROM vec
-        )"""
-    )
-    ctes += ivf_chain(
-        "dv",
-        f"vec_id % {_DECON_EVAL} = 0 AND vec_id < {_SEMDECON_EVAL_CAP}",
-        materialize=True,
+    ctes = _docvec_ivf_ctes(
+        f"vec_id % {_DECON_EVAL} = 0 AND vec_id < {_SEMDECON_EVAL_CAP}"
     )
     cos = cosine_sql("probes.qv", "fa.v")
     ctes.append(
@@ -1524,25 +1535,26 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     literally a filtered serve over the same artifact, no second
     corpus pass. The oracle recomputes featurizer + Lloyd chain and
     applies the identical pre-ranking exclusion in SQL."""
-    from ..operators.ann_store import docvec_write, search_vectors
+    from ..operators.ann_store import search_vectors
     from .dedup_suite import _DECON_EVAL
 
-    term_rows = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    )
-    vecs = hashed_count_vectors(term_rows).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("embedding"),
-    )
-    path = docvec_write(spark, sf_dir, vecs)
+    path, vecs = _docvec_build(spark, sf_dir)
     is_eval = F.col("vec_id") % _DECON_EVAL == 0
     # the query batch is capped (fixed-benchmark posture); the tombstone
     # mask is NOT — every eval doc must be excluded from candidates, or
-    # capped-out eval docs would leak back in as "nearest train docs"
+    # capped-out eval docs would leak back in as "nearest train docs".
+    # The mask needs only IDS, so it comes from a one-column documents
+    # scan, not the featurizer lineage (which would re-tokenize and
+    # re-hash every eval doc per serve — review finding, round 12); ids
+    # of token-less docs are harmless extras, absent from the index.
     qv = vecs.where(is_eval & (F.col("vec_id") < _SEMDECON_EVAL_CAP)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    tomb = vecs.where(is_eval).select("vec_id")
+    tomb = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vec_id"))
+        .where(is_eval)
+    )
     out = search_vectors(spark, path, qv, k_neighbors=1, tombstones=tomb)
     return out.select(
         F.col("query_id").alias("eval_doc"),

@@ -1321,6 +1321,10 @@ def _stream_semdecon_oracle() -> str:
         "list_transform(tr.v, x -> x * 1.0)",
         "list_transform(ev.v, x -> x * 1.0)",
     )
+    # scored emits the dround(9)-PINNED cosine and the window ranks that
+    # same value — the engine ranks the rounded column it drains, so an
+    # oracle ranking the raw value could pick a different nearest eval
+    # on a past-the-9th-decimal near-tie (review finding, round 12)
     return (
         "WITH "
         + ",\n".join(hashed_vec_ctes())
@@ -1331,11 +1335,11 @@ def _stream_semdecon_oracle() -> str:
              AND doc_id < {_SEMDECON_EVAL_CAP}),
     scored AS (
       SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
-             {cos} AS cosine
+             {dround_sql(cos, 9)} AS cosine
       FROM tr, ev
     )
-    SELECT train_doc, eval_doc, {dround_sql('cosine', 9)} AS cosine,
-           {dround_sql('cosine', 9)} >= {_SEMDECON_TAU} AS contaminated
+    SELECT train_doc, eval_doc, cosine,
+           cosine >= {_SEMDECON_TAU} AS contaminated
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY train_doc ORDER BY cosine DESC, eval_doc ASC
@@ -1380,7 +1384,7 @@ def q_stream_decontaminate_semantic(
 
     from ..functions.compat import dround, portable_hash32
     from ..functions.text import tokens
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import dot_unrolled
     from .curation_suite import (
         _FEAT_DIM,
         _SEMDECON_EVAL_CAP,
@@ -1399,9 +1403,21 @@ def q_stream_decontaminate_semantic(
         )
         .select("doc_id", F.explode(tokens("text")).alias("term"))
     )
+
     evals = hashed_count_vectors(ev_terms).select(
         F.col("doc_id").alias("eval_doc"),
         F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("ev_v"),
+    )
+    # norms precomputed per SIDE: each is constant across the fanout
+    # (ev_n once per eval doc at build; tr_n once per arriving doc),
+    # so the per-pair arithmetic is one dot instead of three — same
+    # expression, same bits (review finding, round 12)
+    evals = evals.select(
+        "eval_doc",
+        "ev_v",
+        F.sqrt(dot_unrolled(F.col("ev_v"), F.col("ev_v"), _FEAT_DIM)).alias(
+            "ev_n"
+        ),
     )
 
     # per-row featurizer: identical integer bucket counts to the batch
@@ -1433,16 +1449,26 @@ def q_stream_decontaminate_semantic(
         .select(F.col("doc_id").alias("train_doc"), buckets.alias("b"))
         .repartition(F.col("train_doc"))  # materialize the hashed buckets
         .select("train_doc", v_of_b.alias("tr_v"))
-        .repartition(F.col("train_doc"))  # materialize the count vector
+        .select(
+            "train_doc",
+            "tr_v",
+            F.sqrt(
+                dot_unrolled(F.col("tr_v"), F.col("tr_v"), _FEAT_DIM)
+            ).alias("tr_n"),
+        )
+        .repartition(F.col("train_doc"))  # materialize vector + norm
     )
     cand = stream.join(F.broadcast(evals), F.lit(True), "inner").select(
         "train_doc",
         "eval_doc",
         # unrolled: bit-identical to the aggregate fold, but codegen-
         # compiled — the interpreted fold cost ~9 s of drain on the
-        # 545k-pair fanout at sf0.1 (the q_embed_neardup class)
+        # 545k-pair fanout at sf0.1 (the q_embed_neardup class); norms
+        # come precomputed from each side, so the fanout pays one dot
         dround(
-            cosine_unrolled(F.col("tr_v"), F.col("ev_v"), _FEAT_DIM), 9
+            dot_unrolled(F.col("tr_v"), F.col("ev_v"), _FEAT_DIM)
+            / (F.col("tr_n") * F.col("ev_n")),
+            9,
         ).alias("cosine"),
     )
     drained = run_available_now(cand, spark, mode="append")

@@ -1674,9 +1674,14 @@ def test_stream_semdecon_agrees_with_batch_direction(spark):
     flags (e, t) then cos(t, nearest-eval(t)) >= cos(t, e) >= tau, so t
     must carry the stream flag too. Also: one report row per
     token-bearing non-eval doc, flag == threshold."""
+    from pyspark.sql import functions as F2
+
+    from mapreduce_weather_analysis_spark.functions.text import tokens
     from mapreduce_weather_analysis_spark.plans.curation_suite import (
         _SEMDECON_TAU,
     )
+    from mapreduce_weather_analysis_spark.plans.dedup_suite import _DECON_EVAL
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
 
     batch = _run(spark, "q_decontaminate_semantic", sf=ORACLE_SF).collect()
     stream = _run(
@@ -1686,10 +1691,20 @@ def test_stream_semdecon_agrees_with_batch_direction(spark):
     stream_train_flagged = {r.train_doc for r in stream if r.contaminated}
     assert batch_train_flagged, "fixture lost its planted pair"
     assert batch_train_flagged <= stream_train_flagged
-    assert len({r.train_doc for r in stream}) == len(stream)
+    # full coverage: exactly one row per token-bearing non-eval doc
+    n_gated = (
+        load_table(spark, ORACLE_SF, "documents")
+        .where(
+            (F2.col("doc_id") % _DECON_EVAL != 0)
+            & (F2.size(tokens("text")) > 0)
+        )
+        .count()
+    )
+    assert len({r.train_doc for r in stream}) == len(stream) == n_gated
     for r in stream:
         assert r.contaminated == (r.cosine >= _SEMDECON_TAU)
-        assert r.train_doc % 23 != 0 and r.eval_doc % 23 == 0
+        assert r.train_doc % _DECON_EVAL != 0
+        assert r.eval_doc % _DECON_EVAL == 0
 
 
 def test_cosine_unrolled_bit_identical_to_fold(spark):
