@@ -189,3 +189,45 @@ def test_constant_change_rekeys_every_store(tmp_path, monkeypatch):
     assert moved == set(before), (
         f"constant change did not re-key: {set(before) - moved}"
     )
+
+
+def test_unchanged_fixture_never_rebuilds(spark, tmp_path):
+    """The cost half of the idempotence contract: with the fixture
+    untouched, a second write call must be a pure marker hit — same
+    path AND no artifact file rewritten (mtimes frozen). A rebuild-on-
+    warm regression would silently multiply every serve's cost by the
+    build and never fail a correctness check."""
+    import time
+
+    from mapreduce_weather_analysis_spark.operators.ann_store import (
+        ivfpq_write,
+    )
+    from mapreduce_weather_analysis_spark.operators.lexical_store import (
+        lexical_write,
+    )
+    from mapreduce_weather_analysis_spark.operators.lsh_store import lsh_write
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    sf = _copy_fixture(tmp_path)
+    docs = load_table(spark, sf, "documents")
+    paths = {
+        "lsh": lsh_write(spark, sf, docs),
+        "lex": lexical_write(spark, sf),
+        "ivfpq": ivfpq_write(spark, sf),
+    }
+
+    def _snapshot(root: str) -> dict[str, int]:
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = {k: _snapshot(p) for k, p in paths.items()}
+    time.sleep(0.01)  # any rewrite lands a strictly newer mtime
+    assert lsh_write(spark, sf, docs) == paths["lsh"]
+    assert lexical_write(spark, sf) == paths["lex"]
+    assert ivfpq_write(spark, sf) == paths["ivfpq"]
+    for k, p in paths.items():
+        assert _snapshot(p) == before[k], f"{k} artifact rewritten on warm call"
