@@ -105,3 +105,40 @@ def test_readme_no_inline_query_counts_outside_block():
         "inline query-count literals outside the enforced block "
         f"(cite 'By the numbers' or BENCH_r{{N}}.json instead): {offenders}"
     )
+
+
+def test_baseline_md_master_table_matches_bench():
+    """BASELINE.md's master table (the operative per-query numbers) must
+    stay byte-consistent with bench.BASELINE_SEC / STREAM_DRAIN_SEC —
+    the same drift-to-test conversion the README counts got, applied to
+    the gate's numbers (round-13 candidate #5, landed round 12)."""
+    import re
+
+    import bench
+
+    text = (REPO / "BASELINE.md").read_text()
+    block = re.search(
+        r"## Master baseline table \(generated, test-pinned\)\n(.*?)(?:\n## |\Z)",
+        text,
+        re.S,
+    )
+    assert block, "BASELINE.md must keep the master baseline table"
+    rows = {}
+    for m in re.finditer(
+        r"^\| (q_\w+) \| ([0-9.]*) \| ([0-9.]*) \|$", block.group(1), re.M
+    ):
+        rows[m.group(1)] = (
+            float(m.group(2)) if m.group(2) else None,
+            float(m.group(3)) if m.group(3) else None,
+        )
+    want = {
+        n: (bench.BASELINE_SEC.get(n), bench.STREAM_DRAIN_SEC.get(n))
+        for n in set(bench.BASELINE_SEC) | set(bench.STREAM_DRAIN_SEC)
+    }
+    assert rows == want, {
+        "missing": sorted(set(want) - set(rows)),
+        "stale": sorted(set(rows) - set(want)),
+        "diff": sorted(
+            n for n in set(rows) & set(want) if rows[n] != want[n]
+        ),
+    }
