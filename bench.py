@@ -855,7 +855,11 @@ def main() -> None:
     # what answers the narrowing's objection: a transient hiccup loses
     # the vote 2:1, while a real plan regression reproduces in both
     # retime calls and still fails.
-    over: dict[str, tuple[float, float, float, str]] = {}
+    # Keyed by (query, kind) — ADVICE r12: a single-name key meant that
+    # once one kind failed, a coexisting breach of the OTHER kind on the
+    # same query was never adjudicated, so the failure record
+    # under-reported the second regression.
+    over: dict[tuple[str, str], tuple[float, float, float]] = {}
     if sf == 0.1:
 
         def _vote(n: str, rec: tuple[float, float, float, str]) -> None:
@@ -892,7 +896,7 @@ def main() -> None:
                 file=sys.stderr,
             )
             if med > bound:
-                over[n] = (med, base, bound, kind)
+                over[(n, kind)] = (med, base, bound)
 
         first_over = _breaches(timings)
         control_drift = _control_drift(controls_first, controls_last)
@@ -921,7 +925,7 @@ def main() -> None:
             fresh = {
                 n: rec
                 for n, rec in _breaches(timings).items()
-                if n not in over and (n, rec[3]) not in adjudicated
+                if (n, rec[3]) not in adjudicated
             }
             if not fresh:
                 break
@@ -937,6 +941,41 @@ def main() -> None:
             total = round(sum(timings.values()), 3)
             full_record["value"] = total
             full_record["retimed"] = sorted(retimed)
+
+    # Per-query ratio map vs the gated baselines, so a judge can recompute
+    # worst-ratio independently (VERDICT r12 ask #8: the driver's bounded
+    # tail truncates the one-line full record, which forced the r12 verdict
+    # to lean on sealed prose for the worst per-query ratio). Stream
+    # queries report their gated DRAIN ratio (plus the 3x wall backstop
+    # ratio when a wall baseline exists); everything else reports wall/base.
+    ratios: dict[str, float] = {}
+    for n, t in timings.items():
+        if n in STREAM_DRAIN_SEC and n in STREAM_SPLIT:
+            ratios[n + ":drain"] = round(
+                STREAM_SPLIT[n]["drain_s"] / STREAM_DRAIN_SEC[n], 3
+            )
+            if n in BASELINE_SEC:
+                ratios[n + ":wall"] = round(t / BASELINE_SEC[n], 3)
+        elif n in BASELINE_SEC:
+            ratios[n] = round(t / BASELINE_SEC[n], 3)
+    full_record["ratios"] = ratios
+    if ratios:
+        worst = max(ratios, key=ratios.get)
+        full_record["worst_ratio"] = {"query": worst, "ratio": ratios[worst]}
+    full_record["gate_failures"] = [
+        {"query": n, "kind": kind, "median": t, "baseline": base,
+         "bound": bound}
+        for (n, kind), (t, base, bound) in sorted(over.items())
+    ]
+    # First-class artifact: the complete record as a JSON FILE next to
+    # bench.py — it survives regardless of how much stdout the driver
+    # keeps. The stdout prints below are unchanged for the driver contract.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full_record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
     # Full record first (complete per-query map for humans/scripts)...
     print(json.dumps(full_record))
@@ -978,7 +1017,7 @@ def main() -> None:
         sys.exit(1)
 
     if over:
-        for n, (t, base, bound, kind) in over.items():
+        for (n, kind), (t, base, bound) in sorted(over.items()):
             print(
                 f"BOUND EXCEEDED {n}: median {t:.3f}s > {kind} bound "
                 f"{bound:.3f}s (baseline {base:.1f}s)",

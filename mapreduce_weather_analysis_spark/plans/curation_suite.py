@@ -1487,18 +1487,29 @@ def _semantic_decon_oracle() -> str:
           WHERE fa.vec_id % {_DECON_EVAL} <> 0
         )"""
     )
+    # LEFT JOIN from the chain's query CTE (q = the capped eval split as
+    # indexed) so an eval doc whose probed cells hold only tombstoned
+    # vectors still reports one row (train_doc NULL, contaminated FALSE)
+    # — ADVICE r12: without it the "one row per eval doc" contract was
+    # fixture-dependent, silently dropping uncovered docs.
+    ctes.append(
+        f"""top1 AS (
+          SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+          ) WHERE rank <= 1
+        )"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-    SELECT query_id AS eval_doc, neighbor_id AS train_doc, cosine,
-           cosine >= {_SEMDECON_TAU} AS contaminated
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-      ) AS rank
-      FROM scored
-    ) WHERE rank <= 1
+    SELECT q.query_id AS eval_doc, top1.neighbor_id AS train_doc,
+           top1.cosine,
+           coalesce(top1.cosine >= {_SEMDECON_TAU}, FALSE) AS contaminated
+    FROM q LEFT JOIN top1 ON top1.query_id = q.query_id
     """
     )
 
@@ -1556,11 +1567,21 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(is_eval)
     )
     out = search_vectors(spark, path, qv, k_neighbors=1, tombstones=tomb)
-    return out.select(
+    # LEFT JOIN back onto the capped eval batch: an eval doc whose probed
+    # cells contain only tombstoned (eval) vectors has no surviving
+    # candidate and would silently drop from a serve-only report — the
+    # report contract is one row per eval doc, so uncovered docs surface
+    # as (train_doc NULL, contaminated FALSE) instead of vanishing
+    # (ADVICE r12). The eval batch is the bounded side; the join is a
+    # broadcast over |eval| rows.
+    report = qv.select("query_id").join(out, "query_id", "left")
+    return report.select(
         F.col("query_id").alias("eval_doc"),
         F.col("neighbor_id").alias("train_doc"),
         "cosine",
-        (F.col("cosine") >= _SEMDECON_TAU).alias("contaminated"),
+        F.coalesce(
+            F.col("cosine") >= _SEMDECON_TAU, F.lit(False)
+        ).alias("contaminated"),
     )
 
 

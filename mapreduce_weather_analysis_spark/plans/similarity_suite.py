@@ -138,8 +138,12 @@ def _neardup_celled_oracle() -> str:
     from ..operators.ivf import IVF_ITERS, ivf_chain
 
     cos = cosine_sql("a.v", "b.v")
+    # "FALSE" empties the (unused) i_probes CTE: the pair sweep reads only
+    # i_fa, and with materialize=True DuckDB would otherwise evaluate a
+    # probe-selection CTE that implies a query batch the pair relation
+    # does not have (ADVICE r12).
     ctes = ivf_chain(
-        "embeddings", _QUERY_FILTER, iters=IVF_ITERS, prefix="i_",
+        "embeddings", "FALSE", iters=IVF_ITERS, prefix="i_",
         materialize=True,
     )
     return (
@@ -1710,8 +1714,10 @@ def _semdedup_oracle() -> str:
     from ..operators.ivf import IVF_ITERS, ivf_chain
 
     cos = cosine_sql("a.v", "b.v")
+    # "FALSE": the pair sweep never reads i_probes (ADVICE r12 — same
+    # fix as _neardup_celled_oracle).
     ctes = ivf_chain(
-        "embeddings", _QUERY_FILTER, iters=IVF_ITERS, prefix="i_",
+        "embeddings", "FALSE", iters=IVF_ITERS, prefix="i_",
         materialize=True,
     )
     ctes.append(
@@ -1792,8 +1798,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _index_stats_oracle() -> str:
     from ..operators.ivf import IVF_ITERS, ivf_chain
 
+    # "FALSE": the occupancy agg never reads i_probes (ADVICE r12 — same
+    # fix as _neardup_celled_oracle).
     ctes = ivf_chain(
-        "embeddings", _QUERY_FILTER, iters=IVF_ITERS, prefix="i_",
+        "embeddings", "FALSE", iters=IVF_ITERS, prefix="i_",
         materialize=True,
     )
     return (
