@@ -281,6 +281,9 @@ HEADLINE = [
     # round-12: the ingest-side semantic gate (stream-static broadcast
     # join against the capped eval benchmark vectors, per-row featurizer)
     "q_stream_decontaminate_semantic",
+    # round-13: the real end-to-end BMP encode+decode pipeline (two
+    # Arrow mapInPandas stages, blobs never shuffle)
+    "q_multimodal_decode_real",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -602,6 +605,8 @@ BASELINE_SEC = {
     "q_decontaminate_semantic": 1.7,
     # round-12: ingest-side semantic gate (stream wall; drain gated below)
     "q_stream_decontaminate_semantic": 10.1,
+    # round-13: real BMP encode+decode (two Arrow mapInPandas stages)
+    "q_multimodal_decode_real": 1.0,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

@@ -87,16 +87,236 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", "blob").mapInPandas(_decode_batch, DECODED_SCHEMA)
 
 
+# --- REAL image codec: 24-bit uncompressed BMP, pure stdlib + numpy ---------
+#
+# BMP (BITMAPINFOHEADER, bpp=24, BI_RGB) is fully specified by public
+# documentation and needs no codec library: a 54-byte little-endian header,
+# then pixel rows stored BOTTOM-UP, each row's pixels in BGR channel order,
+# each row zero-padded to a 4-byte boundary. That makes it the one mainstream
+# image format this container can decode END-TO-END (VERDICT r12 ask #3) —
+# the decoder below reads geometry from the file header and undoes all three
+# format quirks; any image viewer opens what the encoder writes.
+#
+# The codec functions are produced by a factory so they are NON-IMPORTABLE
+# nested functions: cloudpickle then serializes them BY VALUE into executor
+# closures (a plain module-level def pickles by reference and crashes
+# workers that can't import this repo — the driver-sim's /tmp cwd).
+
+BMP_HEADER_BYTES = 54
+
+
+def _make_bmp24_codec():
+    def encode_bmp24(payload) -> bytes:
+        """Encode an arbitrary byte payload as a spec-conformant 24-bit
+        uncompressed BMP: the payload becomes the top-down, row-major RGB
+        pixel stream (zero-padded to width*height*3), stored per the
+        format — bottom-up rows, BGR order, 4-byte row padding. Geometry
+        is the near-square the fake codec uses: npix = max(ceil(n/3), 1),
+        width = max(floor(sqrt(npix)), 1), height = ceil(npix/width)."""
+        import struct
+
+        import numpy as np
+
+        data = bytes(payload) if payload is not None else b""
+        n = len(data)
+        npix = max((n + 2) // 3, 1)
+        # float sqrt, not isqrt: the oracle computes floor(sqrt(npix)) in
+        # DuckDB and IEEE-754 sqrt is correctly rounded on both engines,
+        # so floor agrees bit-exactly (incl. perfect squares) — the same
+        # device q_multimodal_decode's geometry already relies on.
+        width = max(int(npix**0.5), 1)
+        height = (npix + width - 1) // width
+        rgb = np.zeros(width * height * 3, dtype=np.uint8)
+        rgb[:n] = np.frombuffer(data, dtype=np.uint8)
+        # top-down RGB -> bottom-up BGR rows
+        px = rgb.reshape(height, width, 3)[::-1, :, ::-1]
+        stride = (width * 3 + 3) // 4 * 4
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, : width * 3] = px.reshape(height, width * 3)
+        body = rows.tobytes()
+        header = struct.pack(
+            "<2sIHHI" "IiiHHIIiiII",
+            b"BM",
+            BMP_HEADER_BYTES + len(body),
+            0,
+            0,
+            BMP_HEADER_BYTES,  # pixel data offset
+            40,  # BITMAPINFOHEADER size
+            width,
+            height,  # positive = bottom-up
+            1,  # planes
+            24,  # bpp
+            0,  # BI_RGB (uncompressed)
+            len(body),
+            2835,  # 72 DPI in px/metre
+            2835,
+            0,
+            0,
+        )
+        return header + body
+
+    def decode_bmp24(blob):
+        """Parse a 24-bit uncompressed BMP GENERICALLY: geometry comes
+        from the file header (never a side channel), row padding is
+        stripped, bottom-up row order (or top-down when height < 0) and
+        BGR channel order are undone. Returns (width, height, top-down
+        row-major RGB uint8 array). Raises ValueError on non-BMP input
+        and NotImplementedError on BMP variants that genuinely need a
+        codec library (palette / RLE / non-24bpp)."""
+        import struct
+
+        import numpy as np
+
+        b = bytes(blob) if blob is not None else b""
+        if len(b) < BMP_HEADER_BYTES or b[:2] != b"BM":
+            raise ValueError("not a BMP payload (missing 'BM' magic)")
+        (off,) = struct.unpack_from("<I", b, 10)
+        hdr_size, width, height, planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", b, 14
+        )
+        if hdr_size < 40 or planes != 1 or width <= 0 or height == 0:
+            raise ValueError(
+                f"malformed BMP header (dib={hdr_size}, planes={planes}, "
+                f"{width}x{height})"
+            )
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP is implemented "
+                f"(bpp={bpp}, compression={compression} needs a codec "
+                f"library such as Pillow)"
+            )
+        topdown = height < 0
+        height = abs(height)
+        stride = (width * 3 + 3) // 4 * 4
+        if len(b) < off + stride * height:
+            raise ValueError("truncated BMP pixel array")
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * height, offset=off
+        ).reshape(height, stride)
+        px = rows[:, : width * 3].reshape(height, width, 3)
+        if not topdown:
+            px = px[::-1]
+        return width, height, px[..., ::-1].reshape(-1).copy()
+
+    return encode_bmp24, decode_bmp24
+
+
+encode_bmp24, decode_bmp24 = _make_bmp24_codec()
+
+
+DECODED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("file_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("pixel_weighted", T.LongType()),
+    ]
+)
+
+
+def encode_bmp_blobs(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched BMP encode: (id, content) -> (doc_id, blob) where blob
+    is a real BMP file. Fixture synthesis for the end-to-end decode path —
+    in production the blobs arrive encoded; this stage exists so the
+    decoder has spec-conformant input at every SF without shipping binary
+    fixtures."""
+    enc = encode_bmp24  # closure-capture: ships by value, see factory note
+
+    def _encode_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "blob": [
+                        enc(None if v is None else str(v).encode("utf-8"))
+                        for v in pdf["content"]
+                    ],
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")
+    )
+    return src.mapInPandas(
+        _encode_batch, "doc_id bigint, blob binary"
+    )
+
+
 def decode_image(blobs: DataFrame) -> DataFrame:
-    """REAL image decode — requires PIL, absent from this container."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image decode needs Pillow; this container has no codecs — "
-            "use fake_decode_features for plumbing tests"
-        ) from e
-    raise NotImplementedError("wire PIL decode into _decode_batch")  # pragma: no cover
+    """REAL image decode over (doc_id, blob): per-blob magic dispatch —
+    BMP parses end-to-end via the pure-stdlib decoder (header geometry,
+    padding strip, bottom-up + BGR undo); JPEG/PNG/GIF magic raises
+    NotImplementedError naming the codec library that would slot in
+    (Pillow, absent from this container — ENVIRONMENT.md). Output per
+    blob: header-derived geometry, file size, per-channel sums over the
+    decoded top-down RGB stream, and a position-weighted fingerprint
+    sum((i+1) * byte_i) that only matches if the decoder recovered the
+    EXACT byte order (channel sums alone are permutation-blind).
+
+    Scale posture: identical to fake_decode_features — a narrow
+    Arrow-batched mapInPandas, blobs never shuffle, only the 8-column
+    numeric row flows downstream."""
+    dec = decode_bmp24  # closure-capture: ships by value, see factory note
+
+    def _decode_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        magics = {
+            b"\xff\xd8": "JPEG",
+            b"\x89P": "PNG",
+            b"GI": "GIF",
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                if b[:2] in magics:
+                    raise NotImplementedError(
+                        f"{magics[b[:2]]} decode needs Pillow; only BMP "
+                        "decodes without a codec library"
+                    )
+                width, height, rgb = dec(b)
+                v = rgb.astype(np.int64)
+                ch = v.reshape(-1, 3).sum(axis=0)
+                weighted = int(
+                    (v * (np.arange(v.size, dtype=np.int64) + 1)).sum()
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(b),
+                        width,
+                        height,
+                        int(ch[0]),
+                        int(ch[1]),
+                        int(ch[2]),
+                        weighted,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "file_bytes",
+                    "width",
+                    "height",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "pixel_weighted",
+                ],
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        _decode_batch, DECODED_REAL_SCHEMA
+    )
 
 
 def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:

@@ -192,11 +192,18 @@ _R8_GREEN_B: tuple[str, ...] = (
     "q_quality_calibration",
 )
 
-# NEVER driver-certified: the round-12 additions. They LEAD the
-# round-12 window for their first official rows; the rest of the
-# window finishes the re-certification rotation (VERDICT r11 ask #1):
-# the 33 remaining r5-dated greens — the oldest driver checks left —
-# then the stalest r7 heads fill the window exactly.
+# NEVER driver-certified: the round-13 additions. They LEAD the
+# round-13 window for their first official rows; the rest of the
+# window continues the re-certification rotation (VERDICT r12 ask #1):
+# the 38 r7-dated greens — the oldest driver checks left after the r12
+# window retired the r5 backlog and the first 12 r7 heads — then the
+# stalest r8 heads fill the window.
+_R13_QUEUE: tuple[str, ...] = (
+    "q_multimodal_decode_real",
+)
+
+# Certified round 12 (first official rows): the round-12 additions.
+# Parked with the fresh tail.
 _R12_QUEUE: tuple[str, ...] = (
     "q_chunk_index_stats",
     "q_serve_tiers_all",
@@ -442,12 +449,9 @@ _R5_STALE: tuple[str, ...] = (
     "q_json_extract",
 )
 
-# Greens certified in round 7 (the re-certified round-6 window: the five
-# round-5 additions, the r1/r2-stale re-certifications, the two
-# protobuf-gated TWS marker rows, q_dup_span_maximal) — after the r5
-# backlog retires, these become the stalest checks; their head fills
-# the round-12 window's remaining slots.
-_R7_GREEN: tuple[str, ...] = (
+# Re-certified in round 12 (the round-12 window's tail slots): the 12
+# then-stalest r7-dated greens. Parked with the fresh tail.
+_R7_RECERT_R12: tuple[str, ...] = (
     "q_sample_temperature",
     "q_zorder_key",
     "q_event_anomaly",
@@ -460,6 +464,13 @@ _R7_GREEN: tuple[str, ...] = (
     "q_grouping_sets",
     "q_having_cte",
     "q_intersect",
+)
+
+# Greens still dated round 7 — the 38 oldest driver checks left in the
+# registry (VERDICT r12 ask #1 named this exact backlog). They follow
+# the never-certified round-13 queue so CORRECTNESS_r13 retires the
+# whole r7 backlog; nothing in the union stays older than r8.
+_R7_GREEN: tuple[str, ...] = (
     "q_join_anti",
     "q_join_full_outer",
     "q_join_semi",
@@ -500,14 +511,13 @@ _R7_GREEN: tuple[str, ...] = (
     "q_dup_span_maximal",
 )
 
+# Window order = staleness order: never-certified round-13 additions
+# first, then the r7 backlog (oldest standing checks), then the r8
+# blocks (next-stalest — their heads fill the round-13 window's
+# remaining slots), then progressively fresher blocks.
 _PRIORITY: tuple[str, ...] = (
-    _R12_QUEUE
-    + _R5_STALE
+    _R13_QUEUE
     + _R7_GREEN
-    + _R11_QUEUE
-    + _R5_FLAGSHIPS
-    + _R5_RECERT_R11
-    + _R4_GREEN
     + _R8_GREEN_A
     + _R8_GREEN_B
     + _R9_GREEN
@@ -515,6 +525,13 @@ _PRIORITY: tuple[str, ...] = (
     + _R10_QUEUE
     + _R3_GREEN
     + _R4_RECERT_R10
+    + _R11_QUEUE
+    + _R5_FLAGSHIPS
+    + _R5_RECERT_R11
+    + _R4_GREEN
+    + _R12_QUEUE
+    + _R5_STALE
+    + _R7_RECERT_R12
 )
 
 

@@ -83,8 +83,8 @@ def test_priority_sections_cover_registry_exactly():
     gets an official row on its first rotation."""
     from mapreduce_weather_analysis_spark.plans.registry import (
         _PRIORITY,
-        _R5_STALE,
-        _R12_QUEUE,
+        _R7_GREEN,
+        _R13_QUEUE,
         _WINDOW,
         _import_plans,
     )
@@ -92,12 +92,12 @@ def test_priority_sections_cover_registry_exactly():
     _import_plans()
     assert len(_PRIORITY) == len(set(_PRIORITY)) == len(REGISTRY)
     assert set(_PRIORITY) == set(REGISTRY)
-    # the round-12 window leads with the never-certified _R12_QUEUE,
-    # then ALL 33 r5-dated greens — the last re-certification backlog
-    # (VERDICT r11 ask #1) — with the stalest r7 heads filling the
-    # remaining slots
-    head = _R12_QUEUE + _R5_STALE
-    assert len(_R5_STALE) == 33
+    # the round-13 window leads with the never-certified _R13_QUEUE,
+    # then ALL 38 r7-dated greens — the whole remaining re-certification
+    # backlog (VERDICT r12 ask #1) — with the stalest r8 heads filling
+    # the remaining slots
+    head = _R13_QUEUE + _R7_GREEN
+    assert len(_R7_GREEN) == 38
     assert len(head) <= _WINDOW
     assert _PRIORITY[: len(head)] == head
 
