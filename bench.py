@@ -284,6 +284,9 @@ HEADLINE = [
     # round-13: the real end-to-end BMP encode+decode pipeline (two
     # Arrow mapInPandas stages, blobs never shuffle)
     "q_multimodal_decode_real",
+    # round-13: ExactSubstr removal with 8-byte xxhash64 gram keys
+    # through both wide stages (the string arm's production twin)
+    "q_dup_span_removal_hashed",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -607,6 +610,9 @@ BASELINE_SEC = {
     "q_stream_decontaminate_semantic": 10.1,
     # round-13: real BMP encode+decode (two Arrow mapInPandas stages)
     "q_multimodal_decode_real": 1.0,
+    # round-13: removal with hashed gram keys (same coverage/reassembly
+    # stages as the string arm; wide stages shuffle 8-byte longs)
+    "q_dup_span_removal_hashed": 2.7,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

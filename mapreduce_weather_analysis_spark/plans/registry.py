@@ -200,6 +200,7 @@ _R8_GREEN_B: tuple[str, ...] = (
 # stalest r8 heads fill the window.
 _R13_QUEUE: tuple[str, ...] = (
     "q_multimodal_decode_real",
+    "q_dup_span_removal_hashed",
 )
 
 # Certified round 12 (first official rows): the round-12 additions.

@@ -2048,6 +2048,16 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's tokens. Dropping all copies (not all-but-one) is the
     conservative variant the paper discusses for train-set hygiene; the
     oracle reproduces the same union-merge scan."""
+    return _dup_removal_plan(spark, sf_dir, lambda ng: ng)
+
+
+def _dup_removal_plan(spark: SparkSession, sf_dir: str, key_fn) -> DataFrame:
+    """Shared ExactSubstr-removal body: ``key_fn(gram_string_col)`` picks
+    the shuffle key (raw gram text, or its 64-bit hash) — the
+    _dup_span_plan device applied to the removal shape. The key exists
+    ONLY inside the df hash-agg + semi-join; marks, coverage scan and
+    reassembly never see it, which is why the hashed twin shares the
+    string arm's oracle verbatim."""
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents").select(
@@ -2060,7 +2070,9 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("toks") - (_DUP_N - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, _DUP_N)),
+                    lambda i: key_fn(
+                        F.concat_ws(" ", F.slice("toks", i, _DUP_N))
+                    ),
                 )
             ).alias("pos0", "ng"),
         )
@@ -2136,6 +2148,32 @@ q_dup_span_removal.__doc__ = q_dup_span_removal.__doc__.replace(
 register("q_dup_span_removal", scale_tier="small-corpus", oracle=_DUP_REMOVAL_ORACLE)(
     q_dup_span_removal
 )
+
+
+def q_dup_span_removal_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dup_span_removal's production form (VERDICT r12 ask #4 — the one
+    dup-span query still missing its hashed twin): the gram shuffle key
+    through BOTH wide stages (df hash-agg + mark semi-join) is
+    xxhash64(gram text) — an 8-byte long instead of the ~80-byte
+    {N}-token string, the same ~10× shuffle-width cut
+    q_dup_span_fraction_hashed and q_segment_dedup_hashed already carry
+    (Lee et al. 2021 hash spans the same way). Marks, the per-doc
+    coverage window, and the order-pinned reassembly are key-free, so
+    the cleaned corpus is bit-identical to the string arm barring an
+    xxhash64 collision (P ≈ n²/2^65). Oracle = the exact string-gram
+    SQL: the driver hash-asserts output-equivalence of the hashed plan,
+    and the removal family is now fully scale-tiered."""
+    return _dup_removal_plan(spark, sf_dir, lambda ng: F.xxhash64(ng))
+
+
+q_dup_span_removal_hashed.__doc__ = q_dup_span_removal_hashed.__doc__.replace(
+    "{N}", str(_DUP_N)
+)
+register(
+    "q_dup_span_removal_hashed",
+    scale_tier="scale",
+    oracle=_DUP_REMOVAL_ORACLE,
+)(q_dup_span_removal_hashed)
 
 
 # --- DSIR-style importance weighting: data selection for a target domain ----

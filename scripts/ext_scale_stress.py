@@ -89,6 +89,9 @@ QUERIES = [
     "q_chunk_index_stats",
     "q_embed_neardup_celled",
     "q_decontaminate_semantic",
+    # round-13: hashed-key removal twin, real BMP decode pipeline
+    "q_dup_span_removal_hashed",
+    "q_multimodal_decode_real",
 ]
 
 
