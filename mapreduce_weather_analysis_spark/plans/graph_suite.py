@@ -101,7 +101,7 @@ def _pagerank_ctes(
     )
 
 
-@register("q_pagerank_nations", oracle=_pagerank_oracle())
+@register("q_pagerank_nations", scale_tier="scale", oracle=_pagerank_oracle())
 def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the supplier-nation → customer-nation trade
     graph (edge weight = lineitem count): which nations sit at the center
@@ -181,7 +181,7 @@ def _textrank_oracle() -> str:
     )
 
 
-@register("q_textrank_keywords", oracle=_textrank_oracle())
+@register("q_textrank_keywords", scale_tier="scale", oracle=_textrank_oracle())
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): weighted
     PageRank over the word CO-OCCURRENCE graph — nodes are corpus tokens,

@@ -2436,7 +2436,7 @@ def read_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "edges"))
 
 
-@register("q_components_persisted", oracle=_knn_graph_oracle())
+@register("q_components_persisted", scale_tier="small-corpus", oracle=_knn_graph_oracle())
 def q_components_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_knn_graph_clusters served from the PERSISTED label artifact —
     same oracle, pinned hash-equality with the inline build (labels are
@@ -2989,7 +2989,7 @@ def _bridge_edges_oracle() -> str:
     )
 
 
-@register("q_bridge_edges", oracle=_bridge_edges_oracle())
+@register("q_bridge_edges", scale_tier="small-corpus", oracle=_bridge_edges_oracle())
 def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge TRIANGLE SUPPORT and local-bridge flag over the
     mutual-kNN graph — the edge-granularity companion to
@@ -3115,7 +3115,7 @@ def _component_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_component_medoid", oracle=_component_medoid_oracle())
+@register("q_component_medoid", scale_tier="small-corpus", oracle=_component_medoid_oracle())
 def q_component_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-component CANONICAL representative — the member closest (by
     cosine) to its component's centroid, SemDeDup's keep-one rule at
@@ -3187,7 +3187,7 @@ def _component_exemplars_oracle() -> str:
     )
 
 
-@register("q_component_exemplars", oracle=_component_exemplars_oracle())
+@register("q_component_exemplars", scale_tier="small-corpus", oracle=_component_exemplars_oracle())
 def q_component_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-component EXEMPLAR PAIR — the medoid (member closest to the
     centroid) and the antipode (member farthest from it), plus the
@@ -3275,7 +3275,7 @@ def _graph_profile_oracle() -> str:
     )
 
 
-@register("q_graph_profile", oracle=_graph_profile_oracle())
+@register("q_graph_profile", scale_tier="small-corpus", oracle=_graph_profile_oracle())
 def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row HEALTH PROFILE of the mutual-kNN graph — the numbers a
     curation run reads before trusting the cluster structure: vertex/
@@ -3391,7 +3391,7 @@ def _component_profile_oracle() -> str:
     )
 
 
-@register("q_component_profile", oracle=_component_profile_oracle())
+@register("q_component_profile", scale_tier="small-corpus", oracle=_component_profile_oracle())
 def q_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-COMPONENT structure ledger over the mutual-kNN graph — size,
     internal edge count, wedge count, triangle count, edge density
@@ -3514,7 +3514,7 @@ def _kcore_oracle(k: int = _KC_K, rounds: int = _KC_ROUNDS) -> str:
     )
 
 
-@register("q_kcore", oracle=_kcore_oracle())
+@register("q_kcore", scale_tier="small-corpus", oracle=_kcore_oracle())
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The {K}-CORE of the mutual-kNN graph — surviving (node, degree)
     after {R} unrolled peel rounds (Matula–Beck: repeatedly drop every
@@ -3579,7 +3579,7 @@ def _lp_oracle(rounds: int = _LP_ROUNDS) -> str:
     )
 
 
-@register("q_lp_communities", oracle=_lp_oracle())
+@register("q_lp_communities", scale_tier="small-corpus", oracle=_lp_oracle())
 def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LABEL-PROPAGATION communities over the mutual-kNN graph — {R}
     synchronous rounds of "adopt the most frequent neighbor label, ties
@@ -3686,7 +3686,7 @@ def sym_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sym_edges(spark, sf_dir)
 
 
-@register("q_ktruss", oracle=_ktruss_oracle())
+@register("q_ktruss", scale_tier="small-corpus", oracle=_ktruss_oracle())
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{K}-TRUSS PEEL LEDGER over the symmetrized kNN graph — for every
     edge, the round the truss peel removed it (died_round 1..{R}, or 0
@@ -3825,7 +3825,7 @@ def _embedding_drift_oracle() -> str:
     """
 
 
-@register("q_embedding_drift", oracle=_embedding_drift_oracle())
+@register("q_embedding_drift", scale_tier="eval", oracle=_embedding_drift_oracle())
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE embedding drift — each ingest feed's centroid compared
     (by cosine) against the corpus-wide centroid, with drift = 1 − cos:
@@ -4038,7 +4038,7 @@ def _beam_oracle() -> str:
     )
 
 
-@register("q_graph_beam_search", oracle=_beam_oracle())
+@register("q_graph_beam_search", scale_tier="small-corpus", oracle=_beam_oracle())
 def q_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN serving: GREEDY BEAM SEARCH over the persisted
     symmetrized kNN graph — the navigation pattern of the HNSW/NSG/
@@ -4251,7 +4251,7 @@ def _embed_pca_oracle() -> str:
     )
 
 
-@register("q_embed_pca", oracle=_embed_pca_oracle())
+@register("q_embed_pca", scale_tier="scale", oracle=_embed_pca_oracle())
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the (mean-centered) embedding corpus
     via {R} POWER-ITERATION rounds (Mises & Pollaczek-Geiringer 1929;
@@ -4368,7 +4368,7 @@ def _anisotropy_oracle() -> str:
     )
 
 
-@register("q_embed_anisotropy", oracle=_anisotropy_oracle())
+@register("q_embed_anisotropy", scale_tier="eval", oracle=_anisotropy_oracle())
 def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space ANISOTROPY report: the one-row health check run
     before trusting cosine similarity on a corpus (Ethayarajh EMNLP'19:
@@ -4755,7 +4755,7 @@ def _pca2_oracle() -> str:
     )
 
 
-@register("q_embed_pca2", oracle=_pca2_oracle())
+@register("q_embed_pca2", scale_tier="scale", oracle=_pca2_oracle())
 def q_embed_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SECOND principal component by power iteration WITH DEFLATION:
     iterate over the ABTT-corrected relation (the corpus with the top
@@ -4844,7 +4844,7 @@ def _kcenter_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + "\n    " + "\n    UNION ALL ".join(picks)
 
 
-@register("q_kcenter_select", oracle=_kcenter_oracle())
+@register("q_kcenter_select", scale_tier="small-corpus", oracle=_kcenter_oracle())
 def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center CORESET selection (Gonzalez 1985's 2-approximation
     farthest-point traversal — the diversity-selection recipe coreset
@@ -5213,7 +5213,7 @@ def _cluster_terms_oracle() -> str:
     )
 
 
-@register("q_cluster_terms", oracle=_cluster_terms_oracle())
+@register("q_cluster_terms", scale_tier="small-corpus", oracle=_cluster_terms_oracle())
 def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER LABELING: the {K} most characteristic terms per mutual-kNN
     component — term frequency within the cluster weighted by smoothed
@@ -5358,7 +5358,7 @@ def _adamic_adar_oracle() -> str:
     )
 
 
-@register("q_adamic_adar", oracle=_adamic_adar_oracle())
+@register("q_adamic_adar", scale_tier="small-corpus", oracle=_adamic_adar_oracle())
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINK PREDICTION over the mutual-kNN graph: Adamic-Adar scores
     (Adamic & Adar, Social Networks 2003) for the non-edge pairs —
@@ -5489,7 +5489,7 @@ def inc_base_write(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("q_components_incremental", oracle=_knn_graph_oracle())
+@register("q_components_incremental", scale_tier="small-corpus", oracle=_knn_graph_oracle())
 def q_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL connected-component maintenance — fold a DELTA edge
     batch into an existing labeling without relabeling the world: the
@@ -5528,7 +5528,7 @@ q_components_incremental.__doc__ = q_components_incremental.__doc__.format(
 )
 
 
-@register("q_components_incremental_persisted", oracle=_knn_graph_oracle())
+@register("q_components_incremental_persisted", scale_tier="small-corpus", oracle=_knn_graph_oracle())
 def q_components_incremental_persisted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

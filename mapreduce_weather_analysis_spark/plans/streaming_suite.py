@@ -636,7 +636,7 @@ def _stream_drift_oracle() -> str:
     return _embedding_drift_oracle()
 
 
-@register("q_stream_embedding_drift", oracle=_stream_drift_oracle())
+@register("q_stream_embedding_drift", scale_tier="eval", oracle=_stream_drift_oracle())
 def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source embedding DRIFT computed AT INGEST: the live embedding
     feed (an encoder writing vectors as documents arrive) is enriched
@@ -720,7 +720,7 @@ def _stream_lexdrift_oracle() -> str:
     return _lexical_drift_oracle()
 
 
-@register("q_stream_lexical_drift", oracle=_stream_lexdrift_oracle())
+@register("q_stream_lexical_drift", scale_tier="eval", oracle=_stream_lexdrift_oracle())
 def q_stream_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source LEXICAL drift computed AT INGEST — the streaming twin
     of q_lexical_drift, completing the drift-monitor pair (embedding
@@ -1111,7 +1111,7 @@ def _stream_ks_oracle() -> str:
     return _ks_drift_oracle()
 
 
-@register("q_stream_ks_drift", oracle=_stream_ks_oracle())
+@register("q_stream_ks_drift", scale_tier="eval", oracle=_stream_ks_oracle())
 def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kolmogorov–Smirnov length-distribution monitor AT INGEST —
     completing the drift-monitor batch/stream MATRIX (lexical JS,

@@ -2419,7 +2419,7 @@ def _lexical_drift_oracle() -> str:
     """
 
 
-@register("q_lexical_drift", oracle=_lexical_drift_oracle())
+@register("q_lexical_drift", scale_tier="eval", oracle=_lexical_drift_oracle())
 def q_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source LEXICAL drift: Jensen–Shannon divergence between each
     ingest feed's unigram distribution and the corpus distribution over
@@ -2832,7 +2832,7 @@ def _ks_drift_oracle() -> str:
     """
 
 
-@register("q_ks_drift", oracle=_ks_drift_oracle())
+@register("q_ks_drift", scale_tier="eval", oracle=_ks_drift_oracle())
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Kolmogorov–Smirnov statistic on the document-LENGTH
     distribution vs the whole corpus: D_s = max_x |F_s(x) − F(x)| — the

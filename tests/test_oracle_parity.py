@@ -270,6 +270,41 @@ _SERVE_PAIR_EXACT = (
     "q_recall_curve",
 )
 
+# Round 13 (VERDICT r12 ask #6): the corpus-sized graph / PCA / drift /
+# coreset families joined the tier surface — everything downstream of the
+# mutual-kNN artifact inherits its flat-probe base's small-corpus tier
+# (consistent with q_knn_graph_clusters; the artifact can't be built at
+# 100 TB regardless of how cheap the rollup over it is), fixed-round
+# driver-loop iteratives with bounded driver state are scale plans, the
+# k-pass farthest-point traversal is small-corpus (round count = output
+# size, unlike pagerank/PCA's fixed 2-5), and monitors/health reports
+# carry the measurement tier.
+_GRAPH_PCA_PREFIXES = (
+    "q_component",
+    "q_components_",
+    "q_graph_",
+    "q_embed_pca",
+)
+_GRAPH_PCA_EXACT = (
+    "q_adamic_adar",
+    "q_bridge_edges",
+    "q_cluster_terms",
+    "q_kcore",
+    "q_ktruss",
+    "q_lp_communities",
+    "q_pagerank_nations",
+    "q_textrank_keywords",
+    "q_kcenter_select",
+    "q_embed_anisotropy",
+    "q_embedding_drift",
+    "q_lexical_drift",
+    "q_ks_drift",
+    "q_stream_embedding_drift",
+    "q_stream_lexical_drift",
+    "q_stream_ks_drift",
+    "q_multimodal_decode_real",
+)
+
 
 def test_serve_pair_families_carry_scale_tier():
     """VERDICT r11 ask #2: the machine-readable tier surface must not
@@ -288,9 +323,11 @@ def test_serve_pair_families_carry_scale_tier():
     family = sorted(
         n
         for n in REGISTRY
-        if n.startswith(_SERVE_PAIR_PREFIXES) or n in _SERVE_PAIR_EXACT
+        if n.startswith(_SERVE_PAIR_PREFIXES + _GRAPH_PCA_PREFIXES)
+        or n in _SERVE_PAIR_EXACT
+        or n in _GRAPH_PCA_EXACT
     )
-    assert len(family) >= 50, family
+    assert len(family) >= 75, family
     untagged = sorted(n for n in family if REGISTRY[n].scale_tier is None)
     assert not untagged, f"serve/pair queries missing scale_tier: {untagged}"
     bad = {
@@ -317,6 +354,19 @@ def test_serve_pair_families_carry_scale_tier():
     assert REGISTRY["q_segment_dedup_hashed"].scale_tier == "scale"
     assert REGISTRY["q_dup_span_fraction"].scale_tier == "small-corpus"
     assert REGISTRY["q_dup_span_fraction_hashed"].scale_tier == "scale"
+    assert REGISTRY["q_dup_span_removal"].scale_tier == "small-corpus"
+    assert REGISTRY["q_dup_span_removal_hashed"].scale_tier == "scale"
+    # round-13 family pins: graph rollups inherit the mutual-kNN
+    # artifact's flat-probe base tier; fixed-round driver-loop
+    # iteratives are scale; the k-pass coreset traversal is not;
+    # monitors are measurement output
+    assert REGISTRY["q_components_persisted"].scale_tier == "small-corpus"
+    assert REGISTRY["q_graph_beam_search"].scale_tier == "small-corpus"
+    assert REGISTRY["q_pagerank_nations"].scale_tier == "scale"
+    assert REGISTRY["q_textrank_keywords"].scale_tier == "scale"
+    assert REGISTRY["q_embed_pca"].scale_tier == "scale"
+    assert REGISTRY["q_kcenter_select"].scale_tier == "small-corpus"
+    assert REGISTRY["q_embedding_drift"].scale_tier == "eval"
     # the engine-wide map surfaces exactly the tagged registrations
     # that existed when scale_suite (the last plan module) loaded —
     # i.e. everything except itself
@@ -329,3 +379,39 @@ def test_serve_pair_families_carry_scale_tier():
         for n, s in REGISTRY.items()
         if s.scale_tier is not None and n != "q_serve_tiers_all"
     }
+
+
+def test_serve_tier_census_pinned():
+    """VERDICT r12 ask #7 — the drift guard COMPLEMENTING the pattern
+    test above: the pattern test catches a new family member shipping
+    untagged, but a tag silently DROPPED from an already-tagged query
+    (or a tier quietly flipped) only shrinks/moves the census, which no
+    structural test saw. Pinning the exact per-tier counts makes either
+    direction a diff a human must acknowledge by updating the pin in
+    the same change that moved a tier. q_serve_tiers_all surfaces the
+    same rows to the driver, so this also pins that query's row count
+    (census total + its own eval row)."""
+    from collections import Counter
+
+    from mapreduce_weather_analysis_spark.plans.registry import (
+        _import_plans,
+    )
+
+    _import_plans()
+    census = Counter(
+        s.scale_tier for s in REGISTRY.values() if s.scale_tier is not None
+    )
+    # round-13 census: r12's 67/21/9/2 + 2 new round-13 queries
+    # (decode_real scale, removal_hashed scale) + the 26 graph/PCA/drift
+    # tags (13 small-corpus rollups + kcenter + beam... -> +15
+    # small-corpus, +4 scale, +7 eval)
+    assert census == Counter(
+        {"scale": 73, "small-corpus": 36, "eval": 16, "ground-truth": 2}
+    ), f"tier census moved: {dict(census)} — retier deliberately or fix"
+    n_tagged = sum(census.values())
+    from mapreduce_weather_analysis_spark.plans.scale_suite import (
+        _ALL_TIER_ROWS,
+    )
+
+    # the snapshot the driver hashes = every tagged row except itself
+    assert len(_ALL_TIER_ROWS) == n_tagged - 1
