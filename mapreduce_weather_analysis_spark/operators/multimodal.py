@@ -320,9 +320,46 @@ def decode_image(blobs: DataFrame) -> DataFrame:
 
 
 def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real implementation is a mapInPandas identical in shape
-    to fake_decode_features (batch in → batch out, no shuffle)."""
+    """CODEC resize stub: compressed formats (JPEG/PNG) need PIL/opencv to
+    reach pixels. For BMP payloads use :func:`resize_bmp` — a REAL resize,
+    no codec library required."""
     raise NotImplementedError("resize needs an image codec (PIL/opencv)")
+
+
+def resize_bmp(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize for BMP blobs, end-to-end: parse the container
+    (generic decoder), nearest-neighbor resample to (width, height) via
+    integer floor index maps (target (x, y) reads source
+    (x*sw // width, y*sh // height) — the standard NN rule, integer-exact
+    so an oracle can replay it), and RE-ENCODE the resampled pixel stream
+    as a new spec-conformant BMP. (doc_id, blob) -> (doc_id, blob): the
+    output of one stage is valid input to decode_image, so
+    decode -> resize -> encode -> decode exercises the full codec cycle.
+
+    Scale posture: one narrow Arrow-batched mapInPandas — blobs never
+    shuffle, output volume is width*height*3 per image regardless of
+    input size (thumbnailing SHRINKS the corpus in flight, which is the
+    point of doing it before any wide stage)."""
+    enc, dec = encode_bmp24, decode_bmp24  # ship by value, see factory note
+
+    def _resize_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                sw, sh, rgb = dec(bytes(blob))
+                px = rgb.reshape(sh, sw, 3)
+                ys = np.arange(height, dtype=np.int64) * sh // height
+                xs = np.arange(width, dtype=np.int64) * sw // width
+                resized = px[ys][:, xs]  # NN gather, top-down raster order
+                out.append((int(doc_id), enc(resized.reshape(-1).tobytes())))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        _resize_batch, "doc_id bigint, blob binary"
+    )
 
 
 def frame_sample_stub(blobs: DataFrame, every_n: int) -> DataFrame:
