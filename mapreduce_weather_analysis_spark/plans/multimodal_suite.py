@@ -17,6 +17,7 @@ from .registry import register, t
 
 @register(
     "q_multimodal_meta",
+    scale_tier="scale",
     oracle="""
     -- magic_hex slices the blob's HEX STRING (2 chars per byte): DuckDB has
     -- no BLOB substring, and char-slicing text diverges from byte-slicing
@@ -44,6 +45,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_decode",
+    scale_tier="scale",
     oracle="""
     -- SQL twin of the deterministic fake codec (operators/multimodal.py):
     -- byte%8 depends only on the low hex nibble, so the 8-bin histogram is
@@ -117,6 +119,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_frame_sample",
+    scale_tier="scale",
     oracle="""
     -- DuckDB substr() has no BLOB overload: slice the blob's HEX STRING
     -- instead (2 hex chars per byte), which is byte-exact even when a frame
@@ -324,3 +327,100 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     blobs = encode_bmp_blobs(d, "text", "doc_id")
     return decode_image(blobs)
+
+
+@register(
+    "q_multimodal_resize_real",
+    scale_tier="scale",
+    oracle="""
+    -- Independent replay of decode -> nearest-neighbor resize -> encode ->
+    -- decode from the fixture bytes and the two integer rules involved:
+    -- source geometry w,h from n (the encode_bmp24 near-square), and the
+    -- NN index map (target (x,y) reads source (x*w // 8, y*h // 8)). The
+    -- resized pixel stream is exactly 8*8*3 bytes, so the re-encoded BMP
+    -- is 54 + 24*8 = 246 bytes with zero padding — the oracle asserts all
+    -- of that arithmetic while the Spark side derives it from two real
+    -- container parses.
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(COALESCE(text, '')))) AS hx,
+             CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+      FROM documents
+    ),
+    geo AS (
+      SELECT doc_id, hx, n, w,
+             (npix + w - 1) // w AS h
+      FROM (
+        SELECT doc_id, hx, n, npix,
+               greatest(CAST(floor(sqrt(npix)) AS BIGINT), 1) AS w
+        FROM (SELECT *, greatest((n + 2) // 3, 1) AS npix FROM b)
+      )
+    ),
+    e AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef',
+                     substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1) AS val
+      FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM geo WHERE n > 0)
+    ),
+    grid AS (
+      -- one row per (doc, target pixel, channel): the source byte index
+      -- behind each of the 192 resized bytes
+      SELECT geo.doc_id, t, c,
+             3 * (((t // 8) * geo.h // 8) * geo.w + ((t % 8) * geo.w // 8))
+               + c AS bidx
+      FROM geo,
+           (SELECT unnest(range(0, 64)) AS t),
+           (SELECT unnest(range(0, 3)) AS c)
+    ),
+    r AS (
+      -- source padding (bidx >= n) decodes as zero on both engines
+      SELECT grid.doc_id, grid.t, grid.c,
+             COALESCE(e.val, 0) AS val
+      FROM grid LEFT JOIN e
+        ON e.doc_id = grid.doc_id AND e.i = grid.bidx
+    )
+    SELECT doc_id,
+           CAST(246 AS BIGINT) AS file_bytes,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN val ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN val ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(SUM((3 * t + c + 1) * val) AS BIGINT) AS pixel_weighted
+    FROM r
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE, end-to-end (retires the last non-codec
+    multimodal stub): encode documents as 24-bit BMPs, nearest-neighbor
+    thumbnail each to 8x8 (operators/multimodal.resize_bmp: generic
+    container parse -> integer floor index-map gather -> re-encode as a
+    new spec-conformant BMP), then decode the THUMBNAILS with the same
+    generic parser and report their geometry/file size/channel sums/
+    position-weighted fingerprint. Four container traversals total (two
+    parses, one encode, and the final feature decode), all real.
+
+    The oracle replays the integer arithmetic (near-square source
+    geometry, NN index map, 246-byte target container) straight from the
+    fixture bytes without ever building a BMP — a hash match certifies
+    the full decode->resize->encode->decode cycle recovered exactly the
+    pixels the NN rule selects, in raster order (the weighted fingerprint
+    is order-sensitive). resize_stub remains the honest boundary for
+    compressed formats (PIL/opencv).
+
+    Scale shape: one narrow Arrow-batched mapInPandas per stage, blobs
+    never shuffle, and the thumbnail stage SHRINKS in-flight volume to
+    192 bytes/image regardless of input size — resize-early is how image
+    corpora keep the downstream pipeline (dedup, embedding) off the raw
+    bytes."""
+    from ..operators.multimodal import (
+        decode_image,
+        encode_bmp_blobs,
+        resize_bmp,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    blobs = encode_bmp_blobs(d, "text", "doc_id")
+    return decode_image(resize_bmp(blobs, 8, 8))

@@ -201,6 +201,7 @@ _R8_GREEN_B: tuple[str, ...] = (
 _R13_QUEUE: tuple[str, ...] = (
     "q_multimodal_decode_real",
     "q_dup_span_removal_hashed",
+    "q_multimodal_resize_real",
 )
 
 # Certified round 12 (first official rows): the round-12 additions.

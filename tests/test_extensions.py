@@ -214,6 +214,40 @@ def test_bmp24_decoder_handles_topdown_and_rejects_variants():
         decode_bmp24(truncated)
 
 
+def test_resize_bmp_nearest_neighbor_exact(spark):
+    """resize_bmp must apply the integer NN rule exactly: target (x, y)
+    reads source (x*sw // W, y*sh // H), output re-encoded as a valid
+    BMP. Checked on a hand-computed 2x2 -> 4x4 upsample (each source
+    pixel becomes a 2x2 block) and a known downsample."""
+    import numpy as np
+
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+        resize_bmp,
+    )
+
+    # 2x2 source: pixels P0..P3 = distinct RGB triples (12 payload bytes
+    # -> npix 4 -> w 2, h 2, no padding)
+    payload = bytes(range(10, 22))
+    blobs = spark.createDataFrame(
+        [(7, bytearray(encode_bmp24(payload)))], "doc_id bigint, blob binary"
+    )
+    out = resize_bmp(blobs, 4, 4).collect()[0]
+    w, h, rgb = decode_bmp24(bytes(out.blob))
+    assert (w, h) == (4, 4)
+    src = np.frombuffer(payload, np.uint8).reshape(2, 2, 3)
+    got = rgb.reshape(4, 4, 3)
+    for y in range(4):
+        for x in range(4):
+            assert (got[y, x] == src[y * 2 // 4, x * 2 // 4]).all()
+    # downsample back to 1x1: NN picks source (0, 0)
+    out1 = resize_bmp(blobs, 1, 1).collect()[0]
+    w1, h1, rgb1 = decode_bmp24(bytes(out1.blob))
+    assert (w1, h1) == (1, 1)
+    assert bytes(rgb1) == payload[0:3]
+
+
 def test_decode_image_dispatches_on_magic(spark):
     """decode_image decodes real BMP blobs end-to-end and raises a
     NotImplementedError NAMING the missing codec library for compressed

@@ -284,6 +284,7 @@ _GRAPH_PCA_PREFIXES = (
     "q_components_",
     "q_graph_",
     "q_embed_pca",
+    "q_multimodal_",
 )
 _GRAPH_PCA_EXACT = (
     "q_adamic_adar",
@@ -302,7 +303,7 @@ _GRAPH_PCA_EXACT = (
     "q_stream_embedding_drift",
     "q_stream_lexical_drift",
     "q_stream_ks_drift",
-    "q_multimodal_decode_real",
+    "q_frame_sample",
 )
 
 
@@ -401,12 +402,12 @@ def test_serve_tier_census_pinned():
     census = Counter(
         s.scale_tier for s in REGISTRY.values() if s.scale_tier is not None
     )
-    # round-13 census: r12's 67/21/9/2 + 2 new round-13 queries
-    # (decode_real scale, removal_hashed scale) + the 26 graph/PCA/drift
-    # tags (13 small-corpus rollups + kcenter + beam... -> +15
-    # small-corpus, +4 scale, +7 eval)
+    # round-13 census: r12's 67/21/9/2 + 3 new round-13 queries
+    # (decode_real, removal_hashed, resize_real — all scale) + the 26
+    # graph/PCA/drift tags (+15 small-corpus, +4 scale, +7 eval) + the 3
+    # multimodal narrow-map tags (meta/decode/frame_sample — scale)
     assert census == Counter(
-        {"scale": 73, "small-corpus": 36, "eval": 16, "ground-truth": 2}
+        {"scale": 77, "small-corpus": 36, "eval": 16, "ground-truth": 2}
     ), f"tier census moved: {dict(census)} — retier deliberately or fix"
     n_tagged = sum(census.values())
     from mapreduce_weather_analysis_spark.plans.scale_suite import (
