@@ -287,6 +287,8 @@ HEADLINE = [
     # round-13: ExactSubstr removal with 8-byte xxhash64 gram keys
     # through both wide stages (the string arm's production twin)
     "q_dup_span_removal_hashed",
+    # round-13: decode -> NN-resize -> re-encode -> decode, all real BMP
+    "q_multimodal_resize_real",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -613,6 +615,8 @@ BASELINE_SEC = {
     # round-13: removal with hashed gram keys (same coverage/reassembly
     # stages as the string arm; wide stages shuffle 8-byte longs)
     "q_dup_span_removal_hashed": 2.7,
+    # round-13: full BMP cycle (decode -> NN resize -> encode -> decode)
+    "q_multimodal_resize_real": 0.8,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

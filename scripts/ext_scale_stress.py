@@ -92,6 +92,7 @@ QUERIES = [
     # round-13: hashed-key removal twin, real BMP decode pipeline
     "q_dup_span_removal_hashed",
     "q_multimodal_decode_real",
+    "q_multimodal_resize_real",
 ]
 
 
