@@ -289,6 +289,8 @@ HEADLINE = [
     "q_dup_span_removal_hashed",
     # round-13: decode -> NN-resize -> re-encode -> decode, all real BMP
     "q_multimodal_resize_real",
+    # round-13: the WAV twin — real RIFF chunk-walk + PCM16 decode
+    "q_multimodal_audio_real",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -617,6 +619,8 @@ BASELINE_SEC = {
     "q_dup_span_removal_hashed": 2.7,
     # round-13: full BMP cycle (decode -> NN resize -> encode -> decode)
     "q_multimodal_resize_real": 0.8,
+    # round-13: WAV encode + chunk-walk PCM16 decode (one Arrow map each)
+    "q_multimodal_audio_real": 0.5,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

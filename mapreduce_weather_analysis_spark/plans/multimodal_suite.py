@@ -424,3 +424,84 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     blobs = encode_bmp_blobs(d, "text", "doc_id")
     return decode_image(resize_bmp(blobs, 8, 8))
+
+
+@register(
+    "q_multimodal_audio_real",
+    scale_tier="scale",
+    oracle="""
+    -- Independent prediction of the REAL WAV decoder's output from the
+    -- fixture bytes and the PCM16LE rule alone: sample s packs bytes
+    -- (2s, 2s+1) little-endian (the encoder zero-pads an odd tail byte),
+    -- signed 16-bit = unsigned - 65536 when >= 32768. The Spark side
+    -- walks the RIFF chunk list and reads the rate/geometry from the
+    -- container headers — a hash match certifies a true end-to-end audio
+    -- decode, and the position-weighted fingerprint is order-sensitive.
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(COALESCE(text, '')))) AS hx,
+             CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef',
+                     substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1) AS val
+      FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM b WHERE n > 0)
+    ),
+    smp AS (
+      SELECT doc_id, i // 2 AS s,
+             SUM(CASE WHEN i % 2 = 0 THEN val ELSE 256 * val END) AS us
+      FROM e GROUP BY 1, 2
+    ),
+    sgn AS (
+      SELECT doc_id, s,
+             us - CASE WHEN us >= 32768 THEN 65536 ELSE 0 END AS v
+      FROM smp
+    ),
+    agg AS (
+      SELECT doc_id,
+             SUM(v) AS sum_samples,
+             MAX(abs(v)) AS peak,
+             SUM((s + 1) * v) AS sample_weighted
+      FROM sgn GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(44 + 2 * ((b.n + 1) // 2) AS BIGINT) AS file_bytes,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST((b.n + 1) // 2 AS BIGINT) AS n_samples,
+           CAST(((b.n + 1) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(COALESCE(agg.sum_samples, 0) AS BIGINT) AS sum_samples,
+           CAST(COALESCE(agg.peak, 0) AS BIGINT) AS peak,
+           CAST(COALESCE(agg.sample_weighted, 0) AS BIGINT)
+             AS sample_weighted
+    FROM b LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end — the WAV twin of
+    q_multimodal_decode_real, so both media modalities the container can
+    honestly handle are covered: documents.text encoded as
+    spec-conformant RIFF/WAV PCM16 files (operators/multimodal.
+    encode_wav_pcm16; any audio player opens the blobs), decoded by the
+    GENERIC chunk-walking parser (decode_wav_pcm16: RIFF envelope
+    validation, chunk traversal with word alignment and unknown-chunk
+    skip, PCM16-mono validation, little-endian signed samples). Output
+    per clip: container size, header-derived sample rate, sample count
+    and duration, integer sample sum, peak |amplitude|, and a
+    position-weighted fingerprint.
+
+    The oracle never parses a WAV — it predicts every column from the
+    fixture bytes and the PCM16LE spec, so a hash match certifies the
+    decoder recovered the exact signed sample stream from the container.
+    MP3/OGG magic still raises NotImplementedError naming the codec
+    boundary (ENVIRONMENT.md: no soundfile/pyav/ffmpeg).
+
+    Scale shape: same as every multimodal stage — one narrow
+    Arrow-batched mapInPandas, blobs never shuffle, only the 8-column
+    numeric row flows downstream."""
+    from ..operators.multimodal import decode_audio, encode_wav_blobs
+
+    d = t(spark, sf_dir, "documents")
+    return decode_audio(encode_wav_blobs(d, "text", "doc_id"))

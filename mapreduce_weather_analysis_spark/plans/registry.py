@@ -202,6 +202,7 @@ _R13_QUEUE: tuple[str, ...] = (
     "q_multimodal_decode_real",
     "q_dup_span_removal_hashed",
     "q_multimodal_resize_real",
+    "q_multimodal_audio_real",
 )
 
 # Certified round 12 (first official rows): the round-12 additions.

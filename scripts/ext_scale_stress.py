@@ -93,6 +93,7 @@ QUERIES = [
     "q_dup_span_removal_hashed",
     "q_multimodal_decode_real",
     "q_multimodal_resize_real",
+    "q_multimodal_audio_real",
 ]
 
 

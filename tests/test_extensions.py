@@ -214,6 +214,54 @@ def test_bmp24_decoder_handles_topdown_and_rejects_variants():
         decode_bmp24(truncated)
 
 
+def test_wav_pcm16_codec_roundtrip():
+    """The REAL WAV codec (round 13): encode arbitrary payloads as
+    RIFF/PCM16-mono files and recover the exact signed sample stream by
+    walking the container chunks. Covers odd-length padding, signed
+    extremes, empty/null, chunk-order tolerance (an interposed LIST
+    chunk with odd size + pad byte), and the honest codec boundaries
+    (garbage -> ValueError, float-format WAV -> NotImplementedError)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    for payload in [b"", None, b"a", b"ab", b"hello world", bytes(range(256))]:
+        data = payload or b""
+        blob = encode_wav_pcm16(payload)
+        rate, samples = decode_wav_pcm16(blob)
+        ns = (len(data) + 1) // 2
+        assert rate == 16000 and samples.size == ns
+        padded = data + (b"\x00" if len(data) % 2 else b"")
+        assert (
+            samples == np.frombuffer(padded, "<i2")
+        ).all() if ns else samples.size == 0
+        assert len(blob) == 44 + 2 * ns
+    # signedness at the extremes: 0x7FFF -> 32767, 0x8000 -> -32768
+    _, s = decode_wav_pcm16(encode_wav_pcm16(b"\xff\x7f\x00\x80"))
+    assert list(s) == [32767, -32768]
+    # generic chunk walking: an unknown LIST chunk (odd size, word-pad)
+    # between fmt and data must be skipped, not break the parse
+    blob = encode_wav_pcm16(b"abcd")
+    chunks = blob[12:]
+    fmt_chunk, data_chunk = chunks[: 8 + 16], chunks[8 + 16 :]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body = b"WAVE" + fmt_chunk + extra + data_chunk
+    rate2, s2 = decode_wav_pcm16(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate2 == 16000 and (s2 == np.frombuffer(b"abcd", "<i2")).all()
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(b"garbage bytes, definitely not RIFF")
+    float_wav = bytearray(encode_wav_pcm16(b"abcd"))
+    float_wav[20] = 3  # IEEE-float format code
+    with _pytest.raises(NotImplementedError):
+        decode_wav_pcm16(bytes(float_wav))
+
+
 def test_resize_bmp_nearest_neighbor_exact(spark):
     """resize_bmp must apply the integer NN rule exactly: target (x, y)
     reads source (x*sw // W, y*sh // H), output re-encoded as a valid
