@@ -233,8 +233,12 @@ def encode_bmp_blobs(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
+                    # pd.isna, not `is None`: pandas may surface a null
+                    # string cell as NaN, and str(nan) would encode the
+                    # literal "nan" instead of the empty payload the
+                    # oracle's COALESCE(text, '') predicts
                     "blob": [
-                        enc(None if v is None else str(v).encode("utf-8"))
+                        enc(None if pd.isna(v) else str(v).encode("utf-8"))
                         for v in pdf["content"]
                     ],
                 }
@@ -482,8 +486,9 @@ def encode_wav_blobs(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
+                    # pd.isna for the NaN-null case — see encode_bmp_blobs
                     "blob": [
-                        enc(None if v is None else str(v).encode("utf-8"))
+                        enc(None if pd.isna(v) else str(v).encode("utf-8"))
                         for v in pdf["content"]
                     ],
                 }

@@ -326,6 +326,35 @@ def test_decode_image_dispatches_on_magic(spark):
         decode_image(jpeg).collect()
 
 
+def test_encode_blobs_null_content_is_empty_payload(spark):
+    """A NULL content cell must encode as the EMPTY payload (the oracles
+    predict via COALESCE(text, '')), not the string 'nan' — pandas can
+    surface a null string as NaN inside the Arrow batch."""
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_bmp_blobs,
+        encode_wav_blobs,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None), (2, "xy")], "doc_id bigint, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in decode_image(encode_bmp_blobs(d, "text", "doc_id")).collect()
+    }
+    assert (rows[1].width, rows[1].height) == (1, 1)
+    assert rows[1].sum_r == rows[1].sum_g == rows[1].sum_b == 0
+    assert rows[2].sum_r == ord("x") and rows[2].sum_g == ord("y")
+    arows = {
+        r.doc_id: r
+        for r in decode_audio(encode_wav_blobs(d, "text", "doc_id")).collect()
+    }
+    assert arows[1].n_samples == 0 and arows[1].sum_samples == 0
+    assert arows[2].n_samples == 1
+
+
 def test_fingerprint_order_sensitivity(spark):
     """The rolling fingerprint must differ for reordered token sequences
     (the property set-based MinHash lacks)."""
