@@ -291,6 +291,8 @@ HEADLINE = [
     "q_multimodal_resize_real",
     # round-13: the WAV twin — real RIFF chunk-walk + PCM16 decode
     "q_multimodal_audio_real",
+    # round-13: sign-of-delta fingerprint dedup over real decoded samples
+    "q_audio_fingerprint_dedup",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -621,6 +623,8 @@ BASELINE_SEC = {
     "q_multimodal_resize_real": 0.8,
     # round-13: WAV encode + chunk-walk PCM16 decode (one Arrow map each)
     "q_multimodal_audio_real": 0.5,
+    # round-13: per-clip 63-bit signature + one hash-agg on a long key
+    "q_audio_fingerprint_dedup": 0.9,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

@@ -505,3 +505,100 @@ def q_multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return decode_audio(encode_wav_blobs(d, "text", "doc_id"))
+
+
+@register(
+    "q_audio_fingerprint_dedup",
+    scale_tier="scale",
+    oracle="""
+    -- Signature replayed from the fixture bytes and the PCM16LE rule:
+    -- sample s = signed LE int16 from bytes (2s, 2s+1); fingerprint bit s
+    -- (s < 63) is set iff sample s+1 > sample s. 63 bits keep the sum
+    -- strictly inside signed-64 range on both engines.
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(COALESCE(text, '')))) AS hx,
+             CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef',
+                     substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1) AS val
+      FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM b WHERE n > 0)
+    ),
+    smp AS (
+      SELECT doc_id, i // 2 AS s,
+             SUM(CASE WHEN i % 2 = 0 THEN val ELSE 256 * val END) AS us
+      FROM e WHERE i < 128 GROUP BY 1, 2
+    ),
+    sgn AS (
+      SELECT doc_id, s,
+             us - CASE WHEN us >= 32768 THEN 65536 ELSE 0 END AS v
+      FROM smp
+    ),
+    fp AS (
+      SELECT b.doc_id,
+             CAST(COALESCE(SUM(
+               CASE WHEN nxt.v > cur.v
+                    THEN CAST(1 AS BIGINT) << CAST(cur.s AS INT)
+                    ELSE 0 END), 0) AS BIGINT) AS afp
+      FROM b
+      LEFT JOIN sgn cur ON cur.doc_id = b.doc_id AND cur.s < 63
+      LEFT JOIN sgn nxt ON nxt.doc_id = b.doc_id AND nxt.s = cur.s + 1
+      GROUP BY b.doc_id
+    ),
+    canon AS (
+      SELECT afp, MIN(doc_id) AS canonical_id,
+             CAST(COUNT(*) AS BIGINT) AS csize
+      FROM fp GROUP BY afp
+    )
+    SELECT f.doc_id, f.afp, c.canonical_id, c.csize
+    FROM fp f JOIN canon c ON c.afp = f.afp
+    """,
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-FINGERPRINT dedup over REAL decoded samples — the audio twin
+    of q_phash_dedup, completing the modality pair: each clip's WAV is
+    decoded by the generic chunk-walking parser and summarized as a
+    63-bit sign-of-delta signature (bit s = "sample s+1 rose above
+    sample s", the zero-crossing/landmark idea behind audio-matching
+    fingerprints — Wang's Shazam paper, ISMIR'03, reduced to its
+    relational core), then exact-signature clustering with a min-id
+    canonical. Re-encoded or level-shifted copies that preserve the
+    delta-sign profile collapse to one canonical clip.
+
+    Scale shape: the decode+signature pass is one narrow Arrow
+    mapInPandas (63 comparisons per clip, whatever the clip length —
+    the signature bounds per-clip work); clustering is a single hash-agg
+    on one long key + an edge-bounded join back, exactly q_phash_dedup's
+    plan. A billion-clip dedup is this plan. The oracle replays sample
+    decoding and the bit rule from fixture bytes in SQL."""
+    from ..operators.multimodal import decode_wav_pcm16, encode_wav_blobs
+
+    d = t(spark, sf_dir, "documents")
+    blobs = encode_wav_blobs(d, "text", "doc_id")
+    dec = decode_wav_pcm16  # ship by value, see factory note
+
+    def _fp_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                _, samples = dec(bytes(blob))
+                v = samples[:64]
+                afp = 0
+                for s in range(min(63, v.size - 1)):
+                    if int(v[s + 1]) > int(v[s]):
+                        afp |= 1 << s
+                rows.append((int(doc_id), afp))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    fp = blobs.mapInPandas(_fp_batch, "doc_id bigint, afp bigint")
+    canon = fp.groupBy("afp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    return fp.join(canon, "afp").select("doc_id", "afp", "canonical_id", "csize")

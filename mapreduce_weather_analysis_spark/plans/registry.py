@@ -203,6 +203,7 @@ _R13_QUEUE: tuple[str, ...] = (
     "q_dup_span_removal_hashed",
     "q_multimodal_resize_real",
     "q_multimodal_audio_real",
+    "q_audio_fingerprint_dedup",
 )
 
 # Certified round 12 (first official rows): the round-12 additions.

@@ -94,6 +94,7 @@ QUERIES = [
     "q_multimodal_decode_real",
     "q_multimodal_resize_real",
     "q_multimodal_audio_real",
+    "q_audio_fingerprint_dedup",
 ]
 
 

@@ -261,6 +261,7 @@ _SERVE_PAIR_EXACT = (
     "q_cross_source_pairs",
     "q_source_overlap_matrix",
     "q_phash_dedup",
+    "q_audio_fingerprint_dedup",
     "q_fuzzy_match",
     "q_late_interaction",
     "q_semantic_doc_search",
@@ -402,12 +403,13 @@ def test_serve_tier_census_pinned():
     census = Counter(
         s.scale_tier for s in REGISTRY.values() if s.scale_tier is not None
     )
-    # round-13 census: r12's 67/21/9/2 + 4 new round-13 queries
-    # (decode_real, removal_hashed, resize_real, audio_real — all scale)
-    # + the 26 graph/PCA/drift tags (+15 small-corpus, +4 scale, +7 eval)
-    # + the 3 multimodal narrow-map tags (meta/decode/frame_sample)
+    # round-13 census: r12's 67/21/9/2 + 5 new round-13 queries
+    # (decode_real, removal_hashed, resize_real, audio_real,
+    # audio_fingerprint_dedup — all scale) + the 26 graph/PCA/drift tags
+    # (+15 small-corpus, +4 scale, +7 eval) + the 3 multimodal
+    # narrow-map tags (meta/decode/frame_sample)
     assert census == Counter(
-        {"scale": 78, "small-corpus": 36, "eval": 16, "ground-truth": 2}
+        {"scale": 79, "small-corpus": 36, "eval": 16, "ground-truth": 2}
     ), f"tier census moved: {dict(census)} — retier deliberately or fix"
     n_tagged = sum(census.values())
     from mapreduce_weather_analysis_spark.plans.scale_suite import (
