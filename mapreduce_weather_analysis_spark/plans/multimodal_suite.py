@@ -230,7 +230,10 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.lit(8) * cnt(j) > n, F.lit(1 << j)).otherwise(0))
         for j in range(_PHASH_BINS)
     ).cast("long")
-    sig = dec.select("doc_id", phash.alias("phash"))
+    # localCheckpoint: sig feeds both the canon agg and the join-back —
+    # without it the Arrow decode stage re-executes once per branch
+    # (round-13 plan audit; same fix as q_audio_fingerprint_dedup)
+    sig = dec.select("doc_id", phash.alias("phash")).localCheckpoint()
     canon = sig.groupBy("phash").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("csize"),
@@ -596,7 +599,15 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(doc_id), afp))
             yield pd.DataFrame(rows, columns=["doc_id", "afp"])
 
-    fp = blobs.mapInPandas(_fp_batch, "doc_id bigint, afp bigint")
+    # localCheckpoint: fp feeds BOTH the canon agg and the join-back —
+    # without it the lineage (encode + decode + fingerprint, the whole
+    # Python stage) re-executes once per branch (the q_ngram_lm_counts
+    # device; verified in the physical plan). The materialized relation
+    # is 16 bytes/clip, far cheaper than a second decode pass, and gives
+    # AQE real stats for the join-side choice.
+    fp = blobs.mapInPandas(
+        _fp_batch, "doc_id bigint, afp bigint"
+    ).localCheckpoint()
     canon = fp.groupBy("afp").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("csize"),
