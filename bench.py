@@ -702,9 +702,12 @@ def _tee_stderr():
     return buf, drain
 
 
-def _breaches(tm: dict[str, float]) -> dict[str, tuple[float, float, float, str]]:
-    """Queries exceeding 2x their sf0.1 baseline (plus a 0.75 s absolute
-    floor so sub-second queries don't flake on scheduler noise).
+def _breaches(
+    tm: dict[str, float],
+) -> dict[tuple[str, str], tuple[float, float, float]]:
+    """(query, kind) pairs exceeding 2x their sf0.1 baseline (plus a
+    0.75 s absolute floor so sub-second queries don't flake on scheduler
+    noise).
 
     Stream queries with a drain baseline are gated on their DRAIN time
     (VERDICT r10 ask #6): the wall is dominated by per-query availableNow
@@ -714,27 +717,27 @@ def _breaches(tm: dict[str, float]) -> dict[str, tuple[float, float, float, str]
     (joins/windows over the drained relation), and gating drain alone
     would let a lost broadcast in that batch tail regress invisibly —
     3x sits above the 1.5-2x scaffolding jitter the drain split was
-    built to ignore but well below a broadcast->sort-merge blowup."""
-    out: dict[str, tuple[float, float, float, str]] = {}
+    built to ignore but well below a broadcast->sort-merge blowup.
+    Keyed by (query, kind) and BOTH kinds are checked independently
+    (ADVICE r13: the old single-kind if/elif let a confirmed drain
+    breach mask a coexisting wall-backstop breach on the same query)."""
+    out: dict[tuple[str, str], tuple[float, float, float]] = {}
     for n, t in tm.items():
         if n in STREAM_DRAIN_SEC and n in STREAM_SPLIT:
             t_eff, base = STREAM_SPLIT[n]["drain_s"], STREAM_DRAIN_SEC[n]
             bound = max(2 * base, base + 0.75)
             if t_eff > bound:
-                out[n] = (t_eff, base, bound, "drain")
-            elif n in BASELINE_SEC:
+                out[(n, "drain")] = (t_eff, base, bound)
+            if n in BASELINE_SEC:
                 wbase = BASELINE_SEC[n]
                 wbound = max(3 * wbase, wbase + 0.75)
                 if t > wbound:
-                    out[n] = (t, wbase, wbound, "wall")
-            continue
+                    out[(n, "wall")] = (t, wbase, wbound)
         elif n in BASELINE_SEC:
-            t_eff, base = t, BASELINE_SEC[n]
-        else:
-            continue
-        bound = max(2 * base, base + 0.75)
-        if t_eff > bound:
-            out[n] = (t_eff, base, bound, "wall")
+            base = BASELINE_SEC[n]
+            bound = max(2 * base, base + 0.75)
+            if t > bound:
+                out[(n, "wall")] = (t, base, bound)
     return out
 
 
@@ -885,11 +888,13 @@ def main() -> None:
     over: dict[tuple[str, str], tuple[float, float, float]] = {}
     if sf == 0.1:
 
-        def _vote(n: str, rec: tuple[float, float, float, str]) -> None:
+        def _vote(
+            n: str, kind: str, rec: tuple[float, float, float]
+        ) -> None:
             """Median-of-3 adjudication for one breaching (query, kind):
             two more best-of-2 draws, best draw's wall (and stream split)
             kept in the reported record, gate decides on the median."""
-            orig_eff, base, bound, kind = rec
+            orig_eff, base, bound = rec
             drain_gated = kind == "drain"
             best_eff = orig_eff
             best_split = STREAM_SPLIT.get(n)
@@ -931,24 +936,23 @@ def main() -> None:
                 file=sys.stderr,
             )
         adjudicated: set[tuple[str, str]] = set()
-        retimed: set[str] = set(first_over)
-        for n in sorted(first_over):
-            _vote(n, first_over[n])
-        # The median loop adjudicates only the breach kind _breaches
-        # originally recorded (drain wins its if/elif), so a query whose
-        # transient drain breach was dismissed could hide a REAL wall-
-        # backstop breach (review finding, round 11). Re-check the final
-        # best-draw timings — and give any newly exposed (query, kind)
-        # the SAME median-of-3 vote instead of failing on its single
-        # draw (ADVICE r11: a kept best-drain draw can carry a
-        # transiently slow wall — that's the flake class the median was
-        # built to absorb). Each (query, kind) votes at most once, so
-        # the loop terminates in <=2 extra passes per query.
+        retimed: set[str] = {n for n, _ in first_over}
+        for n, kind in sorted(first_over):
+            _vote(n, kind, first_over[(n, kind)])
+        # _breaches now reports BOTH kinds per stream query up front
+        # (ADVICE r13), but a vote's kept best draw can still change the
+        # other kind's quantity — a kept best-drain draw may carry a
+        # transiently slow wall (ADVICE r11's flake class) or expose a
+        # breach neither first pass saw. Re-check the final best-draw
+        # timings and give any newly exposed (query, kind) the SAME
+        # median-of-3 vote instead of failing on its single draw. Each
+        # (query, kind) votes at most once, so the loop terminates in
+        # <=2 extra passes per query.
         while True:
             fresh = {
-                n: rec
-                for n, rec in _breaches(timings).items()
-                if (n, rec[3]) not in adjudicated
+                k: rec
+                for k, rec in _breaches(timings).items()
+                if k not in adjudicated
             }
             if not fresh:
                 break
@@ -957,9 +961,9 @@ def main() -> None:
                 f"exposed by kept draws",
                 file=sys.stderr,
             )
-            retimed |= set(fresh)
-            for n in sorted(fresh):
-                _vote(n, fresh[n])
+            retimed |= {n for n, _ in fresh}
+            for n, kind in sorted(fresh):
+                _vote(n, kind, fresh[(n, kind)])
         if retimed:
             total = round(sum(timings.values()), 3)
             full_record["value"] = total

@@ -106,26 +106,41 @@ BMP_HEADER_BYTES = 54
 
 
 def _make_bmp24_codec():
-    def encode_bmp24(payload) -> bytes:
+    def encode_bmp24(payload, width=None, height=None) -> bytes:
         """Encode an arbitrary byte payload as a spec-conformant 24-bit
         uncompressed BMP: the payload becomes the top-down, row-major RGB
         pixel stream (zero-padded to width*height*3), stored per the
         format — bottom-up rows, BGR order, 4-byte row padding. Geometry
-        is the near-square the fake codec uses: npix = max(ceil(n/3), 1),
-        width = max(floor(sqrt(npix)), 1), height = ceil(npix/width)."""
+        is explicit when (width, height) are passed (the resize path,
+        where the near-square rule would mislabel any non-square target —
+        ADVICE r13), else the near-square the fake codec uses:
+        npix = max(ceil(n/3), 1), width = max(floor(sqrt(npix)), 1),
+        height = ceil(npix/width). An explicit geometry too small for the
+        payload is a caller bug and raises ValueError."""
         import struct
 
         import numpy as np
 
         data = bytes(payload) if payload is not None else b""
         n = len(data)
-        npix = max((n + 2) // 3, 1)
-        # float sqrt, not isqrt: the oracle computes floor(sqrt(npix)) in
-        # DuckDB and IEEE-754 sqrt is correctly rounded on both engines,
-        # so floor agrees bit-exactly (incl. perfect squares) — the same
-        # device q_multimodal_decode's geometry already relies on.
-        width = max(int(npix**0.5), 1)
-        height = (npix + width - 1) // width
+        if (width is None) != (height is None):
+            raise ValueError("pass both of (width, height) or neither")
+        if width is not None:
+            if width <= 0 or height <= 0:
+                raise ValueError(f"bad explicit geometry {width}x{height}")
+            if n > width * height * 3:
+                raise ValueError(
+                    f"payload of {n} bytes overflows the explicit "
+                    f"{width}x{height} pixel stream"
+                )
+        else:
+            npix = max((n + 2) // 3, 1)
+            # float sqrt, not isqrt: the oracle computes floor(sqrt(npix))
+            # in DuckDB and IEEE-754 sqrt is correctly rounded on both
+            # engines, so floor agrees bit-exactly (incl. perfect squares)
+            # — the same device q_multimodal_decode's geometry relies on.
+            width = max(int(npix**0.5), 1)
+            height = (npix + width - 1) // width
         rgb = np.zeros(width * height * 3, dtype=np.uint8)
         rgb[:n] = np.frombuffer(data, dtype=np.uint8)
         # top-down RGB -> bottom-up BGR rows
@@ -358,7 +373,15 @@ def resize_bmp(blobs: DataFrame, width: int, height: int) -> DataFrame:
                 ys = np.arange(height, dtype=np.int64) * sh // height
                 xs = np.arange(width, dtype=np.int64) * sw // width
                 resized = px[ys][:, xs]  # NN gather, top-down raster order
-                out.append((int(doc_id), enc(resized.reshape(-1).tobytes())))
+                # explicit target geometry: the near-square default would
+                # re-derive (w', h') from the payload length and mislabel
+                # any non-square target's header (ADVICE r13)
+                out.append(
+                    (
+                        int(doc_id),
+                        enc(resized.reshape(-1).tobytes(), width, height),
+                    )
+                )
             yield pd.DataFrame(out, columns=["doc_id", "blob"])
 
     return blobs.select("doc_id", "blob").mapInPandas(
@@ -514,14 +537,21 @@ def decode_audio(blobs: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        magics = {b"ID3": "MP3", b"\xff\xfb": "MP3", b"OggS"[:3]: "OGG"}
+        # prefix match, not fixed-width dict probe: the MPEG frame-sync
+        # magic is 2 bytes while ID3/OggS are 3, so a b[:3] lookup could
+        # never hit the 2-byte key and headerless MP3 fell through to the
+        # WAV parser's ValueError instead of naming the codec (ADVICE r13)
+        magics = ((b"ID3", "MP3"), (b"\xff\xfb", "MP3"), (b"Ogg", "OGG"))
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob) if blob is not None else b""
-                if b[:3] in magics:
+                codec = next(
+                    (c for m, c in magics if b.startswith(m)), None
+                )
+                if codec is not None:
                     raise NotImplementedError(
-                        f"{magics[b[:3]]} decode needs an audio codec "
+                        f"{codec} decode needs an audio codec "
                         "library; only PCM WAV decodes without one"
                     )
                 rate, samples = dec(b)

@@ -294,6 +294,64 @@ def test_resize_bmp_nearest_neighbor_exact(spark):
     w1, h1, rgb1 = decode_bmp24(bytes(out1.blob))
     assert (w1, h1) == (1, 1)
     assert bytes(rgb1) == payload[0:3]
+    # NON-SQUARE target (ADVICE r13): 16x4 has 64 pixels whose
+    # near-square would be 8x8 — with the old payload-length-derived
+    # re-encode the emitted header claimed 8x8 and rows wrapped at the
+    # wrong width. The explicit-geometry pass-through must label 16x4.
+    out_ns = resize_bmp(blobs, 16, 4).collect()[0]
+    wn, hn, rgbn = decode_bmp24(bytes(out_ns.blob))
+    assert (wn, hn) == (16, 4)
+    gotn = rgbn.reshape(4, 16, 3)
+    for y in range(4):
+        for x in range(16):
+            assert (gotn[y, x] == src[y * 2 // 4, x * 2 // 16]).all()
+
+
+def test_encode_bmp24_explicit_geometry_contract():
+    """encode_bmp24's explicit (width, height) arm: labels the header
+    with exactly the requested geometry (zero-padding the payload into
+    the pixel stream), rejects half-specified or overflowing calls."""
+    import pytest as _pytest
+
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    w, h, rgb = decode_bmp24(encode_bmp24(b"abc", 5, 2))
+    assert (w, h) == (5, 2)
+    assert bytes(rgb[:3]) == b"abc" and not rgb[3:].any()
+    with _pytest.raises(ValueError):
+        encode_bmp24(b"abc", 5, None)
+    with _pytest.raises(ValueError):
+        encode_bmp24(b"x" * 100, 2, 2)  # 100 > 2*2*3 pixel bytes
+    with _pytest.raises(ValueError):
+        encode_bmp24(b"x", 0, 4)
+
+
+def test_decode_audio_names_codec_for_headerless_mp3(spark):
+    """ADVICE r13: the 2-byte MPEG frame-sync magic (0xFFFB) could never
+    match the b[:3] dict probe, so headerless MP3 fell through to the
+    WAV parser's ValueError. The prefix dispatch must raise
+    NotImplementedError NAMING the codec for all three magics."""
+    import pytest as _pytest
+
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    for magic in (b"\xff\xfbthe rest", b"ID3v2 tag...", b"OggS page"):
+        blobs = spark.createDataFrame(
+            [(1, bytearray(magic))], "doc_id bigint, blob binary"
+        )
+        with _pytest.raises(Exception) as ei:
+            decode_audio(blobs).collect()
+        # Py4J wraps the executor-side exception; the message must carry
+        # the NotImplementedError naming the codec family
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+        assert ("MP3" in str(ei.value)) or ("OGG" in str(ei.value))
 
 
 def test_decode_image_dispatches_on_magic(spark):
