@@ -2621,6 +2621,18 @@ def _mmr_oracle() -> str:
         f"SELECT pick, doc_id, rel, mmr FROM pick{i}"
         for i in range(1, _MMR_K + 1)
     )
+    # MATERIALIZED is load-bearing, not a hint (VERDICT r13 ask #2):
+    # DuckDB inlines plain CTEs at every reference site, and cand{i}
+    # references sel{i-1} TWICE (the IN and NOT IN subqueries) while
+    # sel{i} references sel{i-1} again — so the greedy ladder re-expanded
+    # the whole upstream chain (toks/hcounts over all of documents)
+    # exponentially in K: 156 s at sf0.01 for 6 rows, ~20x costlier than
+    # any other oracle. Materializing each CTE makes every block evaluate
+    # once (0.08 s measured, same 6 rows) — the bounded join ladder the
+    # Spark side's localCheckpoint-per-round already is. Each block
+    # begins "name AS (", so replacing the first occurrence only touches
+    # the CTE header, never an alias inside the body.
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
     return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + union
 
 
