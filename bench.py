@@ -293,6 +293,12 @@ HEADLINE = [
     "q_multimodal_audio_real",
     # round-13: sign-of-delta fingerprint dedup over real decoded samples
     "q_audio_fingerprint_dedup",
+    # round-14: the Y4M video trio — real container decode, true
+    # frame-boundary sampling, and scene-fingerprint dedup (one Arrow
+    # mapInPandas each; blobs never shuffle)
+    "q_multimodal_video_real",
+    "q_video_frame_sample_real",
+    "q_video_scene_dedup",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -625,6 +631,12 @@ BASELINE_SEC = {
     "q_multimodal_audio_real": 0.5,
     # round-13: per-clip 63-bit signature + one hash-agg on a long key
     "q_audio_fingerprint_dedup": 0.9,
+    # round-14: Y4M encode + header/FRAME-walk decode (one Arrow map each)
+    "q_multimodal_video_real": 0.8,
+    # round-14: true frame-boundary sampling (output = frames/2)
+    "q_video_frame_sample_real": 0.7,
+    # round-14: per-stream 63-bit scene signature + one hash-agg dedup
+    "q_video_scene_dedup": 1.0,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

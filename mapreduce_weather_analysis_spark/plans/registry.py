@@ -132,9 +132,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # appears exactly once (VERDICT r7 asks #2/#10).
 _WINDOW = 50
 
-# Certified round 8 (first official rows): the round-7 IMI/SQ8/kNN/
-# sampling family — now green, parked with the fresh tail below.
-_R8_GREEN_A: tuple[str, ...] = (
+# NEVER driver-certified: the round-14 additions (the Y4M video codec
+# trio completing the real-decode modality story). They LEAD the
+# round-14 window for their first official rows.
+_R14_QUEUE: tuple[str, ...] = (
+    "q_multimodal_video_real",
+    "q_video_frame_sample_real",
+    "q_video_scene_dedup",
+)
+
+# Re-certified in round 13 (the round-13 window's tail slots): the 7
+# then-stalest r8-dated greens. Parked with the fresh tail.
+_R8_RECERT_R13: tuple[str, ...] = (
     "q_ann_imi_search",
     "q_ann_sq8_topk",
     "q_ann_matryoshka_rerank",
@@ -142,6 +151,15 @@ _R8_GREEN_A: tuple[str, ...] = (
     "q_ann_imi_sq8_search",
     "q_ann_imi_rerank",
     "q_decontaminate_bloom",
+)
+
+# Greens still dated round 8 — after the r13 window took the 7 heads
+# above, these 12 (+ the 31 in _R8_GREEN_B) are the oldest standing
+# driver checks (VERDICT r13 ask #1 named this exact 43-name backlog).
+# They follow the never-certified round-14 queue so CORRECTNESS_r14
+# retires the whole r8 backlog; nothing in the union stays older
+# than r9.
+_R8_GREEN_A: tuple[str, ...] = (
     "q_stream_decontaminate",
     "q_ann_imi_stats",
     "q_hybrid_search_persisted",
@@ -192,12 +210,8 @@ _R8_GREEN_B: tuple[str, ...] = (
     "q_quality_calibration",
 )
 
-# NEVER driver-certified: the round-13 additions. They LEAD the
-# round-13 window for their first official rows; the rest of the
-# window continues the re-certification rotation (VERDICT r12 ask #1):
-# the 38 r7-dated greens — the oldest driver checks left after the r12
-# window retired the r5 backlog and the first 12 r7 heads — then the
-# stalest r8 heads fill the window.
+# Certified round 13 (first official rows): the round-13 additions.
+# Parked with the fresh tail.
 _R13_QUEUE: tuple[str, ...] = (
     "q_multimodal_decode_real",
     "q_dup_span_removal_hashed",
@@ -470,10 +484,9 @@ _R7_RECERT_R12: tuple[str, ...] = (
     "q_intersect",
 )
 
-# Greens still dated round 7 — the 38 oldest driver checks left in the
-# registry (VERDICT r12 ask #1 named this exact backlog). They follow
-# the never-certified round-13 queue so CORRECTNESS_r13 retires the
-# whole r7 backlog; nothing in the union stays older than r8.
+# Re-certified in round 13 (CORRECTNESS_r13 rows 6-43): the formerly
+# r7-dated greens, the whole backlog retired in one window. Parked
+# with the fresh tail.
 _R7_GREEN: tuple[str, ...] = (
     "q_join_anti",
     "q_join_full_outer",
@@ -515,13 +528,13 @@ _R7_GREEN: tuple[str, ...] = (
     "q_dup_span_maximal",
 )
 
-# Window order = staleness order: never-certified round-13 additions
-# first, then the r7 backlog (oldest standing checks), then the r8
-# blocks (next-stalest — their heads fill the round-13 window's
-# remaining slots), then progressively fresher blocks.
+# Window order = staleness order: never-certified round-14 additions
+# first, then the r8 backlog (the 43 oldest standing checks — VERDICT
+# r13 ask #1), then the r9 blocks (next-stalest — their heads fill the
+# round-14 window's remaining slots), then progressively fresher
+# blocks.
 _PRIORITY: tuple[str, ...] = (
-    _R13_QUEUE
-    + _R7_GREEN
+    _R14_QUEUE
     + _R8_GREEN_A
     + _R8_GREEN_B
     + _R9_GREEN
@@ -536,6 +549,9 @@ _PRIORITY: tuple[str, ...] = (
     + _R12_QUEUE
     + _R5_STALE
     + _R7_RECERT_R12
+    + _R13_QUEUE
+    + _R7_GREEN
+    + _R8_RECERT_R13
 )
 
 

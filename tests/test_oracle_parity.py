@@ -83,8 +83,9 @@ def test_priority_sections_cover_registry_exactly():
     gets an official row on its first rotation."""
     from mapreduce_weather_analysis_spark.plans.registry import (
         _PRIORITY,
-        _R7_GREEN,
-        _R13_QUEUE,
+        _R8_GREEN_A,
+        _R8_GREEN_B,
+        _R14_QUEUE,
         _WINDOW,
         _import_plans,
     )
@@ -92,12 +93,12 @@ def test_priority_sections_cover_registry_exactly():
     _import_plans()
     assert len(_PRIORITY) == len(set(_PRIORITY)) == len(REGISTRY)
     assert set(_PRIORITY) == set(REGISTRY)
-    # the round-13 window leads with the never-certified _R13_QUEUE,
-    # then ALL 38 r7-dated greens — the whole remaining re-certification
-    # backlog (VERDICT r12 ask #1) — with the stalest r8 heads filling
+    # the round-14 window leads with the never-certified _R14_QUEUE,
+    # then ALL 43 r8-dated greens — the whole remaining re-certification
+    # backlog (VERDICT r13 ask #1) — with the stalest r9 heads filling
     # the remaining slots
-    head = _R13_QUEUE + _R7_GREEN
-    assert len(_R7_GREEN) == 38
+    head = _R14_QUEUE + _R8_GREEN_A + _R8_GREEN_B
+    assert len(_R8_GREEN_A) + len(_R8_GREEN_B) == 43
     assert len(head) <= _WINDOW
     assert _PRIORITY[: len(head)] == head
 
@@ -403,13 +404,11 @@ def test_serve_tier_census_pinned():
     census = Counter(
         s.scale_tier for s in REGISTRY.values() if s.scale_tier is not None
     )
-    # round-13 census: r12's 67/21/9/2 + 5 new round-13 queries
-    # (decode_real, removal_hashed, resize_real, audio_real,
-    # audio_fingerprint_dedup — all scale) + the 26 graph/PCA/drift tags
-    # (+15 small-corpus, +4 scale, +7 eval) + the 3 multimodal
-    # narrow-map tags (meta/decode/frame_sample)
+    # round-14 census: r13's 79/36/16/2 + 3 new round-14 queries (the
+    # Y4M video trio — video_real, frame_sample_real, scene_dedup — all
+    # scale: narrow Arrow maps + hash-agg dedup)
     assert census == Counter(
-        {"scale": 79, "small-corpus": 36, "eval": 16, "ground-truth": 2}
+        {"scale": 82, "small-corpus": 36, "eval": 16, "ground-truth": 2}
     ), f"tier census moved: {dict(census)} — retier deliberately or fix"
     n_tagged = sum(census.values())
     from mapreduce_weather_analysis_spark.plans.scale_suite import (
@@ -418,3 +417,202 @@ def test_serve_tier_census_pinned():
 
     # the snapshot the driver hashes = every tagged row except itself
     assert len(_ALL_TIER_ROWS) == n_tagged - 1
+
+
+# VERDICT r13 ask #4: the 160 scale_tier=None entries were exempt from the
+# tier contract by CONVENTION only — nothing stopped a future corpus-sized
+# query from hiding untagged. This pin makes the exemption EXPLICIT and
+# closed: the set below is every untiered name as of round 14 (scalar
+# demos, single-pass relational shapes, TPC-H aggregates, weather
+# flagships — 59 of them scan documents/embeddings but only in one-pass
+# projection/agg shapes with no serve/pair growth term). Registering ANY
+# new query without a scale_tier fails the equality below, so the author
+# must either tag it (the default for anything touching documents/
+# embeddings/events at corpus size) or consciously extend this list in
+# the same change.
+_UNTIERED_EXEMPT = frozenset((
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_pricing_summary",
+    "q_agg_rollup",
+    "q_approx_count_distinct",
+    "q_approx_percentiles",
+    "q_array_funcs",
+    "q_asof_join",
+    "q_big_orders",
+    "q_bpe_apply",
+    "q_bpe_pair_counts",
+    "q_bpe_train_merges",
+    "q_brand_revenue",
+    "q_calibration_bins",
+    "q_case_coalesce",
+    "q_ccnet_buckets",
+    "q_cdc_apply",
+    "q_city_month",
+    "q_city_month_formatted",
+    "q_cm_sketch_freq",
+    "q_constraint_audit",
+    "q_context_pack",
+    "q_corpus_clean",
+    "q_corpus_shuffle",
+    "q_corpus_split",
+    "q_corpus_stats",
+    "q_corpus_to_shards",
+    "q_curation_gate",
+    "q_curation_report",
+    "q_cust_order_distribution",
+    "q_date_funcs",
+    "q_diverse_sample",
+    "q_doc_chunks",
+    "q_doc_embed_hashed",
+    "q_doc_fingerprint",
+    "q_dominant_supplier",
+    "q_dsir_sample",
+    "q_dsir_weights",
+    "q_embed_quantize",
+    "q_encode_ids",
+    "q_epoch_plan",
+    "q_event_anomaly",
+    "q_event_transitions",
+    "q_events_funnel",
+    "q_events_funnel_sessionized",
+    "q_events_funnel_windowed",
+    "q_events_session_window",
+    "q_events_sessionize",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_except",
+    "q_forecast_revenue",
+    "q_gapfill_daily",
+    "q_gopher_quality",
+    "q_group_trend_pandas",
+    "q_grouping_sets",
+    "q_having_cte",
+    "q_heavy_hitters",
+    "q_idle_customers",
+    "q_important_parts",
+    "q_index_compaction",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_json_extract",
+    "q_kanon_audit",
+    "q_lang_confusion",
+    "q_lang_id",
+    "q_late_shipment_priority",
+    "q_lateness_priority_split",
+    "q_latest_per_key",
+    "q_ldiversity",
+    "q_lm_quality",
+    "q_local_supplier_volume",
+    "q_map_funcs",
+    "q_market_share",
+    "q_math_funcs",
+    "q_max_month",
+    "q_merge_upsert",
+    "q_mincost_supplier",
+    "q_mixing_weights",
+    "q_month_bucket_lenient",
+    "q_nation_volume",
+    "q_ngram_lm_counts",
+    "q_order_priority_count",
+    "q_pack_sequences",
+    "q_pandas_udaf",
+    "q_pandas_udf_cosine",
+    "q_parts_supplier_breadth",
+    "q_percentiles",
+    "q_pii_scrub",
+    "q_pivot",
+    "q_pmi_pairs",
+    "q_pr_curve",
+    "q_prefilter_semi_join",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_quality_calibration",
+    "q_quality_classifier",
+    "q_quota_sample",
+    "q_range_join",
+    "q_ranker_agreement",
+    "q_retention_cohorts",
+    "q_retrieval_eval",
+    "q_returned_items",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_sample_temperature",
+    "q_scan_filter_project",
+    "q_scd2_history",
+    "q_shipping_priority",
+    "q_sketch_mergeable",
+    "q_sketch_quantiles",
+    "q_sketch_set_ops",
+    "q_skew_profile",
+    "q_small_qty_revenue",
+    "q_solo_late_supplier",
+    "q_source_outliers",
+    "q_split_explode",
+    "q_sql_api_shipping",
+    "q_stratified_sample",
+    "q_stream_quality_gate",
+    "q_stream_session_window",
+    "q_stream_skew_profile",
+    "q_stream_sliding",
+    "q_stream_stateful_counts",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_stream_tws_counts",
+    "q_stream_tws_idle_sessions",
+    "q_string_funcs",
+    "q_stupid_backoff_lm",
+    "q_subquery_scalar",
+    "q_table_profile",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_tfidf_top_terms",
+    "q_token_budget",
+    "q_token_count",
+    "q_token_shards",
+    "q_tokenizer_fertility",
+    "q_top_supplier",
+    "q_topk_global",
+    "q_udtf_chunk_text",
+    "q_union_all",
+    "q_unpivot",
+    "q_vocab_coverage",
+    "q_weighted_sample",
+    "q_weighted_sample_stratified",
+    "q_window_lag_delta",
+    "q_window_range_frame",
+    "q_window_rank_family",
+    "q_window_running_sum",
+    "q_window_topk_per_group",
+    "q_zipf_fit",
+    "q_zorder_key",
+))
+
+
+def test_untiered_registry_entries_are_pinned_exemptions():
+    """Every scale_tier=None registration must be in the explicit
+    round-14 exemption set — a new untiered query (corpus-sized or not)
+    breaks the symmetric-difference assertion and forces a deliberate
+    tier decision (VERDICT r13 ask #4)."""
+    from mapreduce_weather_analysis_spark.plans.registry import (
+        _import_plans,
+    )
+
+    _import_plans()
+    untiered = {n for n, s in REGISTRY.items() if s.scale_tier is None}
+    new = sorted(untiered - _UNTIERED_EXEMPT)
+    assert not new, (
+        f"untiered queries not in the pinned exemption set: {new} — "
+        "tag a scale_tier (mandatory for corpus-sized work) or extend "
+        "_UNTIERED_EXEMPT deliberately"
+    )
+    gone = sorted(_UNTIERED_EXEMPT - untiered)
+    assert not gone, (
+        f"exempt names no longer untiered/registered: {gone} — prune "
+        "the pin so it stays the exact exemption set"
+    )
