@@ -1009,12 +1009,29 @@ def main() -> None:
     # First-class artifact: the complete record as a JSON FILE next to
     # bench.py — it survives regardless of how much stdout the driver
     # keeps. The stdout prints below are unchanged for the driver contract.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    with open(full_path, "w") as fh:
-        json.dump(full_record, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # VERDICT r13 ask #6: ALSO write a per-round copy
+    # (BENCH_FULL_r{N}.json) so round-over-round per-query history is
+    # diffable without git archaeology; the unversioned name stays the
+    # latest-copy convention. Round number = SPARK_GRAFT_ROUND if set,
+    # else 1 + the highest BENCH_r{N}.json already recorded (the driver
+    # writes BENCH_r{N}.json from this run's stdout AFTER it exits, so
+    # at run time the highest existing N is last round's). Subset runs
+    # (SPARK_GRAFT_BENCH_ONLY) skip both writes — a 3-query record must
+    # never clobber the sealed full artifact.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if not only:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            recorded = [
+                int(m.group(1))
+                for f in os.listdir(repo_dir)
+                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            rnd = str(max(recorded, default=0) + 1)
+        for fname in ("BENCH_FULL.json", f"BENCH_FULL_r{int(rnd):02d}.json"):
+            with open(os.path.join(repo_dir, fname), "w") as fh:
+                json.dump(full_record, fh, indent=1, sort_keys=True)
+                fh.write("\n")
 
     # Full record first (complete per-query map for humans/scripts)...
     print(json.dumps(full_record))
