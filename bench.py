@@ -293,12 +293,14 @@ HEADLINE = [
     "q_multimodal_audio_real",
     # round-13: sign-of-delta fingerprint dedup over real decoded samples
     "q_audio_fingerprint_dedup",
-    # round-14: the Y4M video trio — real container decode, true
-    # frame-boundary sampling, and scene-fingerprint dedup (one Arrow
-    # mapInPandas each; blobs never shuffle)
+    # round-14: the Y4M video family — real container decode, true
+    # frame-boundary sampling, stream-level scene-fingerprint dedup,
+    # and frame-level cross-video dedup (one Arrow mapInPandas each;
+    # blobs never shuffle)
     "q_multimodal_video_real",
     "q_video_frame_sample_real",
     "q_video_scene_dedup",
+    "q_video_frame_dedup",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -639,6 +641,8 @@ BASELINE_SEC = {
     "q_video_frame_sample_real": 0.7,
     # round-14: per-stream 63-bit scene signature + one hash-agg dedup
     "q_video_scene_dedup": 1.0,
+    # round-14: frame-level aHash + hash-agg on the 8-bit profile key
+    "q_video_frame_dedup": 0.7,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

@@ -843,3 +843,138 @@ def q_video_scene_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_video_frame_sample_real.__doc__ = q_video_frame_sample_real.__doc__.format(
     E=_Y4M_EVERY
 )
+
+
+_FRAME_BLOCKS = 8  # 8-byte sub-blocks per 64-byte frame -> 8-bit profile
+_FRAME_PACK = 1024  # canonical key packing: doc_id * 1024 + frame_idx
+
+
+@register(
+    "q_video_frame_dedup",
+    scale_tier="scale",
+    oracle=_y4m_bytes_ctes()
+    + f""",
+    fr AS (
+      SELECT doc_id, unnest(range(0, nf, {_Y4M_EVERY})) AS f FROM geo
+    ),
+    blk AS (
+      SELECT doc_id, i // {_Y4M_FSZ} AS f,
+             (i % {_Y4M_FSZ}) // {_FRAME_BLOCKS} AS j,
+             SUM(val) AS bsum
+      FROM e GROUP BY 1, 2, 3
+    ),
+    fsum AS (
+      SELECT doc_id, f, SUM(bsum) AS fs FROM blk GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT fr.doc_id, fr.f,
+             CAST(COALESCE(SUM(
+               CASE WHEN {_FRAME_BLOCKS} * blk.bsum > fsum.fs
+                    THEN 1 << CAST(blk.j AS INT) ELSE 0 END), 0) AS BIGINT)
+               AS fsig
+      FROM fr
+      LEFT JOIN blk ON blk.doc_id = fr.doc_id AND blk.f = fr.f
+      LEFT JOIN fsum ON fsum.doc_id = fr.doc_id AND fsum.f = fr.f
+      GROUP BY fr.doc_id, fr.f
+    ),
+    canon AS (
+      SELECT fsig, MIN(doc_id * {_FRAME_PACK} + f) AS ck,
+             CAST(COUNT(*) AS BIGINT) AS csize
+      FROM sig GROUP BY fsig
+    )
+    SELECT s.doc_id, s.f AS frame_idx, s.fsig,
+           CAST(c.ck // {_FRAME_PACK} AS BIGINT) AS canonical_doc,
+           CAST(c.ck % {_FRAME_PACK} AS BIGINT) AS canonical_frame,
+           c.csize
+    FROM sig s JOIN canon c ON c.fsig = s.fsig
+    """,
+)
+def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-level dedup ACROSS videos — the copied-scene detector that
+    complements q_video_scene_dedup's whole-stream signature: every
+    sampled frame (true container boundaries, stride {E}) is summarized
+    as an 8-bit brightness profile (bit j = "8-byte sub-block j is
+    brighter than the frame average", integer-exact: 8·blocksum_j >
+    framesum — the aHash recipe at frame granularity), then
+    exact-signature clustering with a lexicographic-min (doc, frame)
+    canonical. A frame cluster spanning multiple doc_ids IS a shared/
+    copied scene; re-encoded or brightness-scaled copies that preserve
+    the spatial profile collapse together. This is how video corpora
+    find reused footage at scale when whole-file hashing is blind to
+    embedded segments.
+
+    Determinism/packing: the canonical is MIN(doc_id·{P} + frame_idx) —
+    the Python stage raises loudly if frame_idx ever reaches {P}
+    (the chunk-key domain-guard discipline), so the packed argmin is
+    exact on both engines and unpacks to (canonical_doc,
+    canonical_frame) with pure integer arithmetic.
+
+    Scale shape: decode+sample+signature is ONE narrow Arrow
+    mapInPandas emitting 3 integers per sampled frame (raw frames never
+    shuffle); clustering is a single hash-agg on the 8-bit key + an
+    edge-bounded join back, with the frame relation materialized once
+    via localCheckpoint. A billion-video shared-scene sweep is exactly
+    this plan — output volume is frames/{E}, and the signature bounds
+    per-frame work at 8 block sums. The oracle replays frame slicing,
+    block sums, and the bit rule from fixture bytes in SQL."""
+    from ..operators.multimodal import decode_y4m, encode_y4m_blobs
+
+    d = t(spark, sf_dir, "documents")
+    blobs = encode_y4m_blobs(d, "text", "doc_id")
+    dec = decode_y4m  # ship by value, see factory note
+
+    def _fsig_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, _fn, _fd, _cs, frames = dec(bytes(blob))
+                y = frames[:, : w * h].astype(np.int64)
+                for f in range(0, y.shape[0], _Y4M_EVERY):
+                    if f >= _FRAME_PACK:
+                        raise ValueError(
+                            f"frame_idx {f} overflows the {_FRAME_PACK} "
+                            "canonical packing domain"
+                        )
+                    blocks = y[f].reshape(_FRAME_BLOCKS, -1).sum(axis=1)
+                    fs = int(blocks.sum())
+                    fsig = 0
+                    for j in range(_FRAME_BLOCKS):
+                        if _FRAME_BLOCKS * int(blocks[j]) > fs:
+                            fsig |= 1 << j
+                    rows.append((int(doc_id), f, fsig))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "fsig"])
+
+    # localCheckpoint: the frame relation feeds both the canon agg and
+    # the join-back (the q_phash_dedup device)
+    frames_rel = blobs.mapInPandas(
+        _fsig_batch, "doc_id bigint, frame_idx bigint, fsig bigint"
+    ).localCheckpoint()
+    canon = frames_rel.groupBy("fsig").agg(
+        F.min(
+            F.col("doc_id") * _FRAME_PACK + F.col("frame_idx")
+        ).alias("ck"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    return (
+        frames_rel.join(canon, "fsig")
+        .select(
+            "doc_id",
+            "frame_idx",
+            "fsig",
+            # integral DIV, not float `/`: exact for any bigint doc_id
+            # domain (float division only stays exact under 2^53)
+            F.expr(f"ck DIV {_FRAME_PACK}").alias("canonical_doc"),
+            F.pmod(F.col("ck"), F.lit(_FRAME_PACK))
+            .cast("bigint")
+            .alias("canonical_frame"),
+            "csize",
+        )
+    )
+
+
+q_video_frame_dedup.__doc__ = q_video_frame_dedup.__doc__.format(
+    E=_Y4M_EVERY, P=_FRAME_PACK
+)

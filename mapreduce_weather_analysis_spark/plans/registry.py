@@ -139,6 +139,7 @@ _R14_QUEUE: tuple[str, ...] = (
     "q_multimodal_video_real",
     "q_video_frame_sample_real",
     "q_video_scene_dedup",
+    "q_video_frame_dedup",
 )
 
 # Re-certified in round 13 (the round-13 window's tail slots): the 7

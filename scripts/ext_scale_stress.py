@@ -95,10 +95,11 @@ QUERIES = [
     "q_multimodal_resize_real",
     "q_multimodal_audio_real",
     "q_audio_fingerprint_dedup",
-    # round-14: the Y4M video trio
+    # round-14: the Y4M video family
     "q_multimodal_video_real",
     "q_video_frame_sample_real",
     "q_video_scene_dedup",
+    "q_video_frame_dedup",
 ]
 
 
