@@ -54,13 +54,23 @@ def has_min_tokens(c: Column | str, n: int) -> Column:
     lambda expression re-inlined, and interpreted HOF evaluation inside
     FilterExec measured ~30× the projection's cost at sf0.1 (round 14,
     q_stream_minhash_ledger decomposition). This form is a plain
-    split+size over the trimmed text — whole-stage-codegen all the way
-    into the scan. Equivalence: after ``trim``, the regex split emits no
-    empty tokens except for the all-whitespace/empty input (one ""
-    element, size 1), and NULL text yields size -1 — both < n for any
-    n >= 1, exactly the rows ``tokens``/``shingles`` would drop."""
+    trim+split+size — whole-stage-codegen all the way into the scan.
+
+    Equivalence by construction: the anchored pattern
+    ``^WS*(TOKEN WS+){n-1}TOKEN`` (TOKEN = one-or-more non-WS chars from
+    the SAME class ``tokens`` splits on) matches exactly the strings
+    whose maximal non-whitespace runs number ≥ n — a split-size check is
+    NOT equivalent (empty/whitespace-only input splits to boundary ""
+    elements and wrongly passes n=1, and Spark's ``trim`` strips only
+    ASCII spaces, not tabs/newlines — both caught by the edge-case
+    equivalence test). NULL text propagates NULL → dropped by WHERE,
+    like ``tokens``. The disjoint WS/non-WS classes make the regex
+    backtracking-free (linear scan that can stop at the n-th token)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.size(F.split(F.lower(F.trim(col)), WS_CLASS + "+")) >= n
+    not_ws = WS_CLASS.replace("[", "[^", 1)
+    return col.rlike(
+        f"^{WS_CLASS}*({not_ws}+{WS_CLASS}+){{{n - 1}}}{not_ws}"
+    )
 
 
 def shingles(toks: Column, n: int = 3) -> Column:

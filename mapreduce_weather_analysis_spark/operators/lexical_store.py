@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.compat import portable_hash32, portable_hash32_py
-from ..functions.text import tokens
+from ..functions.text import has_min_tokens, tokens
 from ..sources.tables import load_table
 from .ann_store import INDEX_ROOT
 
@@ -68,8 +68,8 @@ def lexical_write(spark: SparkSession, sf_dir: str) -> str:
         return path
     d = (
         load_table(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 1))
         .select("doc_id", tokens("text").alias("toks"))
-        .where(F.size("toks") > 0)
     )
     dls = d.select("doc_id", F.size("toks").alias("dl"))
     postings = (
@@ -141,8 +141,8 @@ def lexical_segment_write(
     d = (
         load_table(spark, sf_dir, "documents")
         .where(doc_pred)
+        .where(has_min_tokens("text", 1))
         .select("doc_id", tokens("text").alias("toks"))
-        .where(F.size("toks") > 0)
     )
     dls = d.select("doc_id", F.size("toks").alias("dl"))
     postings = (

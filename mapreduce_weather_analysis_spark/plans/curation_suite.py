@@ -22,7 +22,7 @@ from ..functions.compat import (
     psum,
     psum_sql,
 )
-from ..functions.text import tokens, tokens_sql
+from ..functions.text import has_min_tokens, tokens, tokens_sql
 from .registry import register, t
 
 # --- Gopher rule gate -------------------------------------------------------
@@ -326,8 +326,8 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", _WIN_K))
         .select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") >= _WIN_K)
     )
     g = d.select(
         "doc_id",
@@ -752,8 +752,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_col = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 1))
         .select("doc_id", toks_col.alias("toks"))
-        .where(F.size("toks") > 0)
     )
     dls = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dls.agg(
@@ -949,8 +949,8 @@ def _bm25_corpus_rels(
     toks_col = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 1))
         .select("doc_id", toks_col.alias("toks"))
-        .where(F.size("toks") > 0)
     )
     dls = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dls.agg(
@@ -1025,8 +1025,8 @@ def _hcounts_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_col = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 1))
         .select("doc_id", toks_col.alias("toks"))
-        .where(F.size("toks") > 0)
     )
     tok_rows = d.select("doc_id", F.explode("toks").alias("term"))
     return tok_rows.groupBy(
@@ -3283,8 +3283,8 @@ def q_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = (
         t(spark, sf_dir, "documents")
         .where(F.pmod(F.col("doc_id"), F.lit(_LADD_MOD)) == F.lit(_LADD_REM))
+        .where(has_min_tokens("text", 1))
         .select("doc_id", tokens("text").alias("toks"))
-        .where(F.size("toks") > 0)
     )
     pr = (
         nd.select("doc_id", F.explode("toks").alias("term"))

@@ -199,10 +199,12 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded rank window. Determinism: the shared pagerank kernel's
     decimal-routed contribution sums, unrolled verbatim in the oracle."""
     from ..functions.compat import bounded_rank_window
-    from ..functions.text import tokens
+    from ..functions.text import has_min_tokens, tokens
 
     d = t(spark, sf_dir, "documents")
-    toks = d.select(tokens("text").alias("toks")).where(F.size("toks") >= 2)
+    toks = d.where(has_min_tokens("text", 2)).select(
+        tokens("text").alias("toks")
+    )
     bg = toks.select(
         F.explode(
             F.zip_with(

@@ -1406,7 +1406,7 @@ def q_stream_decontaminate_semantic(
     from pyspark.sql import Window as W
 
     from ..functions.compat import dround, portable_hash32
-    from ..functions.text import tokens
+    from ..functions.text import has_min_tokens, tokens
     from ..functions.vectors import dot_unrolled
     from .curation_suite import (
         _FEAT_DIM,
@@ -1468,7 +1468,7 @@ def q_stream_decontaminate_semantic(
     stream = (
         read_documents_stream(spark, sf_dir)
         .where(F.col("doc_id") % _DECON_EVAL != 0)
-        .where(F.size(toks) > 0)  # batch featurizer drops token-less docs
+        .where(has_min_tokens("text", 1))  # codegen twin of size(toks)>0
         .select(F.col("doc_id").alias("train_doc"), buckets.alias("b"))
         .repartition(F.col("train_doc"))  # materialize the hashed buckets
         .select("train_doc", v_of_b.alias("tr_v"))

@@ -19,7 +19,13 @@ from ..functions.compat import (
     psum,
     psum_sql,
 )
-from ..functions.text import hashed_list, hashed_list_sql, tokens, tokens_sql
+from ..functions.text import (
+    has_min_tokens,
+    hashed_list,
+    hashed_list_sql,
+    tokens,
+    tokens_sql,
+)
 from .registry import register, t
 
 # Stopword lists for quality scoring + language ID (fixed, shared with SQL).
@@ -72,7 +78,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters (C4/Gopher-style heuristics), one narrow scan, no shuffle."""
     d = t(spark, sf_dir, "documents")
     toks = tokens("text")
-    base = d.select("doc_id", "text", toks.alias("toks")).where(F.size("toks") > 0)
+    base = d.where(has_min_tokens("text", 1)).select(
+        "doc_id", "text", toks.alias("toks")
+    )
     n_tokens = F.size("toks")
     punct_count = F.length("text") - F.length(
         F.regexp_replace("text", PUNCT_CLASS, "")
@@ -145,9 +153,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     interesting output is the deterministic prediction pipeline itself."""
     d = t(spark, sf_dir, "documents")
     toks = tokens("text")
-    base = d.select(
+    base = d.where(has_min_tokens("text", 1)).select(
         "doc_id", F.col("lang").alias("labeled_lang"), toks.alias("toks")
-    ).where(F.size("toks") > 0)
+    )
     scores = {
         lang: _count_in(F.col("toks"), ws) for lang, ws in LANG_STOPWORDS.items()
     }
@@ -234,8 +242,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     hv = hashed_list(F.col("toks"))
     return (
-        d.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") > 0)
+        d.where(has_min_tokens("text", 1))
+        .select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
             F.aggregate(
@@ -895,7 +903,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     titles = (
         t(spark, sf_dir, "documents")
-        .where(F.size(toks) >= 3)
+        .where(has_min_tokens("text", 3))
         .select(
             "doc_id",
             F.concat_ws(" ", F.slice(toks, 1, 3)).alias("title"),
@@ -1320,11 +1328,11 @@ def _bpe_train(
     sep = _MR + _ML
     base = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 1))
         .select(
             "doc_id",
             F.slice(tokens("text"), 1, _BPE_MAXTOK).alias("toks"),
         )
-        .where(F.size("toks") > 0)
     )
     enc = base.select(
         "doc_id",
@@ -1425,8 +1433,8 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     before = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 1))
         .select("doc_id", F.least(F.size(toks), F.lit(_BPE_MAXTOK)).alias("nb"))
-        .where(F.size(toks) > 0)
     )
     return after.join(before, "doc_id").select(
         "doc_id",
@@ -1498,8 +1506,8 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 1))
         .select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") > 0)
     )
     return _segment_dedup_plan(d, lambda seg: seg)
 
@@ -1587,8 +1595,8 @@ def q_segment_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 1))
         .select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") > 0)
     )
     return _segment_dedup_plan(d, lambda seg: F.xxhash64(seg))
 
@@ -1648,8 +1656,8 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 3))
         .select(toks.alias("toks"))
-        .where(F.size("toks") >= 3)
     )
     tri = d.select(
         F.explode(
@@ -1761,8 +1769,8 @@ def _dup_span_plan(spark: SparkSession, sf_dir: str, key_fn) -> DataFrame:
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", _DUP_N))
         .select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") >= _DUP_N)
     )
     g = d.select(
         "doc_id",
@@ -1905,8 +1913,8 @@ def q_dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", _DUP_N))
         .select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") >= _DUP_N)
     )
     g = d.select(
         "doc_id",
@@ -2060,11 +2068,19 @@ def _dup_removal_plan(spark: SparkSession, sf_dir: str, key_fn) -> DataFrame:
     string arm's oracle verbatim."""
     from pyspark.sql import Window as W
 
+    # d (the tokrows/reassembly source) must keep EVERY doc — short docs
+    # have no grams but their tokens still flow to the cleaned corpus.
+    # Only the gram-exploding branch excludes sub-{N}-token docs, via the
+    # codegen text precondition (the HOF-in-filter rule, round 14): the
+    # old size("toks") >= _DUP_N filter re-inlined the token lambda into
+    # an interpreted FilterExec.
     d = t(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("toks")
     )
     g = (
-        d.where(F.size("toks") >= _DUP_N)
+        t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", _DUP_N))
+        .select("doc_id", tokens("text").alias("toks"))
         .select(
             "doc_id",
             F.posexplode(
@@ -2330,8 +2346,8 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         t(spark, sf_dir, "documents")
+        .where(has_min_tokens("text", 2))
         .select("doc_id", tokens("text").alias("toks"))
-        .where(F.size("toks") >= 2)
     )
     bg = d.select(
         "doc_id",
@@ -2744,7 +2760,9 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.compat import dround
 
     d = t(spark, sf_dir, "documents")
-    toks = d.select(tokens("text").alias("toks")).where(F.size("toks") >= 2)
+    toks = d.where(has_min_tokens("text", 2)).select(
+        tokens("text").alias("toks")
+    )
     bg = toks.select(
         F.explode(
             F.zip_with(

@@ -2144,3 +2144,42 @@ def test_cosine_unrolled_bit_identical_to_fold(spark):
         & ~(F2.isnan("fold") & F2.isnan("flat"))
     ).count()
     assert bad == 0
+
+
+def test_has_min_tokens_equals_hof_token_count(spark):
+    """The codegen precondition (functions/text.has_min_tokens) must agree
+    with size(tokens(c)) >= n ROW-FOR-ROW, including the degenerate inputs
+    where a naive split-size check diverges: empty text and whitespace-only
+    text split to one "" element (size 1, which would wrongly pass n=1),
+    and NULL text must drop. Round-14 regression pin: every former
+    `where(size(toks) >= n)` site now rides this predicate, so its
+    equivalence IS those 23 queries' row-membership contract."""
+    from mapreduce_weather_analysis_spark.functions.text import (
+        has_min_tokens,
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "\t\n "),
+        (4, "one"),
+        (5, "  padded  "),
+        (6, "two words"),
+        (7, "three little words"),
+        (8, "a  b\tc\nd"),
+        (9, "word " * 50),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    for n in (1, 2, 3, 5):
+        got = {
+            r.id
+            for r in df.where(has_min_tokens("text", n)).collect()
+        }
+        want = {
+            r.id
+            for r in df.where(F.size(tokens("text")) >= n).collect()
+        }
+        assert got == want, f"n={n}: {sorted(got)} != {sorted(want)}"
