@@ -301,6 +301,8 @@ HEADLINE = [
     "q_video_frame_sample_real",
     "q_video_scene_dedup",
     "q_video_frame_dedup",
+    # round-14: chroma-bearing C420 decode (plane-aware generic parse)
+    "q_multimodal_video_c420",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -643,6 +645,8 @@ BASELINE_SEC = {
     "q_video_scene_dedup": 1.0,
     # round-14: frame-level aHash + hash-agg on the 8-bit profile key
     "q_video_frame_dedup": 0.7,
+    # round-14: chroma-bearing C420 decode, plane-aware generic parse
+    "q_multimodal_video_c420": 0.5,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

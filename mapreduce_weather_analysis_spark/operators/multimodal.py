@@ -724,11 +724,44 @@ DECODED_VIDEO_SCHEMA = T.StructType(
 )
 
 
-def encode_y4m_blobs(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+def _make_y4m_c420_encoder():
+    def encode_y4m_c420(payload, width=Y4M_WIDTH, height=Y4M_HEIGHT) -> bytes:
+        """C420 twin of encode_y4m: the payload becomes the CONCATENATED
+        planar frame stream — each frame is Y (w*h bytes) then the
+        2x2-subsampled U and V planes (w*h/4 each), zero-padded to whole
+        frames. Exercises the decoder's colorspace-derived frame sizing
+        (w*h*3/2) on a real chroma-bearing stream; any Y4M player opens
+        the result."""
+        data = bytes(payload) if payload is not None else b""
+        fsz = width * height * 3 // 2
+        n_frames = max((len(data) + fsz - 1) // fsz, 1)
+        data += b"\x00" * (n_frames * fsz - len(data))
+        header = (
+            f"YUV4MPEG2 W{width} H{height} "
+            f"F{Y4M_FPS[0]}:{Y4M_FPS[1]} Ip A1:1 C420\n"
+        ).encode("ascii")
+        return header + b"".join(
+            b"FRAME\n" + data[f * fsz : (f + 1) * fsz]
+            for f in range(n_frames)
+        )
+
+    return encode_y4m_c420
+
+
+encode_y4m_c420 = _make_y4m_c420_encoder()
+
+
+def encode_y4m_blobs(
+    df: DataFrame, content_col: str, id_col: str, colorspace: str = "mono"
+) -> DataFrame:
     """Arrow-batched Y4M encode: (id, content) -> (doc_id, blob) where blob
     is a real YUV4MPEG2 stream — fixture synthesis for the video decode
-    path (the encode_bmp_blobs convention for the video modality)."""
-    enc = encode_y4m  # ship by value, see factory note
+    path (the encode_bmp_blobs convention for the video modality).
+    ``colorspace="420"`` writes chroma-bearing C420 frames instead of
+    luma-only Cmono."""
+    enc = (
+        encode_y4m if colorspace == "mono" else encode_y4m_c420
+    )  # ship by value, see factory note
 
     def _encode_batch(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -823,6 +856,86 @@ def decode_video(blobs: DataFrame) -> DataFrame:
 
     return blobs.select("doc_id", "blob").mapInPandas(
         _decode_batch, DECODED_VIDEO_SCHEMA
+    )
+
+
+DECODED_PLANES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("file_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("u_sum", T.LongType()),
+        T.StructField("v_sum", T.LongType()),
+        T.StructField("frame_weighted", T.LongType()),
+    ]
+)
+
+# chroma-plane size as a fraction of the luma plane, numerator over 4
+# (per-plane: mono has none; 420 subsamples 2x2; 422 2x1; 444 full)
+_Y4M_CHROMA_Q = {"mono": 0, "420": 1, "420jpeg": 1, "420mpeg2": 1,
+                 "420paldv": 1, "422": 2, "444": 4}
+
+
+def decode_video_planes(blobs: DataFrame) -> DataFrame:
+    """PLANE-AWARE video decode over (doc_id, blob): like decode_video
+    but splits each frame into its Y/U/V planes using the
+    colorspace-derived plane geometry (luma w*h, chroma w*h*q/4 with q
+    from the subsampling mode) and reports per-plane byte sums plus the
+    order-sensitive whole-stream fingerprint. This is the query path
+    that certifies the decoder's CHROMA handling end-to-end — Cmono
+    streams report zero chroma; C420 streams split 4:1:1."""
+    dec = decode_y4m  # ship by value, see factory note
+
+    def _decode_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                w, h, _fn, _fd, cs, frames = dec(b)
+                v = frames.astype(np.int64)
+                luma = w * h
+                chroma = luma * _Y4M_CHROMA_Q[cs] // 4
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(b),
+                        w,
+                        h,
+                        int(v.shape[0]),
+                        int(v[:, :luma].sum()),
+                        int(v[:, luma : luma + chroma].sum()),
+                        int(v[:, luma + chroma : luma + 2 * chroma].sum()),
+                        int(
+                            (
+                                v.reshape(-1)
+                                * (np.arange(v.size, dtype=np.int64) + 1)
+                            ).sum()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "file_bytes",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "y_sum",
+                    "u_sum",
+                    "v_sum",
+                    "frame_weighted",
+                ],
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        _decode_batch, DECODED_PLANES_SCHEMA
     )
 
 

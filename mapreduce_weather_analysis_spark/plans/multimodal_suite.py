@@ -845,6 +845,66 @@ q_video_frame_sample_real.__doc__ = q_video_frame_sample_real.__doc__.format(
 )
 
 
+_C420_FSZ = 96  # 8x8 C420 frame: Y 64 + U 16 + V 16
+_C420_HDR = 35  # "YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n"
+_C420_CHUNK = 102  # "FRAME\n" + 96
+
+
+@register(
+    "q_multimodal_video_c420",
+    scale_tier="scale",
+    oracle=_y4m_bytes_ctes()
+    + f""",
+    geo420 AS (
+      SELECT doc_id, n,
+             greatest((n + {_C420_FSZ - 1}) // {_C420_FSZ}, 1) AS nf
+      FROM b
+    ),
+    s AS (
+      SELECT doc_id,
+             SUM(CASE WHEN i % {_C420_FSZ} < 64 THEN val ELSE 0 END) AS y_sum,
+             SUM(CASE WHEN i % {_C420_FSZ} >= 64 AND i % {_C420_FSZ} < 80
+                      THEN val ELSE 0 END) AS u_sum,
+             SUM(CASE WHEN i % {_C420_FSZ} >= 80 THEN val ELSE 0 END) AS v_sum,
+             SUM((i + 1) * val) AS frame_weighted
+      FROM e GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST({_C420_HDR} + g.nf * {_C420_CHUNK} AS BIGINT) AS file_bytes,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(g.nf AS BIGINT) AS n_frames,
+           CAST(COALESCE(s.y_sum, 0) AS BIGINT) AS y_sum,
+           CAST(COALESCE(s.u_sum, 0) AS BIGINT) AS u_sum,
+           CAST(COALESCE(s.v_sum, 0) AS BIGINT) AS v_sum,
+           CAST(COALESCE(s.frame_weighted, 0) AS BIGINT) AS frame_weighted
+    FROM geo420 g LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_multimodal_video_c420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHROMA-bearing video decode, end-to-end: documents encoded as
+    C420 Y4M streams (encode_y4m_c420 — real 4:2:0 planar frames, 96
+    bytes each at 8x8: Y 64 + U 16 + V 16) and decoded by the SAME
+    generic parser, which derives the frame size from the colorspace tag
+    (w·h·3/2) and splits per-plane sums via the subsampling geometry
+    (operators/multimodal.decode_video_planes). This certifies the
+    decoder's colorspace dispatch on a chroma-bearing stream — the Cmono
+    arm alone would leave the 420/422/444 sizing map exercised only by a
+    unit test, not by a driver-hashed oracle row.
+
+    The oracle maps payload byte i to frame i//96 at offset i%96 and
+    splits Y/U/V by offset (<64 / <80 / else) — pure container
+    arithmetic, never parsing a stream; zero padding contributes to no
+    sum. Scale shape: identical to q_multimodal_video_real — one narrow
+    Arrow map per stage, blobs never shuffle."""
+    from ..operators.multimodal import decode_video_planes, encode_y4m_blobs
+
+    d = t(spark, sf_dir, "documents")
+    return decode_video_planes(
+        encode_y4m_blobs(d, "text", "doc_id", colorspace="420")
+    )
+
+
 _FRAME_BLOCKS = 8  # 8-byte sub-blocks per 64-byte frame -> 8-bit profile
 _FRAME_PACK = 1024  # canonical key packing: doc_id * 1024 + frame_idx
 

@@ -140,6 +140,7 @@ _R14_QUEUE: tuple[str, ...] = (
     "q_video_frame_sample_real",
     "q_video_scene_dedup",
     "q_video_frame_dedup",
+    "q_multimodal_video_c420",
 )
 
 # Re-certified in round 13 (the round-13 window's tail slots): the 7

@@ -100,6 +100,7 @@ QUERIES = [
     "q_video_frame_sample_real",
     "q_video_scene_dedup",
     "q_video_frame_dedup",
+    "q_multimodal_video_c420",
 ]
 
 

@@ -2183,3 +2183,27 @@ def test_has_min_tokens_equals_hof_token_count(spark):
             for r in df.where(F.size(tokens("text")) >= n).collect()
         }
         assert got == want, f"n={n}: {sorted(got)} != {sorted(want)}"
+
+
+def test_y4m_c420_encoder_roundtrip():
+    """The C420 encoder writes real 4:2:0 planar frames (96 bytes at
+    8x8: Y 64 + U 16 + V 16) that the SAME generic parser sizes from the
+    colorspace tag — payload recovery is exact across the concatenated
+    plane stream, padding zero-only, container arithmetic 35-byte header
+    + 102-byte frame chunks."""
+    from mapreduce_weather_analysis_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m_c420,
+    )
+
+    for payload in [b"", None, b"a", bytes(range(200)), b"x" * 97]:
+        data = payload or b""
+        blob = encode_y4m_c420(payload)
+        w, h, fn, fd, cs, frames = decode_y4m(blob)
+        nf = max((len(data) + 95) // 96, 1)
+        assert (w, h, fn, fd, cs) == (8, 8, 25, 1, "420")
+        assert frames.shape == (nf, 96)
+        flat = frames.reshape(-1)
+        assert bytes(flat[: len(data)]) == data
+        assert not flat[len(data) :].any()
+        assert len(blob) == 35 + nf * 102
