@@ -303,6 +303,9 @@ HEADLINE = [
     "q_video_frame_dedup",
     # round-14: chroma-bearing C420 decode (plane-aware generic parse)
     "q_multimodal_video_c420",
+    # round-14: cross-modality canonicalization (bmp+wav round-trips
+    # fused with the digest in one Arrow map per doc)
+    "q_cross_modal_dedup",
     # (q_serve_tiers_all is NOT benched — like q_ann_serve_tiers it is
     # a driver-side registry snapshot; timing it measures createDataFrame
     # overhead, not the engine)
@@ -647,6 +650,8 @@ BASELINE_SEC = {
     "q_video_frame_dedup": 0.7,
     # round-14: chroma-bearing C420 decode, plane-aware generic parse
     "q_multimodal_video_c420": 0.5,
+    # round-14: bmp+wav round-trip + digest fused in one Arrow map
+    "q_cross_modal_dedup": 1.1,
 }
 
 # First-green DRAIN baselines for the headline stream queries (VERDICT

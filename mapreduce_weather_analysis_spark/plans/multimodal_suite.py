@@ -1038,3 +1038,112 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_video_frame_dedup.__doc__ = q_video_frame_dedup.__doc__.format(
     E=_Y4M_EVERY, P=_FRAME_PACK
 )
+
+
+@register(
+    "q_cross_modal_dedup",
+    scale_tier="scale",
+    oracle="""
+    -- The content signature is sha256 of the PAYLOAD TEXT — computed here
+    -- directly, while the Spark side recovers the payload through TWO
+    -- independent container decode paths (BMP pixel stream, WAV sample
+    -- stream) and hashes the recovered bytes. A hash match therefore
+    -- certifies byte-exact, modality-independent payload recovery: any
+    -- decoder bug splits a (bmp, wav) pair into two clusters and breaks
+    -- the row values. Cluster key = signature, so byte-identical docs
+    -- also merge across modalities (csize = 2 x exact-copy count).
+    WITH m AS (
+      SELECT doc_id, unnest(['bmp', 'wav']) AS modality,
+             sha256(COALESCE(text, '')) AS content_sig
+      FROM documents
+    ),
+    canon AS (
+      SELECT content_sig, MIN(doc_id) AS canonical_id,
+             CAST(COUNT(*) AS BIGINT) AS csize
+      FROM m GROUP BY content_sig
+    )
+    SELECT m.doc_id, m.modality, m.content_sig, c.canonical_id, c.csize
+    FROM m JOIN canon c ON c.content_sig = m.content_sig
+    """,
+)
+def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODALITY canonicalization — the dedup pass that collapses
+    the SAME content arriving in different containers (the real-corpus
+    case: a document scanned as an image and read aloud as audio):
+    every document is encoded BOTH as a 24-bit BMP and as a RIFF/WAV
+    PCM16 file, each blob is decoded by its own generic container
+    parser back to the raw payload bytes (trailing zero padding
+    stripped — both encoders pad with NULs and UTF-8 text contains
+    none), and a modality-independent content signature (sha256 of the
+    recovered payload) keys an exact clustering with a min-doc_id
+    canonical. Every content cluster holds its bmp AND wav encodings —
+    if either decode path drops, reorders, or corrupts one byte, that
+    pair splits and the driver hash breaks. Byte-identical documents
+    additionally merge ACROSS modalities.
+
+    The oracle hashes the fixture text directly (never touching a
+    container), so the match proves decode(encode(text)) == text
+    byte-for-byte on two independent codec paths simultaneously —
+    the strongest cross-container statement the fixture set supports.
+
+    Scale shape: one narrow Arrow mapInPandas per modality (encode +
+    decode + hash fused; blobs never shuffle — only the 3-column digest
+    row flows), a 2N-row union, one hash-agg on the digest key, and an
+    edge-bounded join-back with the digest relation materialized once
+    via localCheckpoint. A billion-asset cross-modal dedup is exactly
+    this plan."""
+    from ..operators.multimodal import (
+        decode_bmp24,
+        decode_wav_pcm16,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc_b, dec_b = encode_bmp24, decode_bmp24  # ship by value (factory)
+    enc_w, dec_w = encode_wav_pcm16, decode_wav_pcm16
+
+    def _digest_batch(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = (
+                    b"" if pd.isna(text) else str(text).encode("utf-8")
+                )
+                # BMP path: container round-trip through the generic
+                # pixel-stream parser
+                _, _, rgb = dec_b(enc_b(payload))
+                bmp_payload = bytes(rgb).rstrip(b"\x00")
+                # WAV path: container round-trip through the chunk walker
+                _, samples = dec_w(enc_w(payload))
+                wav_payload = samples.astype("<i2").tobytes().rstrip(b"\x00")
+                for modality, rec in (
+                    ("bmp", bmp_payload),
+                    ("wav", wav_payload),
+                ):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            modality,
+                            hashlib.sha256(rec).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "modality", "content_sig"]
+            )
+
+    sigs = d.mapInPandas(
+        _digest_batch, "doc_id bigint, modality string, content_sig string"
+    ).localCheckpoint()
+    canon = sigs.groupBy("content_sig").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    return sigs.join(canon, "content_sig").select(
+        "doc_id", "modality", "content_sig", "canonical_id", "csize"
+    )

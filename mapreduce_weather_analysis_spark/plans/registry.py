@@ -141,6 +141,7 @@ _R14_QUEUE: tuple[str, ...] = (
     "q_video_scene_dedup",
     "q_video_frame_dedup",
     "q_multimodal_video_c420",
+    "q_cross_modal_dedup",
 )
 
 # Re-certified in round 13 (the round-13 window's tail slots): the 7

@@ -101,6 +101,7 @@ QUERIES = [
     "q_video_scene_dedup",
     "q_video_frame_dedup",
     "q_multimodal_video_c420",
+    "q_cross_modal_dedup",
 ]
 
 

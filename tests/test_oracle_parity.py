@@ -404,12 +404,12 @@ def test_serve_tier_census_pinned():
     census = Counter(
         s.scale_tier for s in REGISTRY.values() if s.scale_tier is not None
     )
-    # round-14 census: r13's 79/36/16/2 + 5 new round-14 queries (the
+    # round-14 census: r13's 79/36/16/2 + 6 new round-14 queries (the
     # Y4M video family — video_real, frame_sample_real, scene_dedup,
-    # frame_dedup, video_c420 — all scale: narrow Arrow maps + hash-agg
-    # dedup)
+    # frame_dedup, video_c420 — plus the cross-modal canonicalization,
+    # all scale: narrow Arrow maps + hash-agg dedup)
     assert census == Counter(
-        {"scale": 84, "small-corpus": 36, "eval": 16, "ground-truth": 2}
+        {"scale": 85, "small-corpus": 36, "eval": 16, "ground-truth": 2}
     ), f"tier census moved: {dict(census)} — retier deliberately or fix"
     n_tagged = sum(census.values())
     from mapreduce_weather_analysis_spark.plans.scale_suite import (
