@@ -1384,115 +1384,139 @@ def q_stream_decontaminate_semantic(
     """SEMANTIC decontamination AT INGEST — the paraphrase-robust twin
     of q_stream_decontaminate's shingle firewall, and the streaming
     direction of q_decontaminate_semantic's batch report: every
-    ARRIVING train document is featurized per row (hashing-trick bucket
-    counts as a pure JVM array expression — no agg, so zero streaming
-    state) and scored against the BROADCAST eval benchmark vectors
-    (built batch-side from the same capped eval split, the
-    once-per-benchmark-release artifact); its nearest eval doc and a
-    calibrated `contaminated` flag emit before the row ever lands.
-    Stream-static broadcast join, append drain; the per-train top-1
-    rank runs batch-side on the drained candidates (ranking needs all
-    of a doc's |eval| scores — exactly what the drain provides).
+    ARRIVING train document is featurized per row (token md5s as a pure
+    JVM expression — no agg, so zero streaming state) and scored
+    against the eval benchmark matrix (built batch-side from the same
+    capped eval split, the once-per-benchmark-release artifact); its
+    nearest eval doc and a calibrated `contaminated` flag emit before
+    the row ever lands. Append drain of the per-doc top-margin
+    candidate set; the per-train top-1 rank runs batch-side on the
+    drained candidates (the kernel provably retains every pair that
+    can hold rank 1 after rounding — see the margin note inline).
 
     Scale shape: per arriving doc the work is |eval| cosines against a
-    broadcast relation that is benchmark-sized (capped — MBs at any
-    corpus scale), so the gate's cost tracks the INGEST rate, never the
-    corpus. Determinism: per-row bucket counts are exact integers equal
-    to the batch featurizer's hash-agg counts (same portable hash, same
-    bucket arithmetic), and the cosine is the sequential-fold pair both
-    engines share, dround(9)-pinned at the emit boundary so the flag
-    comparison reads a stable value. The oracle computes the identical
-    relation batch-side: provable batch/stream equivalence."""
+    benchmark-sized eval matrix (capped — KBs at any corpus scale,
+    shipped into the task closure like q_stream_decontaminate's bitmap
+    literal), so the gate's cost tracks the INGEST rate, never the
+    corpus. The scoring is ONE Arrow ``mapInPandas`` GEMM per
+    micro-batch (guide §4.2): the round-12 expression form evaluated
+    the 64-term dot per PAIR under a BroadcastNestedLoopJoin whose
+    projection is interpreted, not codegen'd — measured 15 s of the
+    18.5 s drain at sf0.1 (round-15 decomposition); the kernel scores
+    the whole batch with one B×64 @ 64×|eval| matmul in ~0.1 s.
+    Determinism: per-row bucket counts are exact integers equal to the
+    batch featurizer's hash-agg counts (same portable md5 hash, JVM-
+    side), so every product and partial sum of the dot is an exact
+    integer < 2^53 — the GEMM's summation order CANNOT change the
+    result, and norms/division are single correctly-rounded IEEE ops;
+    the cosine double is bit-identical to the sequential-fold pair both
+    engines share, dround(9)-pinned JVM-side at the emit boundary so
+    the flag comparison reads a stable value. The oracle computes the
+    identical relation batch-side: provable batch/stream equivalence."""
     from pyspark.sql import Window as W
 
     from ..functions.compat import dround, portable_hash32
     from ..functions.text import has_min_tokens, tokens
-    from ..functions.vectors import dot_unrolled
-    from .curation_suite import (
-        _FEAT_DIM,
-        _SEMDECON_EVAL_CAP,
-        _SEMDECON_TAU,
-        hashed_count_vectors,
-    )
+    from .curation_suite import _FEAT_DIM, _SEMDECON_EVAL_CAP, _SEMDECON_TAU
     from .dedup_suite import _DECON_EVAL
     from .registry import t
 
-    # batch-side benchmark artifact: capped eval split -> hashed vectors
-    ev_terms = (
+    # batch-side benchmark artifact: capped eval split -> hashed vectors.
+    # The artifact is KB-sized by the cap, so collect the raw (doc_id,
+    # bucket) projection — md5 stays JVM-side, NO shuffle at all — and
+    # densify on the driver (exact integer counts, same arithmetic as
+    # hashed_count_vectors' hash-agg); ship it inside the kernel closure,
+    # the same shipped-artifact posture as q_stream_decontaminate's
+    # bitmap literal. (The previous hashed_count_vectors + collect form
+    # paid two shuffles and an interpreted densify transform: ~2 s of
+    # setup at sf0.1 for 109 rows.)
+    ev_rows = (
         t(spark, sf_dir, "documents")
         .where(
             (F.col("doc_id") % _DECON_EVAL == 0)
             & (F.col("doc_id") < _SEMDECON_EVAL_CAP)
         )
-        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    tokens("text"), lambda s: portable_hash32(s) % _FEAT_DIM
+                )
+            ).alias("b"),
+        )
+        .collect()
     )
+    ev_cnt: dict[int, list[int]] = {}
+    for r in ev_rows:
+        ev_cnt.setdefault(int(r["doc_id"]), [0] * _FEAT_DIM)[int(r["b"])] += 1
+    ev_ids = sorted(ev_cnt)
+    ev_mat = [ev_cnt[i] for i in ev_ids]
 
-    evals = hashed_count_vectors(ev_terms).select(
-        F.col("doc_id").alias("eval_doc"),
-        F.transform(F.col("v"), lambda x: x * F.lit(1.0)).alias("ev_v"),
-    )
-    # norms precomputed per SIDE: each is constant across the fanout
-    # (ev_n once per eval doc at build; tr_n once per arriving doc),
-    # so the per-pair arithmetic is one dot instead of three — same
-    # expression, same bits (review finding, round 12)
-    evals = evals.select(
-        "eval_doc",
-        "ev_v",
-        F.sqrt(dot_unrolled(F.col("ev_v"), F.col("ev_v"), _FEAT_DIM)).alias(
-            "ev_n"
-        ),
-    )
-
-    # per-row featurizer: identical integer bucket counts to the batch
-    # hash-agg, as stateless array expressions in TWO projections with
-    # exchange barriers. The barriers matter more than the expression
-    # form here: whole-stage codegen inlines unmaterialized projections
-    # into their consumer and re-evaluates them per consumer ROW — the
-    # one-projection draft recomputed every md5 64x per row (slot-by-
-    # slot filter/count: 22 s drain at sf0.1), a single-barrier fold
-    # still paid a 64-wide array rewrite per token (9.8 s). Split form:
-    # hash each token exactly ONCE (md5 is the only expensive kernel),
-    # materialize the small int bucket array through an exchange, then
-    # slot-count over it (64 cheap integer passes) and materialize the
-    # vector before the join so the |eval|-way fanout reads it instead
-    # of recomputing it.
+    # per-row featurizer: hash each token exactly ONCE in the JVM (md5 is
+    # the portable kernel the oracle shares); bucket-counting, norms and
+    # the |eval|-way cosine fanout all happen in ONE Arrow mapInPandas
+    # GEMM per micro-batch. Exactness: bucket counts are exact integers,
+    # so every dot product and partial sum is an exact integer < 2^53 —
+    # summation order is irrelevant and np.bincount/@ reproduce the
+    # hash-agg counts and the sequential JVM fold bit-for-bit; norm/
+    # division are single correctly-rounded IEEE ops on both sides.
     toks = tokens("text")
     buckets = F.transform(toks, lambda s: portable_hash32(s) % _FEAT_DIM)
-    v_of_b = F.transform(
-        F.sequence(F.lit(0), F.lit(_FEAT_DIM - 1)),
-        lambda i: F.size(
-            F.filter(F.col("b"), lambda b: b == i.cast("bigint"))
-        )
-        * F.lit(1.0),
-    )
-    stream = (
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        ev = np.asarray(ev_mat, dtype=np.float64)  # |eval| × DIM
+        evid = np.asarray(ev_ids, dtype=np.int64)
+        n_ev = len(evid)
+        if n_ev:
+            # sqrt of an exact integer dot: bit-identical to the JVM's
+            # sqrt(dot_unrolled(ev_v, ev_v)) — both correctly rounded
+            evn = np.sqrt(np.einsum("ij,ij->i", ev, ev))
+        for pdf in batches:
+            if len(pdf) == 0 or n_ev == 0:
+                continue
+            n = len(pdf)
+            v = np.zeros((n, _FEAT_DIM), dtype=np.float64)
+            for i, b in enumerate(pdf["b"]):
+                v[i] = np.bincount(
+                    np.asarray(b, dtype=np.int64), minlength=_FEAT_DIM
+                )
+            dots = v @ ev.T  # exact: integer-valued operands
+            trn = np.sqrt(np.einsum("ij,ij->i", v, v))
+            cos = dots / (trn[:, None] * evn[None, :])
+            # GEMM prune (the q_embed_neardup pattern on the stream):
+            # only the post-drain rank-1 row per train doc survives, and
+            # dround(9) is monotone with bucket width 1e-9, so any pair
+            # that can tie the rounded max has raw cosine within 1e-9
+            # (+ repr slack) of the raw max — a 1e-8 margin keeps every
+            # possible rank-1 candidate with 10× headroom while cutting
+            # the emitted fanout from |eval| rows per doc to ~1
+            keep = cos >= (cos.max(axis=1, keepdims=True) - 1e-8)
+            ti, ei = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "train_doc": pdf["train_doc"].to_numpy(np.int64)[ti],
+                    "eval_doc": evid[ei],
+                    "cos_raw": cos[ti, ei],
+                }
+            )
+
+    scored = (
         read_documents_stream(spark, sf_dir)
         .where(F.col("doc_id") % _DECON_EVAL != 0)
         .where(has_min_tokens("text", 1))  # codegen twin of size(toks)>0
         .select(F.col("doc_id").alias("train_doc"), buckets.alias("b"))
-        .repartition(F.col("train_doc"))  # materialize the hashed buckets
-        .select("train_doc", v_of_b.alias("tr_v"))
-        .select(
-            "train_doc",
-            "tr_v",
-            F.sqrt(
-                dot_unrolled(F.col("tr_v"), F.col("tr_v"), _FEAT_DIM)
-            ).alias("tr_n"),
+        .mapInPandas(
+            score_batches,
+            "train_doc bigint, eval_doc bigint, cos_raw double",
         )
-        .repartition(F.col("train_doc"))  # materialize vector + norm
     )
-    cand = stream.join(F.broadcast(evals), F.lit(True), "inner").select(
-        "train_doc",
-        "eval_doc",
-        # unrolled: bit-identical to the aggregate fold, but codegen-
-        # compiled — the interpreted fold cost ~9 s of drain on the
-        # 545k-pair fanout at sf0.1 (the q_embed_neardup class); norms
-        # come precomputed from each side, so the fanout pays one dot
-        dround(
-            dot_unrolled(F.col("tr_v"), F.col("ev_v"), _FEAT_DIM)
-            / (F.col("tr_n") * F.col("ev_n")),
-            9,
-        ).alias("cosine"),
+    # dround stays JVM-side: the string→decimal(28,9)→double pin is the
+    # portable rounding both engines share (Python round() is half-even)
+    cand = scored.select(
+        "train_doc", "eval_doc", dround(F.col("cos_raw"), 9).alias("cosine")
     )
     drained = run_available_now(cand, spark, mode="append")
     w = W.partitionBy("train_doc").orderBy(

@@ -2110,6 +2110,88 @@ def test_stream_semdecon_agrees_with_batch_direction(spark):
         assert r.eval_doc % _DECON_EVAL == 0
 
 
+def test_stream_semdecon_gemm_matches_expression_path(spark):
+    """Round-15 internals change: the ingest gate's scoring moved from a
+    per-pair JVM expression under a BroadcastNestedLoopJoin to one Arrow
+    mapInPandas GEMM per micro-batch, with a top-margin prune on the
+    emitted fanout. This pins the swap: recompute the ALL-PAIRS cosine
+    ranking through the original expression path (hashed_count_vectors +
+    dot_unrolled + dround(9) + rank over every eval) batch-side and
+    assert the stream query's relation is identical — certifying both
+    the kernel's bit-exactness (integer-valued operands make the GEMM's
+    summation order irrelevant) and that the 1e-8 prune margin never
+    drops a rank-1 candidate."""
+    from pyspark.sql import Window as W2
+    from pyspark.sql import functions as F2
+
+    from mapreduce_weather_analysis_spark.functions.compat import dround
+    from mapreduce_weather_analysis_spark.functions.text import tokens
+    from mapreduce_weather_analysis_spark.functions.vectors import (
+        dot_unrolled,
+    )
+    from mapreduce_weather_analysis_spark.plans.curation_suite import (
+        _FEAT_DIM,
+        _SEMDECON_EVAL_CAP,
+        _SEMDECON_TAU,
+        hashed_count_vectors,
+    )
+    from mapreduce_weather_analysis_spark.plans.dedup_suite import _DECON_EVAL
+    from mapreduce_weather_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, ORACLE_SF, "documents")
+    terms = docs.select("doc_id", F2.explode(tokens("text")).alias("term"))
+    vec = hashed_count_vectors(terms).select(
+        "doc_id",
+        F2.transform(F2.col("v"), lambda x: x * F2.lit(1.0)).alias("v"),
+    )
+    vec = vec.select(
+        "doc_id",
+        "v",
+        F2.sqrt(dot_unrolled(F2.col("v"), F2.col("v"), _FEAT_DIM)).alias(
+            "nrm"
+        ),
+    )
+    tr = vec.where(F2.col("doc_id") % _DECON_EVAL != 0).select(
+        F2.col("doc_id").alias("train_doc"),
+        F2.col("v").alias("tv"),
+        F2.col("nrm").alias("tn"),
+    )
+    ev = vec.where(
+        (F2.col("doc_id") % _DECON_EVAL == 0)
+        & (F2.col("doc_id") < _SEMDECON_EVAL_CAP)
+    ).select(
+        F2.col("doc_id").alias("eval_doc"),
+        F2.col("v").alias("evv"),
+        F2.col("nrm").alias("evn"),
+    )
+    scored = tr.join(F2.broadcast(ev), F2.lit(True), "inner").select(
+        "train_doc",
+        "eval_doc",
+        dround(
+            dot_unrolled(F2.col("tv"), F2.col("evv"), _FEAT_DIM)
+            / (F2.col("tn") * F2.col("evn")),
+            9,
+        ).alias("cosine"),
+    )
+    w = W2.partitionBy("train_doc").orderBy(
+        F2.desc("cosine"), F2.asc("eval_doc")
+    )
+    expected = {
+        (r.train_doc, r.eval_doc, r.cosine, r.cosine >= _SEMDECON_TAU)
+        for r in scored.withColumn("rank", F2.row_number().over(w))
+        .where(F2.col("rank") == 1)
+        .collect()
+    }
+    got = {
+        (r.train_doc, r.eval_doc, r.cosine, r.contaminated)
+        for r in _run(
+            spark, "q_stream_decontaminate_semantic", sf=ORACLE_SF
+        ).collect()
+    }
+    assert expected, "fixture produced no gated train docs"
+    assert got == expected
+
+
 def test_cosine_unrolled_bit_identical_to_fold(spark):
     """functions/vectors.dot_unrolled's contract: the flat left-
     associated sum evaluates the SAME IEEE additions in the SAME index
