@@ -447,47 +447,83 @@ def q_stream_minhash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the streaming half of incremental corpus dedup: the ledger IS
     the standing state an ingestion pipeline checks new batches against.
 
-    The signature map is stateless per row (pure JVM expression — the text
-    operators lift onto streams unchanged); state is one row per DISTINCT
+    The signature map is stateless per row (one Arrow map stage over
+    JVM-tokenized rows); state is one row per DISTINCT
     signature (bounded by corpus diversity, not stream length). Drained
     availableNow in complete mode; the batch twin is the plain
     group-by-signature oracle, exact because signature arithmetic is
     integer end-to-end.
 
-    Per-batch compute posture (VERDICT r13 ask #5, measured): the
-    16-permutation arithmetic is NOT the wall — staging the hashed
-    shingle list as its own projected column (so md5 runs once per
-    shingle instead of being re-inlined into all 16 array_min lambdas;
-    CollapseProject keeps a non-cheap multi-referenced alias staged)
-    moved batch cost by ~nothing, because the decomposed profile put
-    ~all of it in the ``size(shingles) > 0`` FILTER: predicate pushdown
-    re-inlines the HOF shingle lambda into an interpreted FilterExec at
-    ~30× the projection's cost. The filter is now the codegen token-
-    count precondition on raw text (functions/text.has_min_tokens) and
-    the md5 staging is kept as plan hygiene."""
-    from ..operators.dedup import MINHASH_PERMS, _perm_min
-    from ..functions.text import (
-        has_min_tokens,
-        hashed_list,
-        shingles,
-        tokens,
-    )
-    from ..operators.dedup import SHINGLE_N
+    Per-batch compute posture (VERDICT r13 ask #5 measured in r14,
+    re-decomposed round 15): the 16-permutation arithmetic is NOT the
+    wall — after the r14 has_min_tokens fix removed the interpreted
+    FilterExec, the remaining drain sat in the interpreted HOF
+    transform/slice shingle CONSTRUCTION plus the per-element md5
+    lambda. The signature map now runs as ONE Arrow mapInPandas stage:
+    tokenization stays JVM-side (the engine-pinned lower/trim/WS_CLASS
+    split), the kernel joins the distinct n-gram shingles (exact string
+    equality with concat_ws over slice), hashes each once via hashlib
+    md5 — portable_hash32_py, the pinned third twin of the JVM/DuckDB
+    hash — memoized across the batch, and folds the 16 permutations as
+    one vectorized int64 (hx·a+b) mod P argmin (products < 2⁶² — exact,
+    identical to the JVM's bigint arithmetic; Long.toString == str(int)
+    for the joined signature). The stateful ledger agg is unchanged."""
+    from ..functions.compat import HASH_PRIME
+    from ..functions.text import has_min_tokens, tokens
+    from ..operators.dedup import MINHASH_PERMS, SHINGLE_N
+
+    perm_a = [a for a, _ in MINHASH_PERMS]
+    perm_b = [b for _, b in MINHASH_PERMS]
+
+    def sig_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        n = SHINGLE_N
+        pa = np.asarray(perm_a, dtype=np.int64)
+        pb = np.asarray(perm_b, dtype=np.int64)
+        hx_of: dict[str, int] = {}
+
+        def hx(s: str) -> int:
+            v = hx_of.get(s)
+            if v is None:
+                v = (
+                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                    % HASH_PRIME
+                )
+                hx_of[s] = v
+            return v
+
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list[str] = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                if toks is None or len(toks) < n:
+                    continue
+                hv = np.fromiter(
+                    {
+                        hx(" ".join(toks[i : i + n]))
+                        for i in range(len(toks) - n + 1)
+                    },
+                    dtype=np.int64,
+                )
+                mins = (hv[:, None] * pa[None, :] + pb[None, :]) % HASH_PRIME
+                ids.append(int(doc_id))
+                sigs.append(",".join(str(int(v)) for v in mins.min(axis=0)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "content_sig": pd.Series(sigs, dtype="object"),
+                }
+            )
 
     docs = read_documents_stream(spark, sf_dir)
-    sh = shingles(tokens("text"))
     sig = (
         docs.where(has_min_tokens("text", SHINGLE_N))
-        .select("doc_id", hashed_list(sh).alias("hv"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                ",",
-                F.array(
-                    *[_perm_min(F.col("hv"), a, b) for a, b in MINHASH_PERMS]
-                ),
-            ).alias("content_sig"),
-        )
+        .select("doc_id", tokens("text").alias("toks"))
+        .mapInPandas(sig_batches, "doc_id bigint, content_sig string")
     )
     ledger = sig.groupBy("content_sig").agg(
         F.min("doc_id").alias("first_doc"),
@@ -576,19 +612,19 @@ def _stream_bloom_oracle() -> str:
 def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom decontamination AT INGEST — the contamination firewall as a
     STATELESS stream. The eval split's Bloom filter is built batch-side
-    and shipped INTO the streaming plan as a literal packed bitmap
-    (2¹⁷ bits = 2048 longs — the "broadcast the filter artifact" step a
-    real deployment does once per benchmark release), so the per-row
-    membership test is a pure JVM expression: each document's distinct
-    4-gram shingles filter on "all 3 probe bits set" via element_at +
-    bitwiseAND against the bitmap literal. Zero streaming state, append
-    mode — contamination is flagged before the row ever lands, and the
-    stream never joins or shuffles. The oracle recomputes filter bits
-    and membership relationally on the batch table: provable
-    batch/stream equivalence AND bitmap-vs-relational equivalence in
-    one hash check."""
+    and shipped INTO the streaming plan (2¹⁷ bits — the "broadcast the
+    filter artifact" step a real deployment does once per benchmark
+    release) inside one Arrow mapInPandas stage: each document's 4-gram
+    shingles probe "all 3 bits set" against the bitmap, per-shingle
+    verdicts memoized across the batch; the per-doc hit count folds
+    over the drained hit rows. Zero streaming state, append mode —
+    contamination is flagged before the row ever lands, and the stream
+    never joins or shuffles. The oracle recomputes filter bits and
+    membership relationally on the batch table: provable batch/stream
+    equivalence AND bitmap-vs-relational equivalence in one hash
+    check."""
     from ..functions.compat import portable_hash32
-    from ..functions.text import shingles, tokens
+    from ..functions.text import tokens
     from ..operators.dedup import shingle_rows
     from .dedup_suite import _BLOOM_K, _BLOOM_M, _DECON_EVAL, _DECON_N
     from .registry import t
@@ -617,40 +653,83 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    words = [0] * (_BLOOM_M // 64)
+    bits = bytearray(_BLOOM_M)
     for r in pos_rows:
-        p = int(r["pos"])
-        words[p >> 6] |= 1 << (p & 63)
-
-    def _as_long(w: int) -> int:  # two's-complement into a signed long literal
-        return w - (1 << 64) if w >= (1 << 63) else w
-
-    bitmap = F.array(*[F.lit(_as_long(w)) for w in words])
-    pow2 = F.array(*[F.lit(_as_long(1 << b)) for b in range(64)])
-
-    def bit_ok(s, j: int):
-        pos = portable_hash32(F.concat(F.lit(f"bloom{j}:"), s)) % _BLOOM_M
-        bit = pos % 64
-        word = F.element_at(bitmap, ((pos - bit) / 64).cast("int") + 1)
-        return word.bitwiseAND(F.element_at(pow2, (bit + 1).cast("int"))) != 0
+        bits[int(r["pos"])] = 1
 
     stream = read_documents_stream(spark, sf_dir).where(
         F.col("doc_id") % _DECON_EVAL != 0
     )
-    from functools import reduce as _reduce
 
-    hits = F.size(
-        F.filter(
-            shingles(tokens("text"), n=_DECON_N),
-            lambda s: _reduce(
-                lambda a, b: a & b, [bit_ok(s, j) for j in range(_BLOOM_K)]
-            ),
-        )
+    # membership test in ONE Arrow mapInPandas stage, not a per-array
+    # HOF filter: lambda bodies under F.filter are interpreted
+    # expression trees, and the 3-probe md5 predicate ran per shingle
+    # element inside one — a round-15 decomposition put ~9 s of the
+    # 10.9 s sf0.1 drain there, with the interpreted transform/slice
+    # shingle CONSTRUCTION itself most of the rest. Tokenization stays
+    # JVM-side (the engine-pinned lower/trim/WS_CLASS split); the
+    # kernel joins n-gram shingles from the token arrays (exact string
+    # equality with concat_ws over slice), probes via hashlib md5 —
+    # portable_hash32_py, the pinned third twin of the JVM/DuckDB hash
+    # (tests/test_properties.py) — against the same bitmap, and
+    # memoizes per-shingle verdicts across the batch (near-dup corpora
+    # repeat shingles heavily). Only HIT rows reach the sink (bounded
+    # by contamination + the filter's ~2% false-positive mass); the
+    # per-doc hit count folds batch-side over the drained rows — same
+    # relation, same oracle.
+
+    def probe_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        n = _DECON_N
+        k = _BLOOM_K
+        m = _BLOOM_M
+        member = bytes(bits)
+        verdict: dict[str, bool] = {}
+
+        def hit(s: str) -> bool:
+            v = verdict.get(s)
+            if v is None:
+                v = all(
+                    member[
+                        int(
+                            hashlib.md5(
+                                f"bloom{j}:{s}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % m
+                    ]
+                    for j in range(k)
+                )
+                verdict[s] = v
+            return v
+
+        for pdf in batches:
+            out_ids: list[int] = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                if toks is None or len(toks) < n:
+                    continue
+                seen = set()
+                did = int(doc_id)
+                for i in range(len(toks) - n + 1):
+                    s = " ".join(toks[i : i + n])
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    if hit(s):
+                        out_ids.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(out_ids, dtype="int64")})
+
+    hit_rows = stream.select("doc_id", tokens("text").alias("toks")).mapInPandas(
+        probe_batches, "doc_id bigint"
     )
-    flagged = stream.select(
-        "doc_id", hits.cast("bigint").alias("n_bloom_hits")
-    ).where(F.col("n_bloom_hits") > 0)
-    return run_available_now(flagged, spark, mode="append")
+    drained = run_available_now(hit_rows, spark, mode="append")
+    return drained.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits")
+    )
 
 
 def _stream_drift_oracle() -> str:
