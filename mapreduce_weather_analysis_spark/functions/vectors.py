@@ -69,3 +69,22 @@ def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     return dot_unrolled(a, b, dim) / (
         F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
     )
+
+
+def sq_l2_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Squared L2 for a KNOWN fixed dimension, unrolled into a flat
+    left-associated sum: ``0.0 + (a[1]-b[1])² + ... + (a[dim]-b[dim])²``.
+
+    Bit-identical to the ``aggregate(zip_with((x-y)*(x-y)), 0.0, +)``
+    fold the IVF/PQ operators assign with (same IEEE subtractions,
+    multiplications and additions in the same index order from the same
+    0.0 seed) — but codegen-compiled instead of interpreted per
+    element; the same swap :func:`dot_unrolled` documents, for distance
+    assignment instead of scoring. The dim must equal the arrays' true
+    length: ``element_at`` past the end is NULL and would poison the
+    sum."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        acc = acc + d * d
+    return acc

@@ -218,8 +218,8 @@ def minhash_lsh_pairs(
     # lineage and computes each once — at cluster scale the same role is
     # played by a persisted intermediate (disk-backed) so executor loss
     # doesn't strand the only copy.
-    exd = shingle_rows(docs, text_col, id_col).localCheckpoint()
-    sig = minhash_signatures_relational(exd, k=k).localCheckpoint()
+    exd = shingle_rows(docs, text_col, id_col).localCheckpoint(eager=False)
+    sig = minhash_signatures_relational(exd, k=k).localCheckpoint(eager=False)
 
     band_rel = sig.select(
         "doc_id",
@@ -425,7 +425,7 @@ def containment_pairs(
     """
     from ..functions.compat import dround
 
-    exd = shingle_rows(docs, text_col, id_col).localCheckpoint()
+    exd = shingle_rows(docs, text_col, id_col).localCheckpoint(eager=False)
     sizes = exd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfc = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     keep = exd.join(

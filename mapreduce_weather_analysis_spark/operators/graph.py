@@ -101,19 +101,19 @@ def connected_components(
     # materialize the edge input ONCE: both the node universe and the
     # canonical relation derive from it, and without this the (possibly
     # expensive — e.g. full MinHash-LSH) upstream plan executes twice
-    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(eager=False)
     nodes = (
         ed.select(F.col("s").alias("node"))
         .union(ed.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    e = _canonical(ed, "s", "d").localCheckpoint()
+    e = _canonical(ed, "s", "d").localCheckpoint(eager=False)
     fp = _fingerprint(e)
     rounds = 0
     for _ in range(max_iter):
         prev = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         new_fp = _fingerprint(e)
         # two-tier convergence check, EXACT by construction: the cheap
@@ -174,12 +174,12 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     teleport = (1.0 - damping) / n
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ew = e.join(out_w, "src").localCheckpoint()  # (src, dst, w, out_w), static
+    ew = e.join(out_w, "src").localCheckpoint(eager=False)  # (src, dst, w, out_w), static
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         term = (F.col("rank") * F.col("w").cast("double")) / F.col(
@@ -204,7 +204,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -234,7 +234,7 @@ def kcore_peel(
     """
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         alive = (
@@ -253,7 +253,7 @@ def kcore_peel(
         e = (
             e.join(ka, F.col("u") == F.col("ka"), "left_semi")
             .join(kb, F.col("v") == F.col("kb"), "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return und.groupBy(F.col("u").alias("node")).agg(
@@ -292,13 +292,13 @@ def label_propagation(
     """
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         # fresh alias for the neighbor key: labels shares lineage with
@@ -317,5 +317,5 @@ def label_propagation(
         )
         labels = best.select(
             F.col("u").alias("node"), (-F.col("b.nl")).alias("label")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return labels

@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .ivf import IVF_ITERS, _sq_l2, ivf_chain, ivf_index
+from ..functions.vectors import cosine_unrolled, sq_l2_unrolled
+from .ivf import IVF_ITERS, ivf_chain, ivf_index
 from .similarity import EMBED_DIM as DIM
 
 IMI_HALF_DIM = DIM // 2
@@ -86,7 +87,7 @@ def imi_index(
     between the corpus and two narrow (vec_id, code) relations."""
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     kh = imi_half_cells(vecs.count())
     h1, h2 = _halves(vecs)
     a1, cent1 = ivf_index(h1, k=kh, iters=iters)
@@ -94,7 +95,7 @@ def imi_index(
     assigned = (
         vecs.join(a1.select("vec_id", F.col("cluster").alias("c1")), "vec_id")
         .join(a2.select("vec_id", F.col("cluster").alias("c2")), "vec_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return assigned, cent1, cent2
 
@@ -110,7 +111,9 @@ def _half_probes(
         "query_id", F.slice("qv", off, IMI_HALF_DIM).alias("hq")
     )
     qc = hq.crossJoin(F.broadcast(centroids)).select(
-        "query_id", _sq_l2("hq", "c").alias("dist"), "cluster"
+        "query_id",
+        sq_l2_unrolled(F.col("hq"), F.col("c"), IMI_HALF_DIM).alias("dist"),
+        "cluster",
     )
     return (
         qc.groupBy("query_id")
@@ -177,7 +180,7 @@ def score_pairs(
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_unrolled(F.col("qv"), F.col("cv"), DIM).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -165,7 +165,7 @@ def ivf_index(
 
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n = vecs.count()
     if k is None:
         k = ivf_cells(n)
@@ -175,7 +175,7 @@ def ivf_index(
         if d > 1:
             train = vecs.where(
                 portable_hash32(F.col("vec_id").cast("string")) % d == 0
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
     centroids = (
         train.orderBy("vec_id")
         .limit(k)
@@ -185,15 +185,15 @@ def ivf_index(
             .alias("cluster"),
             F.col("v").alias("c"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         assigned = _assign(train, centroids)
-        centroids = _recompute(assigned, centroids).localCheckpoint()
+        centroids = _recompute(assigned, centroids).localCheckpoint(eager=False)
     # checkpoint the final assignment too: ivf_topk consumes it on both the
     # query and candidate branches — uncached, the corpus×k crossJoin +
     # window would execute twice
-    return _assign(vecs, centroids).localCheckpoint(), centroids
+    return _assign(vecs, centroids).localCheckpoint(eager=False), centroids
 
 
 def ivf_probes(
@@ -209,11 +209,17 @@ def ivf_probes(
     distances down to one sorted nprobe-slice per query, then re-join qv
     (collect_list order is nondeterministic but array_sort over unique
     (dist, cluster) structs makes it total)."""
+    from ..functions.vectors import sq_l2_unrolled
+
     queries = assigned.where(F.expr(query_filter)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    # unrolled at the known embedding width: bit-identical to the
+    # _sq_l2 fold but codegen-compiled — the probe stage is |Q|·k evals
+    # and the interpreted HOF fold was measurable across every IVF
+    # consumer (round 15; the dot_unrolled lesson applied to distances)
     qc = queries.crossJoin(F.broadcast(centroids)).select(
-        "query_id", _sq_l2("qv", "c").alias("dist"), "cluster"
+        "query_id", sq_l2_unrolled(F.col("qv"), F.col("c"), DIM).alias("dist"), "cluster"
     )
     return (
         qc.groupBy("query_id")
@@ -243,7 +249,7 @@ def ivf_topk(
     """(query_id, neighbor_id, rank, cosine) searching only the nprobe
     nearest clusters per query. ``k``/``iters`` mirror ivf_topk_sql so
     non-default oracles stay reproducible."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_unrolled
 
     assigned, centroids = ivf_index(
         emb, k=k, iters=iters, sample_points_per_cell=sample_points_per_cell
@@ -264,7 +270,9 @@ def ivf_topk(
     # no dedup shuffle needed (the oracle's SELECT DISTINCT is likewise
     # a no-op, kept for self-documentation)
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_unrolled(F.col("qv"), F.col("cv"), DIM).alias("cosine"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .ivf import IVF_ITERS, IVF_NPROBE, ivf_chain, ivf_index, ivf_probes
-from .pq import PQ_ITERS, PQ_K, _subvectors, pq_chain, pq_index
-from .ivf import _sq_l2
+from ..functions.vectors import sq_l2_unrolled
+from .pq import PQ_ITERS, PQ_K, PQ_SUBDIM, _subvectors, pq_chain, pq_index
 
 
 def ivfpq_topk(
@@ -64,7 +64,10 @@ def ivfpq_topk(
     # from codes alone — same shapes as pq_topk, restricted to cand.
     qsub = _subvectors(emb.where(F.expr(query_filter)), "query_id")
     lut = qsub.join(F.broadcast(codebook), "m").select(
-        "query_id", "m", "code", _sq_l2("v", "c").alias("dd")
+        "query_id",
+        "m",
+        "code",
+        sq_l2_unrolled(F.col("v"), F.col("c"), PQ_SUBDIM).alias("dd"),
     )
     adc = (
         cand.join(
@@ -166,7 +169,7 @@ def ivfpq_residual_topk(
             "vec_id",
             F.zip_with("v", "c", lambda x, y: x - y).alias("embedding"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     codes, codebook = pq_index(resid)
 
@@ -189,7 +192,11 @@ def ivfpq_residual_topk(
         "query_id", "cluster", F.explode(slices).alias("s")
     ).select("query_id", "cluster", F.col("s.m").alias("m"), F.col("s.v").alias("v"))
     rlut = qrsub.join(F.broadcast(codebook), "m").select(
-        "query_id", "cluster", "m", "code", _sq_l2("v", "c").alias("dd")
+        "query_id",
+        "cluster",
+        "m",
+        "code",
+        sq_l2_unrolled(F.col("v"), F.col("c"), PQ_SUBDIM).alias("dd"),
     )
 
     cand = (

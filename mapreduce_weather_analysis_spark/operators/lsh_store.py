@@ -67,7 +67,7 @@ def lsh_write(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     marker = os.path.join(path, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return path
-    exd = shingle_rows(docs, "text", "doc_id").localCheckpoint()
+    exd = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
     sig = minhash_signatures_relational(exd)
     # sort_array: collect_set order is task-scheduling-dependent; sorting
     # makes the persisted ARRAY CONTENTS deterministic (row/file order is
@@ -112,8 +112,8 @@ def lsh_search(
     # branches (and q_sig to the band keys) — unmaterialized, the shingle
     # window + 16-perm signing recomputes per consumer (the
     # minhash_lsh_pairs lesson); |Q| is bounded so the checkpoint is tiny
-    q_exd = shingle_rows(qdocs, "text", "doc_id").localCheckpoint()
-    q_sig = minhash_signatures_relational(q_exd).localCheckpoint()
+    q_exd = shingle_rows(qdocs, "text", "doc_id").localCheckpoint(eager=False)
+    q_sig = minhash_signatures_relational(q_exd).localCheckpoint(eager=False)
     q_sh = q_exd.groupBy("doc_id").agg(F.collect_set("s").alias("sh_q"))
     q = (
         q_sig.join(q_sh, "doc_id")

@@ -35,8 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import as_double
-from .ivf import _sq_l2
+from ..functions.vectors import as_double, sq_l2_unrolled
 from .similarity import EMBED_DIM
 
 PQ_M = 4  # subspaces
@@ -66,7 +65,11 @@ def _assign_codes(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, m, v, code): nearest codeword per subspace, ties → lowest
     code. One broadcast join — the codebook is M·K rows."""
     scored = sub.join(F.broadcast(codebook), "m").select(
-        "vec_id", "m", "v", "code", _sq_l2("v", "c").alias("dist")
+        "vec_id",
+        "m",
+        "v",
+        "code",
+        sq_l2_unrolled(F.col("v"), F.col("c"), PQ_SUBDIM).alias("dist"),
     )
     w = W.partitionBy("vec_id", "m").orderBy("dist", "code")
     return (
@@ -107,22 +110,22 @@ def pq_index(
     corpus; codebook = (m, code, c) after ``iters`` Lloyd rounds per
     subspace (all M trainings advance in ONE job per step — subspace is
     just another grouping column)."""
-    sub = _subvectors(emb, "vec_id").localCheckpoint()
+    sub = _subvectors(emb, "vec_id").localCheckpoint(eager=False)
     # seeds: per subspace, the k lowest vec_ids' subvectors (code = rank)
     w = W.partitionBy("m").orderBy("vec_id")
     codebook = (
         sub.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select("m", F.col("_rn").alias("code"), F.col("v").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         assigned = _assign_codes(sub, codebook)
-        codebook = _recompute_codebook(assigned, codebook).localCheckpoint()
+        codebook = _recompute_codebook(assigned, codebook).localCheckpoint(eager=False)
     codes = (
         _assign_codes(sub, codebook)
         .select("vec_id", "m", "code")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return codes, codebook
 
@@ -139,7 +142,10 @@ def pq_topk(
     codes, codebook = pq_index(emb, k=k, iters=iters)
     qsub = _subvectors(emb.where(F.expr(query_filter)), "query_id")
     lut = qsub.join(F.broadcast(codebook), "m").select(
-        "query_id", "m", "code", _sq_l2("v", "c").alias("d")
+        "query_id",
+        "m",
+        "code",
+        sq_l2_unrolled(F.col("v"), F.col("c"), PQ_SUBDIM).alias("d"),
     )
     adc = (
         codes.withColumnRenamed("vec_id", "neighbor_id")

@@ -90,7 +90,7 @@ def sq8_topk(
     exact query vectors against the dequantized corpus, cosine top-k with
     id tie-breaks. Same brute scan shape as the cosine baseline; the
     production composition wraps the byte codes in IVF lists."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_unrolled
 
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -107,7 +107,7 @@ def sq8_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("xhat")).alias("cosine"),
+            cosine_unrolled(F.col("qv"), F.col("xhat"), DIM).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -134,7 +134,7 @@ def ivf_sq8_topk(
     one stats crossJoin; the corpus never shuffles for search."""
     from pyspark.sql import functions as F
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_unrolled
     from .ivf import IVF_NPROBE, ivf_index, ivf_probes
 
     if nprobe is None:
@@ -158,7 +158,7 @@ def ivf_sq8_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("xhat")).alias("cosine"),
+            cosine_unrolled(F.col("qv"), F.col("xhat"), DIM).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -17,7 +17,14 @@ from ..functions.compat import (
     psum,
     psum_sql,
 )
-from ..functions.vectors import as_double, cosine, cosine_sql
+from ..functions.vectors import (
+    as_double,
+    cosine,
+    cosine_sql,
+    cosine_unrolled,
+    sq_l2_unrolled,
+)
+from ..operators.similarity import EMBED_DIM as _VDIM
 from ..operators.ivf import ivf_topk, ivf_topk_sql
 from ..operators.pq import pq_topk, pq_topk_sql
 from ..operators.similarity import (
@@ -199,7 +206,9 @@ def q_embed_neardup_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (a.cluster == b.cluster_b) & (a.vec_a < b.vec_b))
         .select(
-            "vec_a", "vec_b", cosine(F.col("av"), F.col("bv")).alias("cosine")
+            "vec_a",
+            "vec_b",
+            cosine_unrolled(F.col("av"), F.col("bv"), _VDIM).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.45)
     )
@@ -275,7 +284,7 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_unrolled(F.col("qv"), F.col("cv"), _VDIM).alias("cosine"),
         )
     )
     from pyspark.sql import Window as W
@@ -806,7 +815,6 @@ def q_ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine as _cos
 
     e = t(spark, sf_dir, "embeddings")
     vecs = e.select(
@@ -831,7 +839,7 @@ def q_ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "qv",
-            _cos(F.col("qp"), F.col("p")).alias("pcos"),
+            cosine_unrolled(F.col("qp"), F.col("p"), _MRL_PREFIX_DIM).alias("pcos"),
         )
         .withColumn("srank", F.row_number().over(ws))
         .where(F.col("srank") <= _MRL_SHORTLIST)
@@ -843,7 +851,7 @@ def q_ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            _cos(F.col("qv"), F.col("v")).alias("cosine"),
+            cosine_unrolled(F.col("qv"), F.col("v"), _VDIM).alias("cosine"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -976,7 +984,6 @@ def _binary_serve(codes: DataFrame, vecs: DataFrame) -> DataFrame:
     path (the artifact and the recompute must answer identically)."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine as _cos
 
     bq = codes.where(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
@@ -1020,7 +1027,7 @@ def _binary_serve(codes: DataFrame, vecs: DataFrame) -> DataFrame:
             "query_id",
             "neighbor_id",
             "hamming",
-            _cos(F.col("qvv"), F.col("nvv")).alias("cosine"),
+            cosine_unrolled(F.col("qvv"), F.col("nvv"), _VDIM).alias("cosine"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(
@@ -1393,13 +1400,12 @@ def _celled_binary_serve(
 
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine as _cos
     from ..operators.ann_store import (
         binary_cells_index_path,
         binary_cells_write,
         ivfpq_write,
     )
-    from ..operators.ivf import IVF_NPROBE, _sq_l2
+    from ..operators.ivf import IVF_NPROBE
 
     if nprobe is None:
         nprobe = IVF_NPROBE
@@ -1417,7 +1423,10 @@ def _celled_binary_serve(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     qc = qv.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", _sq_l2("qv", "c").alias("dist"), "cluster"
+        "query_id",
+        "qv",
+        sq_l2_unrolled(F.col("qv"), F.col("c"), _VDIM).alias("dist"),
+        "cluster",
     )
     probes = (
         qc.groupBy("query_id")
@@ -1477,7 +1486,7 @@ def _celled_binary_serve(
             "query_id",
             "neighbor_id",
             "hamming",
-            _cos(F.col("qv"), F.col("nvv")).alias("cosine"),
+            cosine_unrolled(F.col("qv"), F.col("nvv"), _VDIM).alias("cosine"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(
@@ -1783,7 +1792,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_id",
             "keeper_id",
             "cluster",
-            cosine(F.col("av"), F.col("bv")).alias("cosine"),
+            cosine_unrolled(F.col("av"), F.col("bv"), _VDIM).alias("cosine"),
         )
         .where(F.col("cosine") >= _SEMDEDUP_THRESH)
     )
@@ -1967,7 +1976,7 @@ def q_semdedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_id",
             "keeper_id",
             "cluster",
-            cosine(F.col("av"), F.col("bv")).alias("cosine"),
+            cosine_unrolled(F.col("av"), F.col("bv"), _VDIM).alias("cosine"),
         )
         .where(F.col("cosine") >= _SEMDEDUP_THRESH)
     )
@@ -2117,7 +2126,7 @@ def q_ann_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.ann_store import ivfpq_write
-    from ..operators.ivf import DIM, _sq_l2
+    from ..operators.ivf import DIM
 
     path = ivfpq_write(spark, sf_dir)
 
@@ -2132,7 +2141,9 @@ def q_ann_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     qc = nv.crossJoin(F.broadcast(centroids)).select(
-        "new_id", "cluster", _sq_l2("v", "c").alias("dist")
+        "new_id",
+        "cluster",
+        sq_l2_unrolled(F.col("v"), F.col("c"), _VDIM).alias("dist"),
     )
     w = W.partitionBy("new_id").orderBy(F.asc("dist"), F.asc("cluster"))
     return (
@@ -2211,7 +2222,7 @@ def _knn_from_lists(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_unrolled(F.col("qv"), F.col("cv"), _VDIM).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -2565,7 +2576,7 @@ def q_knn_join_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.join(queries.hint("shuffle_hash"), "query_id").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_unrolled(F.col("qv"), F.col("cv"), _VDIM).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -2704,7 +2715,7 @@ def nn_descent_round(
         .select(
             "vec_id",
             F.col("cand").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_unrolled(F.col("qv"), F.col("cv"), _VDIM).alias("cosine"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -3111,7 +3122,7 @@ def _component_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         "vec_id",
         "csize",
-        dround(cosine(F.col("v"), F.col("cvec")), 8).alias("cos"),
+        dround(cosine_unrolled(F.col("v"), F.col("cvec"), _VDIM), 8).alias("cos"),
     )
 
 
@@ -3880,7 +3891,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gvec")
         )
     )
-    cosr = dround(cosine(F.col("svec"), F.col("gvec")), 8)
+    cosr = dround(cosine_unrolled(F.col("svec"), F.col("gvec"), _VDIM), 8)
     return (
         scents.join(nv, "source")
         .crossJoin(F.broadcast(gcent))
@@ -4087,7 +4098,7 @@ def q_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_GB_ENTRIES)
         .select(F.col("vec_id").alias("node"), "v")
     )
-    score = dround(cosine(F.col("qv"), F.col("v")), 8)
+    score = dround(cosine_unrolled(F.col("qv"), F.col("v"), _VDIM), 8)
     vis = (
         qs.crossJoin(F.broadcast(entries))
         .where(F.col("node") != F.col("query_id"))
@@ -4863,7 +4874,6 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected row per round (the bounded ivf-centroid pattern). The
     oracle unrolls all {K} picks with scalar-subquery argmaxes —
     identical LEAST/distance arithmetic, ties to the lower id."""
-    from ..operators.ivf import _sq_l2
 
     ev = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
@@ -4872,7 +4882,7 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = [(1, int(first["vec_id"]), 0.0)]
     center_vec = F.array(*[F.lit(float(x)) for x in first["v"]])
     mind = ev.select(
-        "vec_id", "v", _sq_l2(F.col("v"), center_vec).alias("mind")
+        "vec_id", "v", sq_l2_unrolled(F.col("v"), center_vec, _VDIM).alias("mind")
     ).localCheckpoint()
     for r in range(2, _KCTR_K + 1):
         top = mind.agg(
@@ -4887,7 +4897,7 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             mind = mind.select(
                 "vec_id",
                 "v",
-                F.least(F.col("mind"), _sq_l2(F.col("v"), cvec)).alias(
+                F.least(F.col("mind"), sq_l2_unrolled(F.col("v"), cvec, _VDIM)).alias(
                     "mind"
                 ),
             ).localCheckpoint()
@@ -5149,7 +5159,7 @@ def q_source_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = j.join(F.broadcast(scents), "source").select(
         "source",
         F.col("vec_id").alias("doc_id"),
-        dround(cosine(F.col("v"), F.col("svec")), 8).alias(
+        dround(cosine_unrolled(F.col("v"), F.col("svec"), _VDIM), 8).alias(
             "cos_to_centroid"
         ),
     )

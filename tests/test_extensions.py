@@ -2228,6 +2228,46 @@ def test_cosine_unrolled_bit_identical_to_fold(spark):
     assert bad == 0
 
 
+def test_sq_l2_unrolled_bit_identical_to_fold(spark):
+    """functions/vectors.sq_l2_unrolled's contract (round 15): same IEEE
+    subtract/multiply/add sequence as the operators' interpreted
+    aggregate(zip_with) fold, so squared-L2 distances — and therefore
+    every Lloyd assignment, probe selection and PQ code the ANN family
+    derives from them — are bit-identical after the codegen swap.
+    Checked at the full embedding width AND a subvector width (the PQ
+    LUT shape)."""
+    from pyspark.sql import functions as F2
+
+    from mapreduce_weather_analysis_spark.functions.vectors import (
+        sq_l2_unrolled,
+    )
+    from mapreduce_weather_analysis_spark.operators.ivf import _sq_l2
+
+    e = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    pairs = e.select(
+        F2.col("embedding").cast("array<double>").alias("a")
+    ).crossJoin(
+        F2.broadcast(
+            e.select(
+                F2.col("embedding").cast("array<double>").alias("b")
+            ).limit(5)
+        )
+    )
+    both = pairs.select(
+        _sq_l2(F2.col("a"), F2.col("b")).alias("fold64"),
+        sq_l2_unrolled(F2.col("a"), F2.col("b"), 64).alias("flat64"),
+        _sq_l2(F2.slice("a", 1, 16), F2.slice("b", 1, 16)).alias("fold16"),
+        sq_l2_unrolled(
+            F2.slice("a", 1, 16), F2.slice("b", 1, 16), 16
+        ).alias("flat16"),
+    )
+    bad = both.where(
+        ~(F2.col("fold64") == F2.col("flat64"))
+        | ~(F2.col("fold16") == F2.col("flat16"))
+    ).count()
+    assert bad == 0
+
+
 def test_has_min_tokens_equals_hof_token_count(spark):
     """The codegen precondition (functions/text.has_min_tokens) must agree
     with size(tokens(c)) >= n ROW-FOR-ROW, including the degenerate inputs
