@@ -1036,7 +1036,17 @@ def main() -> None:
     # never clobber the sealed full artifact.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     if not only:
+        # a malformed SPARK_GRAFT_ROUND must not raise AFTER the whole
+        # bench has run (losing both artifact writes) — validate up front
+        # and fall back to the BENCH_r*.json inference (ADVICE r14)
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd and not rnd.strip().isdigit():
+            print(
+                f"ignoring non-numeric SPARK_GRAFT_ROUND={rnd!r}; "
+                "inferring round from recorded BENCH_r*.json",
+                file=sys.stderr,
+            )
+            rnd = None
         if not rnd:
             recorded = [
                 int(m.group(1))

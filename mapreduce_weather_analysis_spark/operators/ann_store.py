@@ -35,22 +35,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import sq_l2_unrolled
 from ..sources.tables import load_table
-from .ivf import IVF_NPROBE, ivf_index
-from .pq import PQ_SUBDIM, _subvectors, pq_index
-from .similarity import EMBED_DIM as _EDIM
-
-
-def _sq_l2_full(a, b):
-    """Codegen squared-L2 at the embedding width (bit-identical to the
-    interpreted _sq_l2 fold; see functions/vectors.sq_l2_unrolled)."""
-    return sq_l2_unrolled(F.col(a), F.col(b), _EDIM)
-
-
-def _sq_l2_sub(a, b):
-    """Codegen squared-L2 at the PQ subvector width."""
-    return sq_l2_unrolled(F.col(a), F.col(b), PQ_SUBDIM)
+from .ivf import IVF_NPROBE, _sq_l2, ivf_index
+from .pq import _subvectors, pq_index
 
 INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_index")
 
@@ -167,7 +154,7 @@ def ivfpq_search(
         F.col("embedding").cast("array<double>").alias("qv"),
     )
     qc = qv.crossJoin(F.broadcast(centroids)).select(
-        "query_id", _sq_l2_full("qv", "c").alias("dist"), "cluster"
+        "query_id", _sq_l2("qv", "c").alias("dist"), "cluster"
     )
     probes = (
         qc.groupBy("query_id")
@@ -185,7 +172,7 @@ def ivfpq_search(
     # LUT: unquantized query subvectors × broadcast codebook
     lut = _subvectors(queries, "query_id").join(
         F.broadcast(codebook), "m"
-    ).select("query_id", "m", "code", _sq_l2_sub("v", "c").alias("dd"))
+    ).select("query_id", "m", "code", _sq_l2("v", "c").alias("dd"))
 
     # candidate codes straight off the inverted lists: broadcast(probes)
     # joins the cluster-partitioned cells relation, so dynamic partition
@@ -269,7 +256,7 @@ def imi_write(spark: SparkSession, sf_dir: str) -> str:
     # SQ8 byte-code lists beside the float lists (layout imi2): the
     # cheap-scan serving arm reads ~1/8 the bytes from the same probed
     # cells; stats is the 2×D-double "codebook"
-    stats = sq8_stats(assigned.select("vec_id", "v")).localCheckpoint()
+    stats = sq8_stats(assigned.select("vec_id", "v")).localCheckpoint(eager=False)
     (
         sq8_encode(assigned.select("vec_id", "v"), stats)
         .join(assigned.select("vec_id", "c1", "c2"), "vec_id")
@@ -334,7 +321,7 @@ def imi_sq8_search(
     directions of the (c1, c2) layout."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
     from .imi import IMI_NPROBE, imi_pairs
     from .sq import _DECODE
 
@@ -364,7 +351,7 @@ def imi_sq8_search(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_unrolled(F.col("qv"), F.col("xhat"), _EDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("xhat")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -391,7 +378,7 @@ def imi_sq8_rerank_search(
     |Q|·shortlist rows; the byte arm does the winnowing."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
 
     sl = imi_sq8_search(
         spark, sf_dir, index_path, query_filter,
@@ -412,7 +399,7 @@ def imi_sq8_rerank_search(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_unrolled(F.col("qv"), F.col("v"), _EDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -646,7 +633,7 @@ def search_vectors(
     same build job as ivfpq_write over the filtered corpus."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
 
     centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
     vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
@@ -655,7 +642,7 @@ def search_vectors(
             F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
         )
     qc = qv.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", _sq_l2_full("qv", "c").alias("dist"), "cluster"
+        "query_id", "qv", _sq_l2("qv", "c").alias("dist"), "cluster"
     )
     probes = (
         qc.groupBy("query_id")
@@ -677,7 +664,7 @@ def search_vectors(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_unrolled(F.col("qv"), F.col("v"), _EDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -703,12 +690,12 @@ def range_search_vectors(
     only per-query state is a count over the (small) in-range set."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
 
     centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
     vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
     qc = qv.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", _sq_l2_full("qv", "c").alias("dist"), "cluster"
+        "query_id", "qv", _sq_l2("qv", "c").alias("dist"), "cluster"
     )
     probes = (
         qc.groupBy("query_id")
@@ -730,7 +717,7 @@ def range_search_vectors(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_unrolled(F.col("qv"), F.col("v"), _EDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
         .where(F.col("cosine") >= tau)
     )
@@ -805,7 +792,7 @@ def ivf_search_negatives(
     per-cell (vec_id)-join that partition-prunes identically."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
 
     centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
     vecs = spark.read.parquet(os.path.join(index_path, "vecs"))
@@ -818,7 +805,7 @@ def ivf_search_negatives(
         F.col("label").alias("qlabel"),
     )
     qc = qv.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", "qlabel", _sq_l2_full("qv", "c").alias("dist"), "cluster"
+        "query_id", "qv", "qlabel", _sq_l2("qv", "c").alias("dist"), "cluster"
     )
     probes = (
         qc.groupBy("query_id")
@@ -846,7 +833,7 @@ def ivf_search_negatives(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neg_label"),
-            cosine_unrolled(F.col("qv"), F.col("v"), _EDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -875,7 +862,7 @@ def ivfpq_rerank_search(
     |Q|·shortlist rows — ADC does the winnowing, floats only confirm."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
 
     sl = ivfpq_search(
         spark, sf_dir, index_path, query_filter,
@@ -898,7 +885,7 @@ def ivfpq_rerank_search(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_unrolled(F.col("qv"), F.col("v"), _EDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine_unrolled, sq_l2_unrolled
-from .ivf import IVF_ITERS, ivf_chain, ivf_index
+from ..functions.vectors import cosine
+from .ivf import IVF_ITERS, _sq_l2, ivf_chain, ivf_index
 from .similarity import EMBED_DIM as DIM
 
 IMI_HALF_DIM = DIM // 2
@@ -111,9 +111,7 @@ def _half_probes(
         "query_id", F.slice("qv", off, IMI_HALF_DIM).alias("hq")
     )
     qc = hq.crossJoin(F.broadcast(centroids)).select(
-        "query_id",
-        sq_l2_unrolled(F.col("hq"), F.col("c"), IMI_HALF_DIM).alias("dist"),
-        "cluster",
+        "query_id", _sq_l2("hq", "c").alias("dist"), "cluster"
     )
     return (
         qc.groupBy("query_id")
@@ -180,7 +178,7 @@ def score_pairs(
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",
         "neighbor_id",
-        cosine_unrolled(F.col("qv"), F.col("cv"), DIM).alias("cosine"),
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

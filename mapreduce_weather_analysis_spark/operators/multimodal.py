@@ -368,7 +368,7 @@ def resize_bmp(blobs: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                sw, sh, rgb = dec(bytes(blob))
+                sw, sh, rgb = dec(bytes(blob) if blob is not None else b"")
                 px = rgb.reshape(sh, sw, 3)
                 ys = np.arange(height, dtype=np.int64) * sh // height
                 xs = np.arange(width, dtype=np.int64) * sw // width
@@ -682,6 +682,16 @@ def _make_y4m_codec():
                 f"Y4M colorspace C{cs} needs a pixel-format library "
                 "(pyav/ffmpeg); raw mono/420/422/444 parse here"
             )
+        # chroma geometry must divide evenly: an odd dimension under a
+        # subsampled colorspace has no well-defined plane sizes, and the
+        # floor-division frame size would silently misalign every
+        # subsequent FRAME boundary — reject instead (ADVICE r14)
+        if cs.startswith("420") and (width % 2 or height % 2):
+            raise ValueError(
+                f"Y4M C{cs} requires even W and H, got {width}x{height}"
+            )
+        if cs == "422" and width % 2:
+            raise ValueError(f"Y4M C422 requires even W, got {width}")
         fsz = width * height * Y4M_PLANES[cs] // 2
         frames = []
         pos = nl + 1
@@ -969,7 +979,7 @@ def frame_sample_y4m(blobs: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                w, h, _fn, _fd, _cs, frames = dec(bytes(blob))
+                w, h, _fn, _fd, _cs, frames = dec(bytes(blob) if blob is not None else b"")
                 v = frames.astype(np.int64)
                 wts = np.arange(v.shape[1], dtype=np.int64) + 1
                 for f in range(0, v.shape[0], every_n):

@@ -58,7 +58,7 @@ def exclusive_prefix_sum(
     part = (
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # pin sampled range boundaries for both phases
+        .localCheckpoint(eager=False)  # pin sampled range boundaries for both phases
     )
     totals = {
         r["_pid"]: r["t"]

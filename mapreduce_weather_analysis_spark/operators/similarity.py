@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import as_double, cosine, cosine_unrolled, dot
+from ..functions.vectors import as_double, cosine, dot
 
 LSH_PLANES = 6  # 2^6 = 64 buckets
 EMBED_DIM = 64
@@ -70,7 +70,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_unrolled(F.col("qv"), F.col("cv"), EMBED_DIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -136,7 +136,7 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 5) -> DataFrame
         .select(
             "query_id",
             "neighbor_id",
-            cosine_unrolled(F.col("qv"), F.col("cv"), EMBED_DIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
         )
         .distinct()
     )
@@ -238,7 +238,7 @@ def gemm_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_unrolled(F.col("qv"), F.col("cv"), EMBED_DIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -321,7 +321,7 @@ def neardup_pairs_gemm(
     b = vecs.select(
         F.col("vec_id").alias("vec_b"), as_double("embedding").alias("vb")
     )
-    cos = cosine_unrolled(F.col("va"), F.col("vb"), EMBED_DIM)
+    cos = cosine(F.col("va"), F.col("vb"))
     return (
         F.broadcast(cand)
         .join(a, "vec_a")

@@ -94,7 +94,7 @@ def sq8_topk(
 
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint()  # stats + encode + queries all read it
+    ).localCheckpoint(eager=False)  # stats + encode + queries all read it
     stats = sq8_stats(vecs)
     deq = sq8_decode(sq8_encode(vecs, stats), stats)
     queries = vecs.where(F.expr(query_filter)).select(

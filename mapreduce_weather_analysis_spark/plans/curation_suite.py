@@ -243,7 +243,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = scored.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_toks"),
         dround(psum(F.col("nll"), 6) / F.count(F.lit(1)), 6).alias("avg_nll"),
-    ).localCheckpoint()  # feeds BOTH the cutoff agg and the output join —
+    ).localCheckpoint(eager=False)  # feeds BOTH the cutoff agg and the output join —
     # without materialization the whole explode+count+re-join subtree
     # executes twice (once per consumer), doubling the corpus passes
     cuts = (
@@ -2662,7 +2662,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosrel.orderBy(F.desc("cos"), F.asc("doc_id"))
         .limit(_MMR_POOL)
         .select("doc_id", F.col("cos").alias("rel"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pv = _hcounts_rel(spark, sf_dir).join(
         F.broadcast(pool.select("doc_id")), "doc_id"
@@ -2692,7 +2692,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sim"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lam, mu = _MMR_L, round(1.0 - _MMR_L, 6)
     selected = (
@@ -2704,7 +2704,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel",
             dround(F.lit(lam) * F.col("rel"), 6).alias("mmr"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for i in range(2, _MMR_K + 1):
         sel_ids = selected.select("doc_id")
@@ -2729,7 +2729,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.lit(i).alias("pick"), "doc_id", "rel", "mmr")
         )
-        selected = selected.unionByName(pick).localCheckpoint()
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected
 
 
@@ -2838,7 +2838,7 @@ def q_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = (
         bmdoc.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_RM3_FB)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     fbtf = (
         tok_rows.join(F.broadcast(fb.select("doc_id")), "doc_id")
@@ -2861,7 +2861,7 @@ def q_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dround(psum(F.col("x"), 8), 6).alias("w"))
     )
     expt = (
-        rmw.orderBy(F.desc("w"), F.asc("term")).limit(_RM3_E).localCheckpoint()
+        rmw.orderBy(F.desc("w"), F.asc("term")).limit(_RM3_E).localCheckpoint(eager=False)
     )
     wsum = expt.agg(psum(F.col("w"), 6).alias("tw"))
     alpha, beta = _RM3_A, round(1.0 - _RM3_A, 6)
@@ -2876,7 +2876,7 @@ def q_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         (F.lit(float(beta)) * dround(F.col("w") / F.col("tw"), 6)).alias("qw"),
     )
-    qw = orig.unionByName(expw).localCheckpoint()
+    qw = orig.unionByName(expw).localCheckpoint(eager=False)
     rtf = (
         tok_rows.join(F.broadcast(qw.select("term")), "term")
         .groupBy("doc_id", "term")
@@ -3942,7 +3942,7 @@ def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cut also means the 3-stage gate runs once, not once per scan.
     admitted = (
         q_curation_gate(spark, sf_dir)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
         .where(F.col("keep"))
         .select("doc_id")
     )

@@ -233,7 +233,7 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: sig feeds both the canon agg and the join-back —
     # without it the Arrow decode stage re-executes once per branch
     # (round-13 plan audit; same fix as q_audio_fingerprint_dedup)
-    sig = dec.select("doc_id", phash.alias("phash")).localCheckpoint()
+    sig = dec.select("doc_id", phash.alias("phash")).localCheckpoint(eager=False)
     canon = sig.groupBy("phash").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("csize"),
@@ -590,7 +590,7 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                _, samples = dec(bytes(blob))
+                _, samples = dec(bytes(blob) if blob is not None else b"")
                 v = samples[:64]
                 afp = 0
                 for s in range(min(63, v.size - 1)):
@@ -607,7 +607,7 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE real stats for the join-side choice.
     fp = blobs.mapInPandas(
         _fp_batch, "doc_id bigint, afp bigint"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     canon = fp.groupBy("afp").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("csize"),
@@ -818,7 +818,7 @@ def q_video_scene_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                w, h, _fn, _fd, _cs, frames = dec(bytes(blob))
+                w, h, _fn, _fd, _cs, frames = dec(bytes(blob) if blob is not None else b"")
                 sums = frames[:, : w * h].astype(np.int64).sum(axis=1)
                 vfp = 0
                 for f in range(min(63, sums.size - 1)):
@@ -832,7 +832,7 @@ def q_video_scene_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-executes once per branch (the q_audio_fingerprint_dedup device)
     fp = blobs.mapInPandas(
         _fp_batch, "doc_id bigint, vfp bigint"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     canon = fp.groupBy("vfp").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("csize"),
@@ -990,7 +990,7 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                w, h, _fn, _fd, _cs, frames = dec(bytes(blob))
+                w, h, _fn, _fd, _cs, frames = dec(bytes(blob) if blob is not None else b"")
                 y = frames[:, : w * h].astype(np.int64)
                 for f in range(0, y.shape[0], _Y4M_EVERY):
                     if f >= _FRAME_PACK:
@@ -1011,7 +1011,7 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join-back (the q_phash_dedup device)
     frames_rel = blobs.mapInPandas(
         _fsig_batch, "doc_id bigint, frame_idx bigint, fsig bigint"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     canon = frames_rel.groupBy("fsig").agg(
         F.min(
             F.col("doc_id") * _FRAME_PACK + F.col("frame_idx")
@@ -1139,7 +1139,7 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = d.mapInPandas(
         _digest_batch, "doc_id bigint, modality string, content_sig string"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     canon = sigs.groupBy("content_sig").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("csize"),

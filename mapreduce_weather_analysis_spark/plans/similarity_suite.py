@@ -206,9 +206,7 @@ def q_embed_neardup_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (a.cluster == b.cluster_b) & (a.vec_a < b.vec_b))
         .select(
-            "vec_a",
-            "vec_b",
-            cosine_unrolled(F.col("av"), F.col("bv"), _VDIM).alias("cosine"),
+            "vec_a", "vec_b", cosine(F.col("av"), F.col("bv")).alias("cosine")
         )
         .where(F.col("cosine") >= 0.45)
     )
@@ -1027,7 +1025,7 @@ def _binary_serve(codes: DataFrame, vecs: DataFrame) -> DataFrame:
             "query_id",
             "neighbor_id",
             "hamming",
-            cosine_unrolled(F.col("qvv"), F.col("nvv"), _VDIM).alias("cosine"),
+            cosine(F.col("qvv"), F.col("nvv")).alias("cosine"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(
@@ -1486,7 +1484,7 @@ def _celled_binary_serve(
             "query_id",
             "neighbor_id",
             "hamming",
-            cosine_unrolled(F.col("qv"), F.col("nvv"), _VDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("nvv")).alias("cosine"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(
@@ -1976,7 +1974,7 @@ def q_semdedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_id",
             "keeper_id",
             "cluster",
-            cosine_unrolled(F.col("av"), F.col("bv"), _VDIM).alias("cosine"),
+            cosine(F.col("av"), F.col("bv")).alias("cosine"),
         )
         .where(F.col("cosine") >= _SEMDEDUP_THRESH)
     )
@@ -2130,6 +2128,8 @@ def q_ann_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ivfpq_write(spark, sf_dir)
 
+    from ..operators.ivf import _sq_l2
+
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     e = t(spark, sf_dir, "embeddings")
     vv = F.col("embedding").cast("array<double>")
@@ -2141,9 +2141,7 @@ def q_ann_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     qc = nv.crossJoin(F.broadcast(centroids)).select(
-        "new_id",
-        "cluster",
-        sq_l2_unrolled(F.col("v"), F.col("c"), _VDIM).alias("dist"),
+        "new_id", "cluster", _sq_l2("v", "c").alias("dist")
     )
     w = W.partitionBy("new_id").orderBy(F.asc("dist"), F.asc("cluster"))
     return (
@@ -2273,8 +2271,10 @@ def _mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     of retraining the quantizer. The mutuality check is a self-
     intersect of the N·k edge relation: shuffle-bounded by the kNN
     output size, never the corpus."""
-    knn = q_knn_join_persisted(spark, sf_dir).select(
-        "vec_id", "neighbor_id"
+    knn = (
+        q_knn_join_persisted(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # both intersect sides read it
     )
     rev = knn.select(
         F.col("neighbor_id").alias("vec_id"),
@@ -2373,7 +2373,7 @@ def components_write(spark: SparkSession, sf_dir: str) -> str:
     knn = (
         q_knn_join_persisted(spark, sf_dir)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rev = knn.select(
         F.col("neighbor_id").alias("vec_id"),
@@ -2663,9 +2663,14 @@ def q_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is convergence in O(log N)-ish rounds, and the measured single-
     round recall lift is in SCALE.md. Oracle: the kNN CTE chain plus
     the identical expansion/rescore in SQL."""
-    # round-0 edges from the PERSISTED join (hash-identical to inline)
-    knn = q_knn_join_persisted(spark, sf_dir).select(
-        "vec_id", "neighbor_id"
+    # round-0 edges from the PERSISTED join (hash-identical to inline),
+    # lineage-cut: nn_descent_round reads the edge relation three times
+    # (candidate base + both sides of the two-hop self-join) and without
+    # the cut each scan re-executes the full probe/join/window plan
+    knn = (
+        q_knn_join_persisted(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     vv = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
@@ -2745,8 +2750,10 @@ def q_knn_refine2(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-algorithm lineage trim (same device as
     scripts/nn_descent_curve.py between measured rounds). Oracle: the
     same round CTE definition unrolled twice."""
-    knn = q_knn_join_persisted(spark, sf_dir).select(
-        "vec_id", "neighbor_id"
+    knn = (
+        q_knn_join_persisted(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # read 3× by round 1 (see q_knn_refine)
     )
     vv = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
@@ -2754,7 +2761,7 @@ def q_knn_refine2(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = (
         nn_descent_round(knn, vv)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return nn_descent_round(r1, vv)
 
@@ -3122,7 +3129,7 @@ def _component_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         "vec_id",
         "csize",
-        dround(cosine_unrolled(F.col("v"), F.col("cvec"), _VDIM), 8).alias("cos"),
+        dround(cosine(F.col("v"), F.col("cvec")), 8).alias("cos"),
     )
 
 
@@ -3740,7 +3747,7 @@ def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     round that removed the edge, 0 if it survived all ``rounds``. See
     :func:`q_ktruss` for semantics and scale posture; factored so the
     synthetic cascade test can run the peel on a hand-built graph."""
-    e = edges.select("src", "dst").localCheckpoint()
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     dead_slices = []
     for i in range(rounds):
         sup = _edge_support(e)
@@ -3764,7 +3771,7 @@ def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             F.coalesce(F.col("support"), F.lit(0).cast("bigint")).alias(
                 "support"
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         dead_slices.append(
             tj.where(F.col("support") < k - 2).select(
                 "src", "dst", F.lit(i + 1).alias("died_round")
@@ -3773,7 +3780,7 @@ def ktruss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         e = (
             tj.where(F.col("support") >= k - 2)
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     survivors = e.select("src", "dst", F.lit(0).alias("died_round"))
     out = survivors
@@ -3891,7 +3898,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gvec")
         )
     )
-    cosr = dround(cosine_unrolled(F.col("svec"), F.col("gvec"), _VDIM), 8)
+    cosr = dround(cosine(F.col("svec"), F.col("gvec")), 8)
     return (
         scents.join(nv, "source")
         .crossJoin(F.broadcast(gcent))
@@ -4098,12 +4105,12 @@ def q_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_GB_ENTRIES)
         .select(F.col("vec_id").alias("node"), "v")
     )
-    score = dround(cosine_unrolled(F.col("qv"), F.col("v"), _VDIM), 8)
+    score = dround(cosine(F.col("qv"), F.col("v")), 8)
     vis = (
         qs.crossJoin(F.broadcast(entries))
         .where(F.col("node") != F.col("query_id"))
         .select("query_id", "node", score.alias("cosine"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
     frontier = (
@@ -4127,9 +4134,9 @@ def q_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(qs, "query_id")
             .join(ev, F.col("node") == F.col("vec_id"))
             .select("query_id", "node", score.alias("cosine"))
-            .localCheckpoint()  # pin the round; next round reads blocks
+            .localCheckpoint(eager=False)  # pin the round; next round reads blocks
         )
-        vis = vis.unionAll(new).localCheckpoint()
+        vis = vis.unionAll(new).localCheckpoint(eager=False)
         frontier = (
             new.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= _GB_BEAM)
@@ -4306,7 +4313,7 @@ def _pca_centered_and_vec(
     xc = (
         xe.join(mm, "dim")
         .select("vec_id", "dim", (F.col("x") - F.col("m")).alias("xd"))
-        .localCheckpoint()  # reused 2x per round; pin it once
+        .localCheckpoint(eager=False)  # reused 2x per round; pin it once
     )
     v = mm.select(
         "dim",
@@ -4327,7 +4334,7 @@ def _pca_centered_and_vec(
         v = (
             w.crossJoin(F.broadcast(nrm))
             .select("dim", dround(F.col("wv") / F.col("nrm"), 8).alias("val"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return xc, v
 
@@ -4635,7 +4642,7 @@ def _abtt_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
             # must be squashed here, not masked downstream
             dround(F.col("xd") - F.col("p") * F.col("val"), 8).alias("cd"),
         )
-        .localCheckpoint()  # reused by norms, query slice, and the dot join
+        .localCheckpoint(eager=False)  # reused by norms, query slice, and the dot join
     )
 
 
@@ -4807,7 +4814,7 @@ def q_embed_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = (
             w.crossJoin(F.broadcast(nrm))
             .select("dim", dround(F.col("wv") / F.col("nrm"), 8).alias("val"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return u.select("dim", F.col("val").alias("loading"))
 
@@ -4875,6 +4882,8 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls all {K} picks with scalar-subquery argmaxes —
     identical LEAST/distance arithmetic, ties to the lower id."""
 
+    from ..operators.ivf import _sq_l2
+
     ev = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -4882,8 +4891,8 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = [(1, int(first["vec_id"]), 0.0)]
     center_vec = F.array(*[F.lit(float(x)) for x in first["v"]])
     mind = ev.select(
-        "vec_id", "v", sq_l2_unrolled(F.col("v"), center_vec, _VDIM).alias("mind")
-    ).localCheckpoint()
+        "vec_id", "v", _sq_l2(F.col("v"), center_vec).alias("mind")
+    ).localCheckpoint(eager=False)
     for r in range(2, _KCTR_K + 1):
         top = mind.agg(
             F.max(F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid")))
@@ -4897,10 +4906,10 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             mind = mind.select(
                 "vec_id",
                 "v",
-                F.least(F.col("mind"), sq_l2_unrolled(F.col("v"), cvec, _VDIM)).alias(
+                F.least(F.col("mind"), _sq_l2(F.col("v"), cvec)).alias(
                     "mind"
                 ),
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
     out = spark.createDataFrame(
         picks, schema="round int, center_id bigint, radius double"
     )
@@ -5045,7 +5054,7 @@ def q_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.expr(_QUERY_FILTER))
     bf = brute_force_topk(q, e).select("query_id", "neighbor_id")
-    bf = bf.localCheckpoint()  # ground truth computed once, reused per arm
+    bf = bf.localCheckpoint(eager=False)  # ground truth computed once, reused per arm
     # nq from the QUERY relation itself, matching the oracle's rnq
     # (ADVICE r8): counting distinct query_ids in the brute-force result
     # diverges on a degenerate corpus where a query has zero neighbors
@@ -5159,7 +5168,7 @@ def q_source_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = j.join(F.broadcast(scents), "source").select(
         "source",
         F.col("vec_id").alias("doc_id"),
-        dround(cosine_unrolled(F.col("v"), F.col("svec"), _VDIM), 8).alias(
+        dround(cosine(F.col("v"), F.col("svec")), 8).alias(
             "cos_to_centroid"
         ),
     )
@@ -5527,9 +5536,9 @@ def q_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     e = read_mutual_edges(spark, sf_dir)
-    e_new = e.where(_inc_touches_delta()).localCheckpoint()
-    e_old = e.where(~_inc_touches_delta()).localCheckpoint()
-    labels_old = connected_components(e_old, "src", "dst").localCheckpoint()
+    e_new = e.where(_inc_touches_delta()).localCheckpoint(eager=False)
+    e_old = e.where(~_inc_touches_delta()).localCheckpoint(eager=False)
+    labels_old = connected_components(e_old, "src", "dst").localCheckpoint(eager=False)
     return _fold_delta(e_new, labels_old)
 
 

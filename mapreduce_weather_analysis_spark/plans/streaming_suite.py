@@ -782,7 +782,7 @@ def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file-sink drain: N×DIM exploded rows through the memory sink means
     # corpus-sized task results at the driver — measured maxResultSize
     # kill at the 100× pack; the parquet sink keeps rows on executors
-    drained = run_available_now_files(dims, spark).localCheckpoint()
+    drained = run_available_now_files(dims, spark).localCheckpoint(eager=False)
     dmean = (
         F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
         / F.count(F.lit(1))
@@ -854,7 +854,7 @@ def q_stream_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file-sink drain (see q_stream_embedding_drift): the token-exploded
     # relation is corpus-sized — the memory sink's driver collect is the
     # one piece of this plan that did NOT survive the 100× pack
-    drained = run_available_now_files(rows, spark).localCheckpoint()
+    drained = run_available_now_files(rows, spark).localCheckpoint(eager=False)
     trows = drained.where(F.col("term").isNotNull()).select("source", "term")
     ndocs = (
         drained.select("doc_id", "source")
@@ -893,7 +893,7 @@ def q_stream_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale_suite import _skew_profile
 
     stream = read_events_stream(spark, sf_dir).select("user_id")
-    drained = run_available_now(stream, spark, mode="append").localCheckpoint()
+    drained = run_available_now(stream, spark, mode="append").localCheckpoint(eager=False)
     return _skew_profile(drained, "user_id", "events.user_id")
 
 
@@ -1236,7 +1236,7 @@ def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("x"),
     )
-    drained = run_available_now(stream, spark, mode="append").localCheckpoint()
+    drained = run_available_now(stream, spark, mode="append").localCheckpoint(eager=False)
     return ks_drift_from_vals(drained)
 
 

@@ -1339,7 +1339,7 @@ def _bpe_train(
         F.concat(
             F.lit(_ML), F.array_join("toks", sep), F.lit(_MR)
         ).alias("enc"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     steps: list[tuple[int, str, str, int]] = []
     step = 0
     for _r in range(1, _BPE_ROUNDS + 1):
@@ -1385,7 +1385,7 @@ def _bpe_train(
                 F.lit(_ML + a + _MR + _ML + b + _MR),
                 F.lit(_ML + a + " " + b + _MR),
             )
-        enc = enc.select("doc_id", col.alias("enc")).localCheckpoint()
+        enc = enc.select("doc_id", col.alias("enc")).localCheckpoint(eager=False)
     return steps, enc
 
 
@@ -1673,7 +1673,7 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("g.w1", "g.w2", "g.w3")
     counts = tri.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("n")
-    ).localCheckpoint()  # feeds the top-k AND the continuation branch
+    ).localCheckpoint(eager=False)  # feeds the top-k AND the continuation branch
     from pyspark.sql import Window as W
 
     # distributed top-k (TakeOrderedAndProject: per-partition heads +

@@ -413,6 +413,16 @@ def test_y4m_decoder_is_generic_and_bounded():
         decode_y4m(b"YUV4MPEG2 W2 Hx Cmono\n")  # malformed tag
     with _pytest.raises(NotImplementedError):
         decode_y4m(b"YUV4MPEG2 W2 H2 C420p10\n")
+    # odd dimensions under a subsampled colorspace have no well-defined
+    # chroma geometry; the floor-division frame size would silently
+    # misalign every later FRAME boundary — must reject (ADVICE r14)
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W3 H2 C420\nFRAME\n" + bytes(9))
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W3 H2 C422\nFRAME\n" + bytes(12))
+    # mono has no chroma planes: odd dims stay legal
+    w3, h3, _, _, _, fr3 = decode_y4m(b"YUV4MPEG2 W3 H1 Cmono\nFRAME\n" + bytes(3))
+    assert (w3, h3) == (3, 1) and fr3.shape == (1, 3)
 
 
 def test_decode_video_dispatches_on_magic(spark):
