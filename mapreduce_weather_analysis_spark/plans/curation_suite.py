@@ -3831,10 +3831,13 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
         F.col("pos").cast("int").alias("pos"),
     )
+    # lineage cut on the ≤B-row histogram: the threshold join, the total
+    # and the sweep all read it — without the cut the classifier+gate
+    # corpus pass executes once per consumer subtree
     cells = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("npos"),
-    )
+    ).localCheckpoint(eager=False)
     tot = cells.agg(
         F.coalesce(F.sum("npos"), F.lit(0)).cast("bigint").alias("total_pos")
     )

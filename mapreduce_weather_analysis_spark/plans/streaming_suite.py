@@ -955,8 +955,7 @@ def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.ann_store import ivfpq_write
-    from ..functions.vectors import sq_l2_unrolled
-    from ..operators.similarity import EMBED_DIM as _EDIM
+    from ..operators.ivf import _sq_l2
 
     path = ivfpq_write(spark, sf_dir)
     cents = sorted(
@@ -986,7 +985,7 @@ def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = F.transform(
         arr,
         lambda s: F.struct(
-            sq_l2_unrolled(s["c"], F.col("v"), _EDIM).alias("dist"),
+            _sq_l2(s["c"], F.col("v")).alias("dist"),
             s["cluster"].alias("cluster"),
         ),
     )
@@ -1142,10 +1141,9 @@ def q_stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine_unrolled, sq_l2_unrolled
+    from ..functions.vectors import cosine
     from ..operators.ann_store import ivfpq_write
-    from ..operators.ivf import IVF_NPROBE
-    from ..operators.similarity import EMBED_DIM as _EDIM
+    from ..operators.ivf import IVF_NPROBE, _sq_l2
 
     path = ivfpq_write(spark, sf_dir)
     cents = sorted(
@@ -1164,7 +1162,7 @@ def q_stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_cells = F.transform(
         arr,
         lambda s: F.struct(
-            sq_l2_unrolled(s["c"], F.col("qv"), _EDIM).alias("dist"),
+            _sq_l2(s["c"], F.col("qv")).alias("dist"),
             s["cluster"].alias("cluster"),
         ),
     )
@@ -1192,7 +1190,7 @@ def q_stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             # raw cosine, like ivf_topk: the cosine/cosine_sql pair is
             # bit-identical (sequential fold both engines), no rounding
-            cosine_unrolled(F.col("qv"), F.col("v"), _EDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
     )
     drained = run_available_now(cand, spark, mode="append")
