@@ -837,7 +837,7 @@ def q_ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "qv",
-            cosine_unrolled(F.col("qp"), F.col("p"), _MRL_PREFIX_DIM).alias("pcos"),
+            cosine(F.col("qp"), F.col("p")).alias("pcos"),
         )
         .withColumn("srank", F.row_number().over(ws))
         .where(F.col("srank") <= _MRL_SHORTLIST)
@@ -849,7 +849,7 @@ def q_ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine_unrolled(F.col("qv"), F.col("v"), _VDIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
