@@ -1,13 +1,17 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints TWO JSON lines: the full record first (headline + per-query map +
-controls), then a COMPACT summary line LAST —
+Prints the full record first (headline + per-query map + controls), then
+per-query seconds as short ``{"metric": "per_query_sec", "part": i, "of":
+k, "queries": {...}}`` chunk lines, then a COMPACT summary line LAST —
   {"metric": "headline_suite_wall", "value": N, "unit": "sec", "sf": ...,
    "n_queries": K, "controls_first": {...}, "controls_last": {...}}
 — so a bounded tail capture of stdout always ends on a parseable record
 (the full line outgrew the driver's ~2 KB tail at 82 queries: BENCH_r07
-recorded parsed=null).
+recorded parsed=null; at 193 queries the names alone total ~3.4 KB, so
+the full map physically cannot ride the final line — when it fits under
+1.8 KB, e.g. subset runs, the final line carries the whole ``queries``
+map per the original one-line contract).
 
 Methodology: one session-warmup action, then each query timed end-to-end
 (plan construction + execution) with results materialized through the
@@ -1024,20 +1028,25 @@ def main() -> None:
     ]
     # First-class artifact: the complete record as a JSON FILE next to
     # bench.py — it survives regardless of how much stdout the driver
-    # keeps. The stdout prints below are unchanged for the driver contract.
-    # VERDICT r13 ask #6: ALSO write a per-round copy
-    # (BENCH_FULL_r{N}.json) so round-over-round per-query history is
-    # diffable without git archaeology; the unversioned name stays the
-    # latest-copy convention. Round number = SPARK_GRAFT_ROUND if set,
-    # else 1 + the highest BENCH_r{N}.json already recorded (the driver
-    # writes BENCH_r{N}.json from this run's stdout AFTER it exits, so
-    # at run time the highest existing N is last round's). Subset runs
-    # (SPARK_GRAFT_BENCH_ONLY) skip both writes — a 3-query record must
-    # never clobber the sealed full artifact.
+    # keeps. Per-round copies only (VERDICT r15 / ADVICE r15: the old
+    # latest-copy BENCH_FULL.json was clobbered in place by post-seal
+    # re-runs, and the max(BENCH_r*)+1 round inference mislabeled a
+    # re-run at a sealed round as the NEXT round). Rules now:
+    #   * round N = SPARK_GRAFT_ROUND if numeric, else
+    #     1 + max recorded BENCH_r{N}.json (the driver seals BENCH_r{N}
+    #     AFTER the run, so at run time the highest existing N is last
+    #     round's);
+    #   * a run at a non-32 core count is a scaling probe, named
+    #     ..._c{cpus}.json so it can never shadow the main artifact;
+    #   * NOTHING is ever overwritten: if the target name exists (a
+    #     sealed artifact, or an earlier run this round), the record
+    #     goes to <name>.rerun.json / .rerun2.json / ... — a post-seal
+    #     re-run leaves every tracked file byte-identical. Subset runs
+    #     (SPARK_GRAFT_BENCH_ONLY) skip the write entirely.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     if not only:
         # a malformed SPARK_GRAFT_ROUND must not raise AFTER the whole
-        # bench has run (losing both artifact writes) — validate up front
+        # bench has run (losing the artifact write): validate up front
         # and fall back to the BENCH_r*.json inference (ADVICE r14)
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
         if rnd and not rnd.strip().isdigit():
@@ -1054,29 +1063,72 @@ def main() -> None:
                 if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
             ]
             rnd = str(max(recorded, default=0) + 1)
-        for fname in ("BENCH_FULL.json", f"BENCH_FULL_r{int(rnd):02d}.json"):
-            with open(os.path.join(repo_dir, fname), "w") as fh:
-                json.dump(full_record, fh, indent=1, sort_keys=True)
-                fh.write("\n")
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        suffix = f"_c{cpus_env}" if cpus_env and cpus_env != "32" else ""
+        stem = f"BENCH_FULL_r{int(rnd):02d}{suffix}"
+        target = os.path.join(repo_dir, f"{stem}.json")
+        k = 0
+        while os.path.exists(target):
+            k += 1
+            target = os.path.join(
+                repo_dir, f"{stem}.rerun{k if k > 1 else ''}.json"
+            )
+        with open(target, "w") as fh:
+            json.dump(full_record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
 
     # Full record first (complete per-query map for humans/scripts)...
     print(json.dumps(full_record))
-    # ...then a compact summary LAST, so the driver's bounded tail capture
-    # always ends on a parseable record (VERDICT r7: the one-line full
-    # JSON outgrew the ~2 KB tail and BENCH_r07 recorded parsed=null).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "controls_first": controls_first,
-                "controls_last": controls_last,
-            }
-        )
-    )
+    # ...then the per-query seconds again as SMALL chunk lines (VERDICT
+    # r15 ask #2: the driver parses its bounded ~2 KB stdout tail, so
+    # per-query data must arrive in lines short enough to survive it —
+    # at 193 queries the names alone total ~3.4 KB, so ONE line can
+    # never fit; chunks put as much as the tail can hold right before
+    # the summary, and the complete map is in BENCH_FULL_r{N}.json)...
+    compact = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "controls_first": controls_first,
+        "controls_last": controls_last,
+    }
+    with_queries = dict(compact)
+    with_queries["queries"] = {n: round(t, 2) for n, t in timings.items()}
+    final_line = json.dumps(with_queries, separators=(",", ":"))
+    if len(final_line) <= 1800:
+        # the whole map fits under the tail bound: honor the original
+        # one-line contract ({"metric":..., "queries": {...}, ...})
+        print(final_line)
+    else:
+        items = sorted(timings.items())
+        chunks: list[dict[str, float]] = [{}]
+        size = 0
+        for n, t in items:
+            entry = len(n) + 12
+            if size + entry > 1500 and chunks[-1]:
+                chunks.append({})
+                size = 0
+            chunks[-1][n] = round(t, 2)
+            size += entry
+        for i, ch in enumerate(chunks, 1):
+            print(
+                json.dumps(
+                    {
+                        "metric": "per_query_sec",
+                        "part": i,
+                        "of": len(chunks),
+                        "queries": ch,
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        # ...and a compact summary LAST, so the driver's bounded tail
+        # capture always ends on a parseable record (VERDICT r7: the
+        # one-line full JSON outgrew the ~2 KB tail and BENCH_r07
+        # recorded parsed=null).
+        print(json.dumps(compact))
     sys.stdout.flush()
 
     # Drain the tee BEFORE gate diagnostics: restores the real fd 2 so
@@ -1105,7 +1157,19 @@ def main() -> None:
                 f"{bound:.3f}s (baseline {base:.1f}s)",
                 file=sys.stderr,
             )
-        sys.exit(1)
+        # Bounds are calibrated on 32-core runs; at any other core count
+        # the gate is informational (recorded in gate_failures above) but
+        # NOT fatal — VERDICT r15: the driver's 8-core scaling run
+        # breached one 32-core bound, exited 1, and the whole scaling
+        # measurement was discarded.
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus_env is None or cpus_env == "32":
+            sys.exit(1)
+        print(
+            f"(gate informational at SPARK_GRAFT_CPUS={cpus_env}: bounds "
+            "are 32-core-calibrated; failures recorded, rc stays 0)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

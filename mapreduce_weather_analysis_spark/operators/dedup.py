@@ -193,6 +193,136 @@ def minhash_signatures_relational(
     )
 
 
+def shingle_rows_kernel(
+    df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """Distinct (doc_id, s) shingle rows in ONE zero-shuffle Arrow map
+    stage — same relation as :func:`shingle_rows`, minus its two
+    exchanges (the doc_id window shuffle + the distinct shuffle).
+
+    Shingling is per-document work, so no shuffle is fundamentally
+    required (guide §2.4); the window-lead form paid one anyway. The
+    r15 streaming kernels proved the parity chain this reuses:
+    tokenization stays JVM-side (the engine-pinned lower/trim/WS_CLASS
+    split of functions/text.tokens), the kernel joins n-grams with
+    ``" ".join`` ≡ ``concat_ws(" ", ...)`` on string tokens, and
+    per-doc sets make the global relation distinct because doc_id is
+    unique per row. Docs with < n tokens drop out exactly as the
+    window guard dropped them (has_min_tokens is the same predicate,
+    codegen-able, applied before the Arrow stage so non-shingling rows
+    never cross the Python boundary)."""
+    from ..functions.text import has_min_tokens
+
+    def shingle_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            ss: list[str] = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                if toks is None or len(toks) < n:
+                    continue
+                did = int(doc_id)
+                for s in {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }:
+                    ids.append(did)
+                    ss.append(s)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "s": pd.Series(ss, dtype="object"),
+                }
+            )
+
+    return (
+        df.where(has_min_tokens(text_col, n))
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        .mapInPandas(shingle_batches, "doc_id bigint, s string")
+    )
+
+
+def minhash_signatures_kernel(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = MINHASH_K,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(doc_id, sig, n_sh) straight from the documents in ONE zero-shuffle
+    Arrow map stage — the r15 q_stream_minhash_ledger kernel lifted to
+    the batch LSH chain (VERDICT r15 ask #5).
+
+    Replaces ``minhash_signatures_relational(shingle_rows(...))``, which
+    paid three exchanges (window lead, distinct, groupBy) for what is
+    per-document work. Exactness is the ledger kernel's argument
+    verbatim: hashlib md5 prefix mod P is portable_hash32_py, the pinned
+    third twin of the JVM/DuckDB hash (tests/test_properties.py); the
+    k-permutation fold is vectorized int64 ``(hx·a+b) mod P`` argmin
+    with products < 2⁶² (exact, overflow-free); per-shingle hashes are
+    memoized across the batch (near-dup corpora repeat shingles
+    heavily); min is order-independent so the set-vs-sorted iteration
+    order cannot matter."""
+    from ..functions.text import has_min_tokens
+
+    perms = minhash_perms(k)
+    perm_a = [a for a, _ in perms]
+    perm_b = [b for _, b in perms]
+
+    def sig_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        pa = np.asarray(perm_a, dtype=np.int64)
+        pb = np.asarray(perm_b, dtype=np.int64)
+        hx_of: dict[str, int] = {}
+
+        def hx(s: str) -> int:
+            v = hx_of.get(s)
+            if v is None:
+                v = (
+                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                    % HASH_PRIME
+                )
+                hx_of[s] = v
+            return v
+
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list[list[int]] = []
+            counts: list[int] = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                if toks is None or len(toks) < n:
+                    continue
+                hv = np.fromiter(
+                    {
+                        hx(" ".join(toks[i : i + n]))
+                        for i in range(len(toks) - n + 1)
+                    },
+                    dtype=np.int64,
+                )
+                mins = (hv[:, None] * pa[None, :] + pb[None, :]) % HASH_PRIME
+                ids.append(int(doc_id))
+                sigs.append([int(v) for v in mins.min(axis=0)])
+                counts.append(int(hv.shape[0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="object"),
+                    "n_sh": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return (
+        docs.where(has_min_tokens(text_col, n))
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        .mapInPandas(sig_batches, "doc_id bigint, sig array<bigint>, n_sh bigint")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str,

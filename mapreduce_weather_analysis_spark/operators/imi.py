@@ -36,7 +36,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine
 from .ivf import IVF_ITERS, _sq_l2, ivf_chain, ivf_index
 from .similarity import EMBED_DIM as DIM
 

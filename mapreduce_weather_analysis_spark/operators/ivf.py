@@ -209,17 +209,16 @@ def ivf_probes(
     distances down to one sorted nprobe-slice per query, then re-join qv
     (collect_list order is nondeterministic but array_sort over unique
     (dist, cluster) structs makes it total)."""
-    from ..functions.vectors import sq_l2_unrolled
-
     queries = assigned.where(F.expr(query_filter)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    # unrolled at the known embedding width: bit-identical to the
-    # _sq_l2 fold but codegen-compiled — the probe stage is |Q|·k evals
-    # and the interpreted HOF fold was measurable across every IVF
-    # consumer (round 15; the dot_unrolled lesson applied to distances)
+    # interpreted fold, NOT sq_l2_unrolled: the probe stage is only
+    # |Q|·k evals per plan, and the width-64 unrolled form's per-plan
+    # Catalyst/Janino cost regressed every IVF/SQ8 consumer on the
+    # driver box (r15 verdict: q_ann_ivf_topk ×0.61, q_ann_sq8_topk
+    # ×0.47) — the r15 rows-per-plan rule applies and this side of it
     qc = queries.crossJoin(F.broadcast(centroids)).select(
-        "query_id", sq_l2_unrolled(F.col("qv"), F.col("c"), DIM).alias("dist"), "cluster"
+        "query_id", _sq_l2("qv", "c").alias("dist"), "cluster"
     )
     return (
         qc.groupBy("query_id")
@@ -249,7 +248,7 @@ def ivf_topk(
     """(query_id, neighbor_id, rank, cosine) searching only the nprobe
     nearest clusters per query. ``k``/``iters`` mirror ivf_topk_sql so
     non-default oracles stay reproducible."""
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
 
     assigned, centroids = ivf_index(
         emb, k=k, iters=iters, sample_points_per_cell=sample_points_per_cell
@@ -272,7 +271,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine_unrolled(F.col("qv"), F.col("cv"), DIM).alias("cosine"),
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

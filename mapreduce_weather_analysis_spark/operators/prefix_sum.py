@@ -58,7 +58,16 @@ def exclusive_prefix_sum(
     part = (
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # pin sampled range boundaries for both phases
+        # Lineage cut shared by both phases. NOTE the determinism
+        # precondition of the lazy form (ADVICE r15): a lazy
+        # localCheckpoint only pins partitions on their first
+        # materialization, so "both phases see identical rows" holds
+        # because every upstream here is deterministic (parquet scan +
+        # deterministic exprs; repartitionByRange samples with a
+        # per-partition-index seed) AND the first action below is a full
+        # scan. A nondeterministic upstream (unseeded sample/rand) would
+        # need eager=True to truly pin.
+        .localCheckpoint(eager=False)
     )
     totals = {
         r["_pid"]: r["t"]

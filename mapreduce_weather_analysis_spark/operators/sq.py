@@ -90,7 +90,7 @@ def sq8_topk(
     exact query vectors against the dequantized corpus, cosine top-k with
     id tie-breaks. Same brute scan shape as the cosine baseline; the
     production composition wraps the byte codes in IVF lists."""
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
 
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -107,7 +107,10 @@ def sq8_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_unrolled(F.col("qv"), F.col("xhat"), DIM).alias("cosine"),
+            # interpreted fold, not cosine_unrolled: per-plan Janino cost
+            # of the width-64 unroll outweighed the per-row win at this
+            # pair count (r15 verdict — q_ann_sq8_topk ×0.47)
+            cosine(F.col("qv"), F.col("xhat")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -134,7 +137,7 @@ def ivf_sq8_topk(
     one stats crossJoin; the corpus never shuffles for search."""
     from pyspark.sql import functions as F
 
-    from ..functions.vectors import cosine_unrolled
+    from ..functions.vectors import cosine
     from .ivf import IVF_NPROBE, ivf_index, ivf_probes
 
     if nprobe is None:
@@ -158,7 +161,7 @@ def ivf_sq8_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_unrolled(F.col("qv"), F.col("xhat"), DIM).alias("cosine"),
+            cosine(F.col("qv"), F.col("xhat")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -1,6 +1,6 @@
-"""Round-15 optimization probe: time one or more registered queries in
+"""Optimization probe: time one or more registered queries in
 isolation (noop sink, best-of-N) and dump .explain("formatted") to
-plans/r15/<query>_<tag>.txt.
+plans/$SPARK_GRAFT_PLAN_DIR (default r16)/<query>_<tag>.txt.
 
 Usage: opt_probe.py [--tag before|after] [--reps N] [--sf DIR] q_a q_b ...
 
@@ -47,7 +47,9 @@ def main() -> None:
         ):
             jrdd.unpersist(True)
 
-    plan_dir = Path(REPO) / "plans" / "r15"
+    plan_dir = Path(REPO) / "plans" / os.environ.get(
+        "SPARK_GRAFT_PLAN_DIR", "r16"
+    )
     plan_dir.mkdir(parents=True, exist_ok=True)
 
     for name in args.queries:
