@@ -193,56 +193,6 @@ def minhash_signatures_relational(
     )
 
 
-def shingle_rows_kernel(
-    df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N
-) -> DataFrame:
-    """Distinct (doc_id, s) shingle rows in ONE zero-shuffle Arrow map
-    stage — same relation as :func:`shingle_rows`, minus its two
-    exchanges (the doc_id window shuffle + the distinct shuffle).
-
-    Shingling is per-document work, so no shuffle is fundamentally
-    required (guide §2.4); the window-lead form paid one anyway. The
-    r15 streaming kernels proved the parity chain this reuses:
-    tokenization stays JVM-side (the engine-pinned lower/trim/WS_CLASS
-    split of functions/text.tokens), the kernel joins n-grams with
-    ``" ".join`` ≡ ``concat_ws(" ", ...)`` on string tokens, and
-    per-doc sets make the global relation distinct because doc_id is
-    unique per row. Docs with < n tokens drop out exactly as the
-    window guard dropped them (has_min_tokens is the same predicate,
-    codegen-able, applied before the Arrow stage so non-shingling rows
-    never cross the Python boundary)."""
-    from ..functions.text import has_min_tokens
-
-    def shingle_batches(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids: list[int] = []
-            ss: list[str] = []
-            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
-                if toks is None or len(toks) < n:
-                    continue
-                did = int(doc_id)
-                for s in {
-                    " ".join(toks[i : i + n])
-                    for i in range(len(toks) - n + 1)
-                }:
-                    ids.append(did)
-                    ss.append(s)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "s": pd.Series(ss, dtype="object"),
-                }
-            )
-
-    return (
-        df.where(has_min_tokens(text_col, n))
-        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-        .mapInPandas(shingle_batches, "doc_id bigint, s string")
-    )
-
-
 def minhash_signatures_kernel(
     docs: DataFrame,
     text_col: str,
@@ -348,8 +298,17 @@ def minhash_lsh_pairs(
     # lineage and computes each once — at cluster scale the same role is
     # played by a persisted intermediate (disk-backed) so executor loss
     # doesn't strand the only copy.
+    # exd (shingle ROWS, needed by the exact-verify arm) keeps the
+    # codegen window form: emitting the full string-row fan-out through
+    # an Arrow stage measured SLOWER than the window+exchange at sf0.1
+    # (0.71s vs 0.45s isolated) — the kernel only wins where it REDUCES.
+    # sig comes from the zero-shuffle Arrow kernel: signature output is
+    # k ints/doc, and the kernel drops the window+distinct+groupBy
+    # exchanges the relational form paid (r16; guide §2.4/§4.2).
     exd = shingle_rows(docs, text_col, id_col).localCheckpoint(eager=False)
-    sig = minhash_signatures_relational(exd, k=k).localCheckpoint(eager=False)
+    sig = minhash_signatures_kernel(docs, text_col, id_col, k=k).localCheckpoint(
+        eager=False
+    )
 
     band_rel = sig.select(
         "doc_id",

@@ -39,7 +39,7 @@ from .dedup import (
     MINHASH_K,
     SHINGLE_N,
     lsh_band_keys,
-    minhash_signatures_relational,
+    minhash_signatures_kernel,
     shingle_rows,
 )
 
@@ -68,7 +68,7 @@ def lsh_write(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     if os.path.exists(marker):
         return path
     exd = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
-    sig = minhash_signatures_relational(exd)
+    sig = minhash_signatures_kernel(docs, "text", "doc_id")
     # sort_array: collect_set order is task-scheduling-dependent; sorting
     # makes the persisted ARRAY CONTENTS deterministic (row/file order is
     # not part of the artifact contract — reads are order-insensitive)
@@ -113,7 +113,9 @@ def lsh_search(
     # window + 16-perm signing recomputes per consumer (the
     # minhash_lsh_pairs lesson); |Q| is bounded so the checkpoint is tiny
     q_exd = shingle_rows(qdocs, "text", "doc_id").localCheckpoint(eager=False)
-    q_sig = minhash_signatures_relational(q_exd).localCheckpoint(eager=False)
+    q_sig = minhash_signatures_kernel(qdocs, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
     q_sh = q_exd.groupBy("doc_id").agg(F.collect_set("s").alias("sh_q"))
     q = (
         q_sig.join(q_sh, "doc_id")

@@ -2339,3 +2339,31 @@ def test_y4m_c420_encoder_roundtrip():
         assert bytes(flat[: len(data)]) == data
         assert not flat[len(data) :].any()
         assert len(blob) == 35 + nf * 102
+
+
+def test_minhash_signature_kernel_matches_relational(spark):
+    """The zero-shuffle Arrow signature kernel (r16) must reproduce the
+    relational shingle->hash->grouped-MIN chain row-for-row: same doc set
+    (short docs dropped identically), same 16-perm signatures, same
+    distinct-shingle counts. This is the exactness contract that let the
+    batch LSH chain swap minhash_signatures_relational(shingle_rows(...))
+    for one mapInPandas stage."""
+    from mapreduce_weather_analysis_spark.operators.dedup import (
+        minhash_signatures_kernel,
+        minhash_signatures_relational,
+        shingle_rows,
+    )
+    from mapreduce_weather_analysis_spark.plans.registry import t
+
+    d = t(spark, SMOKE_SF, "documents")
+    rel = {
+        r["doc_id"]: (list(r["sig"]), r["n_sh"])
+        for r in minhash_signatures_relational(
+            shingle_rows(d, "text", "doc_id")
+        ).collect()
+    }
+    ker = {
+        r["doc_id"]: (list(r["sig"]), r["n_sh"])
+        for r in minhash_signatures_kernel(d, "text", "doc_id").collect()
+    }
+    assert ker == rel and len(ker) > 0
