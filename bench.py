@@ -332,10 +332,18 @@ GROUND_TRUTH = [
 # Fixed control queries, timed (best-of-2) BEFORE and AFTER the headline
 # loop every run and recorded separately in the JSON. Purpose: attribute
 # round-over-round drift — if the controls move by the same factor as the
-# suite, the drift is box/JVM noise, not a plan regression. Chosen to span
-# the three cheap execution shapes (scan+agg+limit, explode+agg, counter
-# grid) and to be sub-second so they add ~3 s total.
-CONTROLS = ["q_topk_global", "q_token_count", "q_heavy_hitters"]
+# suite, the drift is box/JVM noise, not a plan regression. Three span
+# the cheap execution shapes (scan+agg+limit, explode+agg, counter grid);
+# q_embed_anisotropy is the MID-WEIGHT control (VERDICT r15 ask #8:
+# attributing multi-second drift from three sub-0.4 s probes alone was
+# under-determined) — ~2.8 s, plan untouched since r14, round-over-round
+# spread 1.10x (r14/r15/r16 full-bench records), embedding-scan+agg shape.
+CONTROLS = [
+    "q_topk_global",
+    "q_token_count",
+    "q_heavy_hitters",
+    "q_embed_anisotropy",
+]
 
 # Per-query regression bounds at sf0.1 (BASELINE.md): first-green seconds.
 # A timed run at sf0.1 that exceeds 2x its baseline (plus a 0.75 s absolute

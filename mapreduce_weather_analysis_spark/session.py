@@ -20,10 +20,20 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import os
+from weakref import WeakSet
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Sessions already pinned by ensure_session_conf (weak — a stopped
+# session drops out). Pinning is idempotent, but each conf.set is a
+# py4j roundtrip and the loader calls this on EVERY table load: across
+# the 193-query bench that was ~5 RPCs x several loads x 2 draws per
+# query of pure driver latency (r16 overhead profile). Once per live
+# session is the semantic the contract needs ("queries pin the confs
+# themselves" — against a session built elsewhere).
+_CONF_PINNED: "WeakSet[SparkSession]" = WeakSet()
 
 
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
@@ -32,6 +42,9 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     Queries received an externally built session (the driver's); only
     runtime-mutable SQL confs are touched — never the master or memory.
     """
+    if spark in _CONF_PINNED:
+        return spark
+    _CONF_PINNED.add(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark
     # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as int64; the table loader

@@ -51,18 +51,22 @@ def main() -> None:
         ):
             jrdd.unpersist(True)
 
-    store = spark._jsparkSession.sharedState().statusStore()
+    tracker = spark.sparkContext.statusTracker()
 
     def counters() -> tuple[int, int, int]:
-        jobs = store.jobsList(None)
-        n_jobs = jobs.size()
+        job_ids = tracker.getJobIdsForGroup(None)
+        n_jobs = len(job_ids)
         n_tasks = 0
         n_stages = 0
-        it = jobs.iterator()
-        while it.hasNext():
-            j = it.next()
-            n_tasks += j.numTasks()
-            n_stages += j.stageIds().size()
+        for jid in job_ids:
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            n_stages += len(info.stageIds)
+            for sid in info.stageIds:
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo is not None:
+                    n_tasks += sinfo.numTasks
         return n_jobs, n_stages, n_tasks
 
     for name in names:  # JIT warmup, same posture as bench.py
