@@ -2720,7 +2720,13 @@ def nn_descent_round(
         .select(
             "vec_id",
             F.col("cand").alias("neighbor_id"),
-            cosine_unrolled(F.col("qv"), F.col("cv"), _VDIM).alias("cosine"),
+            # interpreted fold, not cosine_unrolled (r16 A/B): each
+            # descent ROUND builds its own plan, so q_knn_refine2 paid
+            # the ~380-node unrolled expression's Janino cost twice —
+            # the same per-plan-vs-per-row tradeoff that reverted the
+            # IVF/SQ8 sites; candidates here are ~N*k^2 (~45k rows),
+            # well under the pair counts where the unroll pays
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
